@@ -1,0 +1,98 @@
+"""Graph partitioning: edge/vertex tables -> per-partition Parquet layout.
+
+The reference partitions output by LOT_ID — one container per lot, all
+records of a lot in the same file (``stdf2ph5.py:141``, README.md:29).
+Metis-Ray's partition key is ``pid = vertex_id % P`` (vertex ids are uniform
+64-bit hashes, so modulo is a uniform hash partition); edges live with their
+*source* vertex, which makes every superstep scatter local to the shard.
+
+Layout (a directory per partition => shard actors read only their slice, and
+a re-run can skip finished partitions):
+
+    <dir>/vertices/pid=J/*.parquet      (vertex_id)
+    <dir>/edges/pid=J/*.parquet         (src, dst [, weight])
+    <dir>/graph_meta.json               (P, directed, counts)
+
+Built with Ray Data all the way: the partitioned write IS the shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+
+def _with_pid(col: str, P: int):
+    def add(batch: pa.Table) -> pa.Table:
+        arr = batch[col].to_numpy(zero_copy_only=False) % np.int64(P)
+        return batch.append_column("pid", pa.array(arr.astype(np.int64), pa.int64()))
+    return add
+
+
+def canonical_edges(edges: rd.Dataset) -> rd.Dataset:
+    """Distinct undirected edges as (src < dst) canonical pairs."""
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch["src"].to_numpy(zero_copy_only=False)
+        b = batch["dst"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        t = pa.table({"src": pa.array(lo, pa.int64()),
+                      "dst": pa.array(hi, pa.int64())})
+        return t.group_by(["src", "dst"]).aggregate([])
+
+    from ray.data.aggregate import Count
+    return (edges.map_batches(canon, batch_format="pyarrow")
+            .groupby(["src", "dst"]).aggregate(Count(alias_name="_m"))
+            .drop_columns(["_m"]))
+
+
+def symmetrized(edges: rd.Dataset) -> rd.Dataset:
+    """Undirected view: distinct canonical {a,b} pairs emitted in BOTH
+    orientations (NetworkX ``to_undirected`` semantics — (a->b) and (b->a)
+    collapse to one undirected edge). Used by CC / LPA / triangles."""
+
+    canonical = canonical_edges(edges)
+
+    def both(batch: pa.Table) -> pa.Table:
+        a = batch["src"].to_numpy(zero_copy_only=False)
+        b = batch["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b]), pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+        })
+
+    return canonical.map_batches(both, batch_format="pyarrow")
+
+
+def build_graph_dir(edges: rd.Dataset, vertices: rd.Dataset, out_dir: str,
+                    P: int, *, directed: bool = True) -> str:
+    """Write the partitioned graph layout. ``edges`` needs (src, dst) —
+    extra columns are dropped; ``vertices`` needs (vertex_id,).
+
+    ``directed=False`` symmetrizes first (CC / label propagation)."""
+    os.makedirs(out_dir, exist_ok=True)
+    e = edges.select_columns(["src", "dst"])
+    if not directed:
+        e = symmetrized(e)
+    e = e.map_batches(_with_pid("src", P), batch_format="pyarrow")
+    e.write_parquet(os.path.join(out_dir, "edges"), partition_cols=["pid"])
+
+    v = vertices.select_columns(["vertex_id"]).map_batches(
+        _with_pid("vertex_id", P), batch_format="pyarrow")
+    v.write_parquet(os.path.join(out_dir, "vertices"), partition_cols=["pid"])
+
+    with open(os.path.join(out_dir, "graph_meta.json"), "w") as fh:
+        json.dump({"P": P, "directed": directed}, fh)
+    return out_dir
+
+
+def graph_meta(graph_dir: str) -> dict:
+    with open(os.path.join(graph_dir, "graph_meta.json")) as fh:
+        return json.load(fh)

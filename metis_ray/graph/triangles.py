@@ -1,0 +1,135 @@
+"""Triangle counting as a pure Ray Data composition (no custom actors).
+
+Degree-oriented adjacency intersection — the standard shuffle-based
+formulation, and the skew-safe one: orienting every undirected edge from its
+lower-(degree, id) endpoint to the higher one bounds oriented out-degree by
+O(sqrt(E)), so hub vertices cannot blow up wedge counts (SURVEY.md
+section 7.4 flags this as mandatory).
+
+Stages (each line one Dataset op; two hash joins + two groupbys total):
+
+    canonical undirected edges (distinct, src<dst)
+      -> degree table: groupby over both endpoints
+      -> join degrees onto edges (src side, then dst side)
+      -> orient by (degree, id)
+      -> oriented adjacency lists: groupby(u).map_groups -> sorted list<u64>
+      -> join adjacency onto oriented edges (both endpoints)
+      -> per-edge sorted-array intersection; credit u, v and every w
+      -> groupby(v).sum -> per-vertex triangle counts
+
+Matches ``networkx.triangles`` exactly (each triangle credited once to each
+of its three corners).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from metis_ray.graph.partition import canonical_edges
+
+
+def _degrees(canon: rd.Dataset) -> rd.Dataset:
+    def endpoints(batch: pa.Table) -> pa.Table:
+        a = batch["src"].to_numpy(zero_copy_only=False)
+        b = batch["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"v": pa.array(np.concatenate([a, b]), pa.int64())})
+
+    return (canon.map_batches(endpoints, batch_format="pyarrow")
+            .groupby("v").aggregate(Count(alias_name="deg")))
+
+
+def _orient(batch: pa.Table) -> pa.Table:
+    """u -> v with (deg,id)(u) < (deg,id)(v)."""
+    s = batch["src"].to_numpy(zero_copy_only=False)
+    d = batch["dst"].to_numpy(zero_copy_only=False)
+    ds_ = batch["deg_src"].to_numpy(zero_copy_only=False)
+    dd = batch["deg_dst"].to_numpy(zero_copy_only=False)
+    fwd = (ds_ < dd) | ((ds_ == dd) & (s < d))
+    u = np.where(fwd, s, d)
+    v = np.where(fwd, d, s)
+    return pa.table({"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64())})
+
+
+def _adjacency(oriented: rd.Dataset) -> rd.Dataset:
+    def to_list(group: pa.Table) -> pa.Table:
+        u = group["u"][0].as_py()
+        neigh = np.sort(group["v"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "u": pa.array([u], pa.int64()),
+            "neigh": pa.array([neigh], pa.list_(pa.int64())),
+        })
+
+    return oriented.groupby("u").map_groups(to_list, batch_format="pyarrow")
+
+
+def triangle_counts(edges: rd.Dataset, *, num_partitions: int = 16
+                    ) -> rd.Dataset:
+    """Per-vertex triangle counts: (v: uint64, triangles: int64).
+
+    Only vertices with >= 1 triangle appear; absent vertices have 0 (join
+    with the vertex table to densify if needed). Global count =
+    ``total_triangles(result)``."""
+    canon = canonical_edges(edges).materialize()
+    deg = _degrees(canon)
+
+    e1 = canon.join(deg.rename_columns({"v": "src", "deg": "deg_src"}),
+                    join_type="inner", num_partitions=num_partitions,
+                    on=("src",))
+    e2 = e1.join(deg.rename_columns({"v": "dst", "deg": "deg_dst"}),
+                 join_type="inner", num_partitions=num_partitions,
+                 on=("dst",))
+    oriented = e2.map_batches(_orient, batch_format="pyarrow")
+    adj = _adjacency(oriented).materialize()
+
+    w1 = oriented.join(adj.rename_columns({"u": "u", "neigh": "neigh_u"}),
+                       join_type="inner", num_partitions=num_partitions,
+                       on=("u",))
+    w2 = w1.join(adj.rename_columns({"u": "v", "neigh": "neigh_v"}),
+                 join_type="inner", num_partitions=num_partitions,
+                 on=("v",))
+
+    def intersect(batch: pa.Table) -> pa.Table:
+        us = batch["u"].to_numpy(zero_copy_only=False)
+        vs = batch["v"].to_numpy(zero_copy_only=False)
+        nu = batch["neigh_u"].to_pylist()
+        nv = batch["neigh_v"].to_pylist()
+        o_v: list[int] = []
+        o_c: list[int] = []
+        for u, v, a, b in zip(us, vs, nu, nv):
+            if not a or not b:
+                continue
+            common = np.intersect1d(np.asarray(a, np.int64),
+                                    np.asarray(b, np.int64),
+                                    assume_unique=True)
+            k = len(common)
+            if k == 0:
+                continue
+            o_v.append(int(u)); o_c.append(k)
+            o_v.append(int(v)); o_c.append(k)
+            o_v.extend(int(w) for w in common)
+            o_c.extend([1] * k)
+        return pa.table({"v": pa.array(o_v, pa.int64()),
+                         "triangles": pa.array(o_c, pa.int64())})
+
+    credits = w2.map_batches(intersect, batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # local combine before the shuffle
+        return (batch.group_by("v")
+                .aggregate([("triangles", "sum")])
+                .rename_columns(["triangles", "v"])
+                .select(["v", "triangles"]))
+
+    per_vertex = (credits.map_batches(partial, batch_format="pyarrow")
+                  .groupby("v").aggregate(Sum("triangles", alias_name="triangles")))
+    return per_vertex
+
+
+def total_triangles(per_vertex: rd.Dataset) -> int:
+    """Global triangle count = sum(per-vertex)/3."""
+    s = per_vertex.sum("triangles")
+    return int(s) // 3

@@ -1,0 +1,171 @@
+"""Ingest pipeline: corpus parquet -> validated files table + deduped edge tables.
+
+End-to-end (SURVEY.md section 3.4):
+
+    read_parquet(corpus)                                  [S1]
+      -> map_batches(ValidateAndChecksum)                 [M1/M3 + sha256 invariant]
+      -> map_batches(EdgeExtractor, actor pool)           [M5 type-dispatch parse]
+      -> map_batches(ResolveEdges, broadcast symbol table)[section 2.4 join]
+      -> local distinct -> groupby(src,dst).count()       [section 2.7 dedup]
+
+Everything streams; ``content`` is projected away inside the extractor so
+edge blocks are narrow.  The only all-to-all exchange in ingest is the final
+dedup groupby, fed by per-batch pre-distinct partials.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from metis_ray.functions.hashing import hash64
+from metis_ray.sources.parquet import read_corpus
+from metis_ray.stages.extract import EdgeExtractor
+from metis_ray.stages.resolve import ResolveEdges, build_symbol_table
+from metis_ray.stages.validate import ValidateAndChecksum
+
+EDGE_KEYS = ["src", "dst", "src_repo", "dst_repo"]
+
+
+def validated(corpus: rd.Dataset) -> rd.Dataset:
+    """corpus + (sha256, quarantined) columns — one streaming pass."""
+    return corpus.map_batches(ValidateAndChecksum(), batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def files_table(corpus: rd.Dataset) -> rd.Dataset:
+    """The per-file metadata table (vertex table): everything except content.
+
+    Analogue of the reference's per-record-type landed tables; ``sha256`` is
+    the lossless-ingestion invariant column."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        vid = hash64([f"{r}/{p}" for r, p in
+                      zip(batch["repo"].to_pylist(), batch["path"].to_pylist())])
+        return batch.drop_columns(["content"]).append_column(
+            "vertex_id", pa.array(vid, pa.int64()))
+
+    return validated(corpus).map_batches(project, batch_format="pyarrow")
+
+
+def _local_distinct(batch: pa.Table) -> pa.Table:
+    """Per-batch pre-dedup (combiner before the shuffle)."""
+    return batch.group_by(EDGE_KEYS).aggregate([]).rename_columns(EDGE_KEYS)
+
+
+def _default_concurrency() -> int:
+    """Size actor pools off the cluster: the extract pool plus the resolve
+    pool (half this size) must leave CPUs free for the read tasks and the
+    dedup shuffle — two pools that together reserve every CPU deadlock the
+    pipeline (read tasks never get a slot)."""
+    cpu = int(ray.cluster_resources().get("CPU", 8))
+    return max(1, (cpu - 2) // 2)
+
+
+def raw_resolved(corpus: rd.Dataset, symbols_ref, *, concurrency=None) -> rd.Dataset:
+    """validate -> extract -> resolve; rows carry a ``resolved`` flag.
+
+    Extraction (regex scanning over content) dominates; resolution is a dict
+    probe — its pool is half the size."""
+    if concurrency is None:
+        concurrency = _default_concurrency()
+    ex = validated(corpus).map_batches(
+        EdgeExtractor, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency)
+    return ex.map_batches(
+        ResolveEdges, batch_format="pyarrow", zero_copy_batch=True,
+        fn_constructor_args=(symbols_ref,), concurrency=max(1, concurrency // 2))
+
+
+def dedup_edges(resolved: rd.Dataset) -> rd.Dataset:
+    """Exact dedup = hash-partition by (src,dst) + per-group count.
+
+    Output: src, dst, src_repo, dst_repo, multiplicity. Pre-distinct per
+    batch cuts shuffle volume (the reference dedups imports by exact name,
+    ``HDF5Helper.py:53-69``; here the key is the edge identity)."""
+    kept = resolved.map_batches(
+        lambda t: t.filter(t["resolved"]).select(EDGE_KEYS),
+        batch_format="pyarrow")
+    pre = kept.map_batches(_local_distinct, batch_format="pyarrow")
+    return pre.groupby(EDGE_KEYS).aggregate(Count(alias_name="multiplicity"))
+
+
+def repo_edges(edges_file: rd.Dataset) -> rd.Dataset:
+    """repo->repo rollup: distinct cross-repo pairs with repo-id vertices."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.invert(pc.equal(batch["src_repo"], batch["dst_repo"])))
+        srepo = t["src_repo"].to_pylist()
+        drepo = t["dst_repo"].to_pylist()
+        out = pa.table({
+            "src": pa.array(hash64(srepo), pa.int64()),
+            "dst": pa.array(hash64(drepo), pa.int64()),
+            "src_repo": pa.array(srepo, pa.string()),
+            "dst_repo": pa.array(drepo, pa.string()),
+        })
+        return out.group_by(EDGE_KEYS).aggregate([]).rename_columns(EDGE_KEYS)
+
+    pre = edges_file.map_batches(project, batch_format="pyarrow")
+    return pre.groupby(EDGE_KEYS).aggregate(Count(alias_name="multiplicity"))
+
+
+@dataclass
+class IngestResult:
+    files: rd.Dataset        # repo, path, commit, lang, sha256, quarantined, vertex_id
+    edges_file: rd.Dataset   # src, dst, src_repo, dst_repo, multiplicity
+    edges_repo: rd.Dataset   # src, dst, src_repo, dst_repo, multiplicity
+    symbols_ref: "ray.ObjectRef"
+    stats: dict
+
+
+def ingest(corpus_dir: str, *, concurrency=None, collect_stats: bool = False) -> IngestResult:
+    """Build the full ingest DAG over a corpus directory (lazy Datasets).
+
+    ``collect_stats=True`` additionally executes the counting aggregations
+    (rows, quarantined, import statements, unresolved) — extra passes, for
+    tests/reporting only (F6 count-reconciliation oracle).
+    """
+    corpus = read_corpus(corpus_dir)
+    symbols_ref = ray.put(build_symbol_table(
+        read_corpus(corpus_dir, columns=["repo", "path"])))
+    resolved = raw_resolved(corpus, symbols_ref, concurrency=concurrency)
+    edges = dedup_edges(resolved)
+    redges = repo_edges(edges)
+
+    stats: dict = {}
+    if collect_stats:
+        def partials(batch: pa.Table) -> pa.Table:
+            res = pc.sum(pc.cast(batch["resolved"], pa.int64())).as_py() or 0
+            return pa.table({"stmts": pa.array([batch.num_rows], pa.int64()),
+                             "resolved": pa.array([res], pa.int64())})
+        agg = (raw_resolved(corpus, symbols_ref, concurrency=concurrency)
+               .map_batches(partials, batch_format="pyarrow")
+               .aggregate(Sum("stmts", alias_name="stmts"),
+                          Sum("resolved", alias_name="resolved")))
+        q = validated(corpus).map_batches(
+            lambda t: pa.table({
+                "rows": pa.array([t.num_rows], pa.int64()),
+                "quarantined": pa.array(
+                    [pc.sum(pc.cast(t["quarantined"], pa.int64())).as_py() or 0],
+                    pa.int64())}),
+            batch_format="pyarrow").aggregate(
+                Sum("rows", alias_name="rows"),
+                Sum("quarantined", alias_name="quarantined"))
+        stmts = agg.get("stmts") or 0      # None when zero edge candidates
+        res = agg.get("resolved") or 0
+        stats = {
+            "rows": q.get("rows") or 0,
+            "quarantined": q.get("quarantined") or 0,
+            "import_stmts_emitted": stmts,
+            "resolved": res,
+            "unresolved_or_self": stmts - res,
+        }
+
+    return IngestResult(files=files_table(corpus), edges_file=edges,
+                        edges_repo=redges, symbols_ref=symbols_ref, stats=stats)

@@ -1,0 +1,68 @@
+"""Ingest pipeline vs golden edges (set equality) + sha256 invariant +
+quarantine counting — the F3/F6/F5 oracles from FIXTURES.md."""
+
+import hashlib
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from metis_ray.corpus import SCALES, generate
+from metis_ray.pipelines.linkgraph import ingest
+
+
+@pytest.fixture(scope="module")
+def result(tiny_corpus_dir):
+    return ingest(tiny_corpus_dir, collect_stats=True)
+
+
+def _edge_set(tbl):
+    return set(zip(tbl["src"].to_numpy(zero_copy_only=False),
+                   tbl["dst"].to_numpy(zero_copy_only=False)))
+
+
+def test_edges_match_golden(tiny_corpus_dir, result):
+    import os
+    golden = pq.read_table(os.path.join(tiny_corpus_dir, "golden_edges_file.parquet"))
+    got = result.edges_file.to_pandas()
+    got_set = set(zip(got["src"].astype("int64"), got["dst"].astype("int64")))
+    gold_set = _edge_set(golden)
+    missing = gold_set - got_set
+    extra = got_set - gold_set
+    assert not missing and not extra, (len(missing), len(extra))
+
+
+def test_repo_edges_match_golden(tiny_corpus_dir, result):
+    import os
+    golden = pq.read_table(os.path.join(tiny_corpus_dir, "golden_edges_repo.parquet"))
+    got = result.edges_repo.to_pandas()
+    got_set = set(zip(got["src"].astype("int64"), got["dst"].astype("int64")))
+    assert got_set == _edge_set(golden)
+
+
+def test_sha256_invariant(result):
+    """Every ingested row's sha256 equals an independent driver-side hash of
+    the source content (the reference's lossless filecmp check, strengthened
+    to per-row: tests/test_gst_ok.py:94-95)."""
+    files = result.files.to_pandas()
+    g = generate(SCALES["tiny"])
+    src = {(r, p): c for r, p, c in zip(g.corpus["repo"].to_pylist(),
+                                        g.corpus["path"].to_pylist(),
+                                        g.corpus["content"].to_pylist())}
+    assert len(files) == len(src)
+    for r, p, h in zip(files["repo"], files["path"], files["sha256"]):
+        assert h == hashlib.sha256(src[(r, p)].encode()).hexdigest()
+
+
+def test_quarantine_counts(result):
+    spec = SCALES["tiny"]
+    assert result.stats["rows"] == spec.n_files + spec.malformed_rows
+    # empty-content and binary-garbage and unknown-lang rows all quarantined
+    assert result.stats["quarantined"] == spec.malformed_rows
+    assert result.stats["resolved"] > 0
+    assert result.stats["unresolved_or_self"] > 0  # ghost imports exist
+
+
+def test_multiplicity_positive(result):
+    m = result.edges_file.to_pandas()["multiplicity"]
+    assert (m >= 1).all()
