@@ -55,12 +55,16 @@ def _orient(batch: pa.Table) -> pa.Table:
 
 
 def _adjacency(oriented: rd.Dataset) -> rd.Dataset:
+    """Oriented adjacency, neighbor array serialized to binary: Acero hash
+    joins reject list<> payload columns, but var-length binary flows through
+    fine and np.frombuffer restores the sorted int64 array zero-copy."""
+
     def to_list(group: pa.Table) -> pa.Table:
         u = group["u"][0].as_py()
         neigh = np.sort(group["v"].to_numpy(zero_copy_only=False))
         return pa.table({
             "u": pa.array([u], pa.int64()),
-            "neigh": pa.array([neigh], pa.list_(pa.int64())),
+            "neigh": pa.array([neigh.tobytes()], pa.large_binary()),
         })
 
     return oriented.groupby("u").map_groups(to_list, batch_format="pyarrow")
@@ -102,8 +106,8 @@ def triangle_counts(edges: rd.Dataset, *, num_partitions: int = 16
         for u, v, a, b in zip(us, vs, nu, nv):
             if not a or not b:
                 continue
-            common = np.intersect1d(np.asarray(a, np.int64),
-                                    np.asarray(b, np.int64),
+            common = np.intersect1d(np.frombuffer(a, np.int64),
+                                    np.frombuffer(b, np.int64),
                                     assume_unique=True)
             k = len(common)
             if k == 0:
@@ -118,11 +122,9 @@ def triangle_counts(edges: rd.Dataset, *, num_partitions: int = 16
     credits = w2.map_batches(intersect, batch_format="pyarrow")
 
     def partial(batch: pa.Table) -> pa.Table:
-        # local combine before the shuffle
-        return (batch.group_by("v")
-                .aggregate([("triangles", "sum")])
-                .rename_columns(["triangles", "v"])
-                .select(["v", "triangles"]))
+        # local combine before the shuffle (pyarrow returns keys first)
+        g = batch.group_by("v").aggregate([("triangles", "sum")])
+        return g.select(["v", "triangles_sum"]).rename_columns(["v", "triangles"])
 
     per_vertex = (credits.map_batches(partial, batch_format="pyarrow")
                   .groupby("v").aggregate(Sum("triangles", alias_name="triangles")))

@@ -115,6 +115,41 @@ def repo_edges(edges_file: rd.Dataset) -> rd.Dataset:
     return pre.groupby(EDGE_KEYS).aggregate(Count(alias_name="multiplicity"))
 
 
+def graph_vertices(files: rd.Dataset) -> rd.Dataset:
+    """Vertex table for the graph: every non-quarantined file."""
+    return files.map_batches(
+        lambda t: t.filter(pc.invert(t["quarantined"])).select(["vertex_id"]),
+        batch_format="pyarrow")
+
+
+def build_linkgraph(corpus_dir: str, workdir: str, P: int, *,
+                    directed: bool = True, level: str = "file",
+                    concurrency=None) -> str:
+    """corpus -> ingest -> partitioned graph layout; returns the graph dir.
+
+    ``level='repo'`` builds the repo->repo rollup graph instead of the
+    file->file graph."""
+    from metis_ray.graph.partition import build_graph_dir
+
+    res = ingest(corpus_dir, concurrency=concurrency)
+    if level == "repo":
+        edges = res.edges_repo
+
+        def rv(batch: pa.Table) -> pa.Table:
+            import numpy as np
+            ids = np.concatenate([batch["src"].to_numpy(zero_copy_only=False),
+                                  batch["dst"].to_numpy(zero_copy_only=False)])
+            return pa.table({"vertex_id": pa.array(np.unique(ids), pa.int64())})
+
+        verts = edges.map_batches(rv, batch_format="pyarrow").groupby(
+            "vertex_id").aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+    else:
+        edges = res.edges_file
+        verts = graph_vertices(res.files)
+    sub = f"graph_{level}_{'dir' if directed else 'und'}_P{P}"
+    return build_graph_dir(edges, verts, f"{workdir}/{sub}", P, directed=directed)
+
+
 @dataclass
 class IngestResult:
     files: rd.Dataset        # repo, path, commit, lang, sha256, quarantined, vertex_id

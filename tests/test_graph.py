@@ -1,0 +1,206 @@
+"""Graph algorithms vs independent oracles (SURVEY.md section 5.2):
+
+- PageRank vs networkx.pagerank, allclose 1e-6 (alpha 0.85, tol 1e-9)
+- connected components vs networkx, EXACT (component id = min vertex id)
+- label propagation vs a pure-python implementation of the documented
+  deterministic semantics, EXACT at fixpoint
+- triangle counts vs networkx.triangles, EXACT per vertex + global
+- checkpoint / resume: interrupted run resumes to identical answers;
+  re-run of a completed job leaves answers unchanged
+"""
+
+import os
+from collections import Counter, defaultdict
+
+import networkx as nx
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+import ray
+
+from metis_ray.graph.partition import build_graph_dir
+from metis_ray.graph.runner import GraphRunner
+from metis_ray.graph.triangles import total_triangles, triangle_counts
+from metis_ray.pipelines.linkgraph import graph_vertices, ingest
+
+P = 4
+ALPHA, TOL = 0.85, 1e-9
+
+
+@pytest.fixture(scope="module")
+def golden(tiny_corpus_dir):
+    edges = pq.read_table(os.path.join(tiny_corpus_dir, "golden_edges_file.parquet"))
+    pairs = list(zip(edges["src"].to_pylist(), edges["dst"].to_pylist()))
+    man = os.path.join(tiny_corpus_dir, "manifest.json")
+    import json
+    with open(man) as fh:
+        n_files = json.load(fh)["n_files"]
+    # vertex set: every real file (from the engine's own files table — checked
+    # against golden edges endpoints below)
+    return pairs, n_files
+
+
+@pytest.fixture(scope="module")
+def ingested(tiny_corpus_dir):
+    return ingest(tiny_corpus_dir)
+
+
+@pytest.fixture(scope="module")
+def vertex_ids(ingested):
+    t = graph_vertices(ingested.files).to_pandas()
+    return sorted(t["vertex_id"].tolist())
+
+
+@pytest.fixture(scope="module")
+def nxg(golden, vertex_ids):
+    pairs, n_files = golden
+    assert len(vertex_ids) == n_files
+    g = nx.DiGraph()
+    g.add_nodes_from(vertex_ids)
+    g.add_edges_from(pairs)
+    return g
+
+
+@pytest.fixture(scope="module")
+def dir_graph(ingested, tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("graphdir"))
+    return build_graph_dir(ingested.edges_file, graph_vertices(ingested.files),
+                           wd, P, directed=True)
+
+
+@pytest.fixture(scope="module")
+def und_graph(ingested, tmp_path_factory):
+    wd = str(tmp_path_factory.mktemp("graphund"))
+    return build_graph_dir(ingested.edges_file, graph_vertices(ingested.files),
+                           wd, P, directed=False)
+
+
+def _as_dict(tbl, col):
+    return dict(zip(tbl["v"].to_pylist(), tbl[col].to_pylist()))
+
+
+def test_pagerank_matches_networkx(dir_graph, nxg):
+    runner = GraphRunner(dir_graph)
+    try:
+        stats = runner.pagerank(alpha=ALPHA, tol=TOL, max_iter=500)
+        assert stats.converged, stats
+        got = _as_dict(runner.collect("rank"), "rank")
+    finally:
+        runner.shutdown()
+    # scipy isn't installed here; _pagerank_python is networkx's own
+    # pure-python power iteration with identical semantics
+    from networkx.algorithms.link_analysis.pagerank_alg import _pagerank_python
+    want = _pagerank_python(nxg, alpha=ALPHA, tol=TOL, max_iter=1000)
+    assert set(got) == set(want)
+    g = np.array([got[v] for v in sorted(got)])
+    w = np.array([want[v] for v in sorted(got)])
+    np.testing.assert_allclose(g, w, atol=1e-6, rtol=0)
+
+
+def test_connected_components_exact(und_graph, nxg):
+    runner = GraphRunner(und_graph)
+    try:
+        stats = runner.connected_components(max_iter=500)
+        assert stats.converged
+        got = _as_dict(runner.collect("label"), "label")
+    finally:
+        runner.shutdown()
+    want = {}
+    comps = list(nx.connected_components(nxg.to_undirected()))
+    assert len(comps) >= 4  # >=3 isolated repos + main body
+    for comp in comps:
+        rep = min(comp)
+        for v in comp:
+            want[v] = rep
+    assert got == want
+
+
+def _lpa_oracle(pairs, vertices, max_iter=30):
+    adj = defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    labels = {v: v for v in vertices}
+    for _ in range(max_iter):
+        new = {}
+        for v in vertices:
+            nb = adj[v]
+            if not nb:
+                new[v] = labels[v]
+                continue
+            cnt = Counter(labels[u] for u in nb)
+            new[v] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if new == labels:
+            break
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_oracle(und_graph, golden, vertex_ids):
+    pairs, _ = golden
+    runner = GraphRunner(und_graph)
+    try:
+        runner.label_propagation(max_iter=30)
+        got = _as_dict(runner.collect("label"), "label")
+    finally:
+        runner.shutdown()
+    want = _lpa_oracle(pairs, vertex_ids, max_iter=30)
+    assert got == want
+
+
+def test_triangles_match_networkx(ingested, nxg):
+    per_vertex = triangle_counts(ingested.edges_file, num_partitions=4)
+    tbl = per_vertex.to_pandas()
+    got = dict(zip(tbl["v"], tbl["triangles"]))
+    want = nx.triangles(nxg.to_undirected())
+    for v, t in want.items():
+        assert got.get(v, 0) == t, v
+    assert total_triangles(triangle_counts(ingested.edges_file, num_partitions=4)) \
+        == sum(want.values()) // 3
+
+
+def test_checkpoint_resume_identical(dir_graph, tmp_path):
+    ck = str(tmp_path / "ck")
+    # uninterrupted reference run
+    r1 = GraphRunner(dir_graph)
+    try:
+        r1.pagerank(alpha=ALPHA, tol=TOL, max_iter=500)
+        full = _as_dict(r1.collect("rank"), "rank")
+    finally:
+        r1.shutdown()
+    # interrupted: only 4 epochs, checkpoint every 2
+    r2 = GraphRunner(dir_graph)
+    try:
+        s = r2.pagerank(alpha=ALPHA, tol=TOL, max_iter=4, ckpt_dir=ck,
+                        checkpoint_every=2)
+        assert not s.converged
+        assert s.lineage, "lineage rows must be recorded"
+        assert {row["pid"] for row in s.lineage} == set(range(P))
+    finally:
+        r2.shutdown()
+    assert GraphRunner.resume_epoch(ck) == 4
+    # resume to convergence
+    r3 = GraphRunner(dir_graph)
+    try:
+        s3 = r3.pagerank(alpha=ALPHA, tol=TOL, max_iter=500, ckpt_dir=ck,
+                         checkpoint_every=10, resume=True)
+        assert s3.resumed_from == 4
+        resumed = _as_dict(r3.collect("rank"), "rank")
+    finally:
+        r3.shutdown()
+    g = np.array([resumed[v] for v in sorted(full)])
+    w = np.array([full[v] for v in sorted(full)])
+    np.testing.assert_allclose(g, w, atol=1e-7, rtol=0)
+    # re-run of the completed job: answers unchanged (idempotent rerun)
+    r4 = GraphRunner(dir_graph)
+    try:
+        s4 = r4.pagerank(alpha=ALPHA, tol=TOL, max_iter=500, ckpt_dir=ck,
+                         checkpoint_every=10, resume=True)
+        again = _as_dict(r4.collect("rank"), "rank")
+        assert s4.resumed_from is not None
+    finally:
+        r4.shutdown()
+    a = np.array([again[v] for v in sorted(full)])
+    np.testing.assert_allclose(a, w, atol=1e-7, rtol=0)
