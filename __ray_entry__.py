@@ -1,44 +1,269 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for Metis-Ray (see module docstring history in repo).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship link-graph pipeline at sf0.001.
+``queries()`` exposes every implemented pipeline; ``oracle_sql()`` provides
+DuckDB twins for the SQL-expressible ones (the driver compares row count +
+schema + order-insensitive value hash at sf0.01).  Graph/iterative/LSH
+pipelines are non-SQL-expressible and get rows-only checks; their real
+oracles (NetworkX / brute force) live in tests/.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_GRAPH_CACHE: dict[tuple, Any] = {}
+
+
+# ---------------------------------------------------------------------------
+# link-graph pipelines over the synthesized corpus (BASELINE.json input_hint
+# shape; deterministic per TESTDATA sf dir)
+# ---------------------------------------------------------------------------
+
+def _corpus_dir(sf_dir: str) -> str:
+    from metis_ray.corpus import corpus_dir_for_sf
+    return corpus_dir_for_sf(sf_dir)
+
+
+def _graph_dir(sf_dir: str, directed: bool) -> str:
+    from metis_ray.corpus import scale_for_sf_dir
+    from metis_ray.pipelines.linkgraph import build_linkgraph
+    spec = scale_for_sf_dir(sf_dir)
+    key = (spec.name, directed)
+    if key not in _GRAPH_CACHE:
+        wd = f"/tmp/metis_ray_graphs/{spec.name}"
+        _GRAPH_CACHE[key] = build_linkgraph(
+            _corpus_dir(sf_dir), wd, P=4, directed=directed)
+    return _GRAPH_CACHE[key]
+
+
+def _q_corpus_edges(sf_dir: str):
+    from metis_ray.pipelines.linkgraph import ingest
+    return ingest(_corpus_dir(sf_dir)).edges_file
+
+
+def _q_corpus_repo_edges(sf_dir: str):
+    from metis_ray.pipelines.linkgraph import ingest
+    return ingest(_corpus_dir(sf_dir)).edges_repo
+
+
+def _q_corpus_files(sf_dir: str):
+    from metis_ray.pipelines.linkgraph import ingest
+    return ingest(_corpus_dir(sf_dir)).files
+
+
+def _run_graph(sf_dir: str, algo: str):
+    from metis_ray.graph.runner import GraphRunner
+    directed = algo == "pagerank"
+    runner = GraphRunner(_graph_dir(sf_dir, directed))
+    try:
+        if algo == "pagerank":
+            runner.pagerank(alpha=0.85, tol=1e-9, max_iter=500)
+            out = runner.collect("rank").to_pandas()
+            out["rank"] = out["rank"].round(9)
+        elif algo == "components":
+            runner.connected_components(max_iter=500)
+            out = runner.collect("label").to_pandas()
+            out = out.rename(columns={"label": "component"})
+        else:
+            runner.label_propagation(max_iter=30)
+            out = runner.collect("label").to_pandas()
+        return out.sort_values("v").reset_index(drop=True)
+    finally:
+        runner.shutdown()
+
+
+def _q_pagerank(sf_dir: str):
+    return _run_graph(sf_dir, "pagerank")
+
+
+def _q_components(sf_dir: str):
+    return _run_graph(sf_dir, "components")
+
+
+def _q_labelprop(sf_dir: str):
+    return _run_graph(sf_dir, "labelprop")
+
+
+def _q_triangles(sf_dir: str):
+    from metis_ray.graph.triangles import triangle_counts
+    from metis_ray.pipelines.linkgraph import ingest
+    edges = ingest(_corpus_dir(sf_dir)).edges_file
+    return (triangle_counts(edges, num_partitions=4).to_pandas()
+            .sort_values("v").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: corpus -> edges -> PageRank -> top-20
+    files by rank, joined back to (repo, path)."""
+    sf_dir = "/root/testdata/sf0.001"
+    from metis_ray.pipelines.linkgraph import ingest
+
+    res = ingest(_corpus_dir(sf_dir))
+    files = res.files.to_pandas()
+    ranks = _q_pagerank(sf_dir)
+    top = ranks.nlargest(20, "rank").merge(
+        files[["vertex_id", "repo", "path"]],
+        left_on="v", right_on="vertex_id", how="left")
+    return top[["repo", "path", "rank"]].reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from metis_ray.pipelines import dedup, multimodal, relational, similarity, textstats
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- link-graph engine (rows-only; oracles in tests/) ---
+        "corpus_edges": _q_corpus_edges,
+        "corpus_repo_edges": _q_corpus_repo_edges,
+        "corpus_files": _q_corpus_files,
+        "pagerank": _q_pagerank,
+        "components": _q_components,
+        "labelprop": _q_labelprop,
+        "triangles": _q_triangles,
+        # --- relational operator matrix (SQL-oracled) ---
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_top_orders": relational.q3_top_orders,
+        "revenue_per_nation": relational.revenue_per_nation,
+        "nations_per_region": relational.nations_per_region,
+        "top_parts": relational.top_parts,
+        "distinct_segments": relational.distinct_segments,
+        "customers_without_orders": relational.customers_without_orders,
+        "events_hourly": relational.events_hourly,
+        "events_with_prev": relational.events_with_prev,
+        "orders_status_counts": relational.orders_status_counts,
+        "part_brand_stats": relational.part_brand_stats,
+        "nation_union": relational.supplier_customer_nation_union,
+        # --- training-data pipelines ---
+        "docs_exact_dedup": dedup.exact_dedup,
+        "docs_minhash_dedup": dedup.minhash_dedup,
+        "docs_ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
+        "docs_simhash_dedup": dedup.simhash_dedup,
+        "emb_neardup": dedup.embedding_neardup,
+        "ann_topk": similarity.ann_topk,
+        "ann_lsh_topk": similarity.ann_lsh_topk,
+        "docs_token_count": textstats.token_counts,
+        "docs_token_pieces": textstats.token_pieces,
+        "docs_fingerprint": textstats.fingerprints,
+        "docs_rolling_fingerprint": textstats.rolling_fingerprints,
+        "docs_lang_quality": textstats.lang_quality,
+        "docs_lang_distribution": textstats.lang_distribution,
+        "multimodal_features": multimodal.decode_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2)                              AS sum_qty,
+                   round(sum(l_extendedprice), 2)                        AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)     AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 2)                             AS avg_qty,
+                   count(*)                                              AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT o_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "revenue_per_nation": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "nations_per_region": """
+            SELECT r_name, count(*) AS n_nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "top_parts": """
+            SELECT p_partkey, round(p_retailprice, 2) AS p_retailprice
+            FROM part
+            ORDER BY p_retailprice DESC, p_partkey
+            LIMIT 10
+        """,
+        "distinct_segments": """
+            SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   epoch_us(ts) // 3600000000 AS hour,
+                   count(*)              AS n_events,
+                   round(sum(value), 2)  AS sum_value
+            FROM events
+            GROUP BY event_type, hour
+        """,
+        "events_with_prev": """
+            SELECT event_id, user_id,
+                   round(coalesce(LAG(value) OVER (PARTITION BY user_id ORDER BY ts),
+                                  -1.0), 2) AS prev_value
+            FROM events
+        """,
+        "orders_status_counts": """
+            SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus
+        """,
+        "part_brand_stats": """
+            SELECT p_brand, count(*) AS n_parts,
+                   round(min(p_retailprice), 2) AS min_price,
+                   round(max(p_retailprice), 2) AS max_price,
+                   round(avg(p_retailprice), 2) AS avg_price
+            FROM part GROUP BY p_brand
+        """,
+        "nation_union": """
+            SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+            UNION
+            SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        """,
+        "docs_exact_dedup": """
+            SELECT sha256(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM documents GROUP BY sha256(text)
+        """,
+        "docs_token_count": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tokens
+            FROM documents
+        """,
+        "docs_fingerprint": """
+            SELECT doc_id, md5(text) AS md5 FROM documents
+        """,
+        "ann_topk": """
+            SELECT query_id, neighbor_id, rnk FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(q.embedding AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[])) DESC,
+                           e.vec_id) AS rnk
+                FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 5) q
+                CROSS JOIN embeddings e
+            ) WHERE rnk <= 10
+        """,
+    }

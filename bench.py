@@ -1,0 +1,145 @@
+"""Metis-Ray benchmark harness.
+
+Plain run (driver mode): runs the headline suite over $GRAFT_SF_DIR at
+$RAY_GRAFT_CPUS and prints ONE JSON line:
+
+    {"metric": "pagerank_20_supersteps_sec", "value": <sec>, "unit": "sec",
+     "queries": {...per-stage seconds...}, "sf": ..., "num_cpus": N,
+     "supersteps_per_sec": ..., "edges_per_sec": ..., ...}
+
+--scaling: runs the SAME job in two fresh processes (num_cpus=8 then 32 by
+default; override SCALE_LO/SCALE_HI) on the same input — the in-sandbox
+evidence for the N-vs-4N-nodes criterion — and prints throughput at both
+plus the scaling efficiency.
+
+Headline = 20 fixed PageRank supersteps over the bench graph (P = num_cpus
+shard actors).  The corpus ingest (extraction -> resolution -> dedup) and a
+representative query subset are timed alongside.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from metis_ray.benchgraph import bench_graph_dir, bench_size_for_sf
+    from metis_ray.corpus import corpus_dir_for_sf
+    from metis_ray.graph.runner import GraphRunner
+    from metis_ray.pipelines.linkgraph import ingest
+
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    corpus_dir = corpus_dir_for_sf(sf_dir)     # cached generation (untimed
+    timings["corpus_synth"] = time.perf_counter() - t0  # after first run)
+
+    # --- bench graph FIRST: the headline superstep phase runs on an
+    # otherwise-idle cluster (measuring compute+exchange, not leftover
+    # object-store churn from other stages) ------------------------------
+    P = max(2, num_cpus)
+    t0 = time.perf_counter()
+    gdir = bench_graph_dir(sf_dir, P)
+    timings["graph_build"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    runner = GraphRunner(gdir)
+    timings["graph_load"] = time.perf_counter() - t0
+
+    # warm-up supersteps (page cache, numpy temps, plasma slabs), untimed
+    runner.pagerank(alpha=0.85, tol=0.0, max_iter=2)
+    time.sleep(1.0)
+
+    n_supersteps = 20
+    stats = runner.pagerank(alpha=0.85, tol=0.0, max_iter=n_supersteps)
+    timings["pagerank_20_supersteps"] = stats.seconds
+    m_total, n_total = stats.total_edges, stats.total_vertices
+    runner.shutdown()
+
+    # --- ingest throughput over the synthesized corpus -------------------
+    t0 = time.perf_counter()
+    res = ingest(corpus_dir)
+    n_edges_corpus = res.edges_file.count()
+    timings["ingest_extract_dedup"] = time.perf_counter() - t0
+
+    # --- representative query subset -------------------------------------
+    from metis_ray.pipelines import dedup, relational, similarity
+    for name, fn in [
+        ("q1_pricing_summary", relational.q1_pricing_summary),
+        ("q3_top_orders", relational.q3_top_orders),
+        ("docs_exact_dedup", dedup.exact_dedup),
+        ("docs_minhash_dedup", dedup.minhash_dedup),
+        ("ann_topk", similarity.ann_topk),
+    ]:
+        t0 = time.perf_counter()
+        out = fn(sf_dir)
+        if hasattr(out, "to_pandas"):
+            out = out.to_pandas()
+        timings[name] = time.perf_counter() - t0
+
+    ray.shutdown()
+    V, E = bench_size_for_sf(sf_dir)
+    result = {
+        "metric": "pagerank_20_supersteps_sec",
+        "value": round(timings["pagerank_20_supersteps"], 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": os.path.basename(os.path.normpath(sf_dir)),
+        "num_cpus": num_cpus,
+        "bench_graph": {"vertices": n_total, "edges": m_total, "P": P},
+        "supersteps_per_sec": round(stats.supersteps_per_sec, 3),
+        "edges_per_sec": round(stats.edges_per_sec, 1),
+        "corpus_edges": n_edges_corpus,
+    }
+    return result
+
+
+def run_subprocess(sf_dir: str, ncpu: int) -> dict:
+    import subprocess
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                        env=env, capture_output=True, text=True, check=True,
+                        cwd=os.path.dirname(os.path.abspath(__file__)))
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        lo = int(os.environ.get("SCALE_LO", "8"))
+        hi = int(os.environ.get("SCALE_HI", "32"))
+        r_lo = run_subprocess(sf_dir, lo)
+        r_hi = run_subprocess(sf_dir, hi)
+        thr_lo = r_lo["supersteps_per_sec"]
+        thr_hi = r_hi["supersteps_per_sec"]
+        eff = (thr_hi / thr_lo) / (hi / lo)
+        print(json.dumps({
+            "metric": "scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "cpus_lo": lo, "cpus_hi": hi,
+            "supersteps_per_sec_lo": thr_lo,
+            "supersteps_per_sec_hi": thr_hi,
+            "edges_per_sec_lo": r_lo["edges_per_sec"],
+            "edges_per_sec_hi": r_hi["edges_per_sec"],
+            "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+            "sf": r_lo["sf"],
+        }))
+        return
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    print(json.dumps(run_bench(sf_dir, num_cpus)))
+
+
+if __name__ == "__main__":
+    main()

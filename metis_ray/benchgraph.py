@@ -1,0 +1,105 @@
+"""Large synthetic edge tables for throughput benchmarking.
+
+The corpus-derived graph exercises the full pipeline but tops out around
+10^5..10^6 edges at test scale — superstep timing there is coordination-bound
+and says nothing about 100 TB behavior.  This module generates a
+deterministic power-law edge table big enough (10^7..10^8 edges) that
+per-shard gather-scatter compute dominates, which is what the
+supersteps/sec / edges/sec headline and the N-vs-4N scaling efficiency are
+measured on (BASELINE.md targets).
+
+Shape: 80% uniform destinations + 20% Zipf-ish hub destinations (u^3
+concentration) — hubs stress the pre-combined scatter path exactly like the
+corpus's hub repos do.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+BENCH_ROOT = os.environ.get("METIS_RAY_BENCH_DIR", "/tmp/metis_ray_bench")
+
+# sf dir basename -> (n_vertices, n_edges)
+BENCH_SIZES = {
+    "sf0.001": (50_000, 1_000_000),
+    "sf0.01": (200_000, 5_000_000),
+    "sf0.1": (2_000_000, 80_000_000),
+}
+
+
+def bench_size_for_sf(sf_dir: str) -> tuple[int, int]:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return BENCH_SIZES.get(base, BENCH_SIZES["sf0.01"])
+
+
+def synth_edge_dir(n_vertices: int, n_edges: int, *, seed: int = 42,
+                   root: str = BENCH_ROOT, chunk: int = 10_000_000) -> str:
+    """Write (once) and return a directory holding edges/*.parquet and
+    vertices/*.parquet for the synthetic graph. Deterministic in (V, E,
+    seed); idempotent by manifest."""
+    out = os.path.join(root, f"edges_v{n_vertices}_e{n_edges}_s{seed}")
+    man = os.path.join(out, "manifest.json")
+    if os.path.exists(man):
+        return out
+    tmp = out + ".tmp"
+    if os.path.exists(tmp):
+        import shutil
+        shutil.rmtree(tmp)
+    os.makedirs(os.path.join(tmp, "edges"))
+    os.makedirs(os.path.join(tmp, "vertices"))
+
+    rng = np.random.RandomState(seed)
+    for i, lo in enumerate(range(0, n_edges, chunk)):
+        n = min(chunk, n_edges - lo)
+        src = rng.randint(0, n_vertices, size=n, dtype=np.int64)
+        u = rng.random_sample(n)
+        hubby = rng.random_sample(n) < 0.2
+        dst = np.where(hubby,
+                       (n_vertices * u ** 3).astype(np.int64),
+                       rng.randint(0, n_vertices, size=n, dtype=np.int64))
+        keep = src != dst
+        pq.write_table(
+            pa.table({"src": pa.array(src[keep], pa.int64()),
+                      "dst": pa.array(dst[keep], pa.int64())}),
+            os.path.join(tmp, "edges", f"part-{i:05d}.parquet"),
+            row_group_size=1 << 20)
+
+    vchunk = 5_000_000
+    for i, lo in enumerate(range(0, n_vertices, vchunk)):
+        n = min(vchunk, n_vertices - lo)
+        pq.write_table(
+            pa.table({"vertex_id": pa.array(
+                np.arange(lo, lo + n, dtype=np.int64), pa.int64())}),
+            os.path.join(tmp, "vertices", f"part-{i:05d}.parquet"),
+            row_group_size=1 << 20)
+
+    with open(os.path.join(tmp, "manifest.json"), "w") as fh:
+        json.dump({"n_vertices": n_vertices, "n_edges": n_edges,
+                   "seed": seed}, fh)
+    if os.path.exists(out):
+        import shutil
+        shutil.rmtree(out)
+    os.replace(tmp, out)
+    return out
+
+
+def bench_graph_dir(sf_dir: str, P: int, *, root: str = BENCH_ROOT) -> str:
+    """Partitioned graph layout for the bench graph at partition count P
+    (built with the same Ray Data shuffle as the corpus graph; cached)."""
+    import ray.data as rd
+
+    from metis_ray.graph.partition import build_graph_dir
+
+    V, E = bench_size_for_sf(sf_dir)
+    src = synth_edge_dir(V, E)
+    gdir = os.path.join(root, f"graph_v{V}_e{E}_P{P}")
+    if os.path.exists(os.path.join(gdir, "graph_meta.json")):
+        return gdir
+    edges = rd.read_parquet(os.path.join(src, "edges"))
+    verts = rd.read_parquet(os.path.join(src, "vertices"))
+    return build_graph_dir(edges, verts, gdir, P, directed=True)

@@ -1,0 +1,267 @@
+"""Relational operator matrix over the driver's TPC-H-ish tables.
+
+Each pipeline is the Ray-Data-first expression of a classic operator shape
+(grouped aggregate, hash join, broadcast join, anti-join, sort/top-k,
+distinct, windowed aggregate, per-key ordered lag) with a DuckDB SQL twin in
+``__ray_entry__.oracle_sql``.  Float aggregates are rounded identically on
+both sides (2 decimals) so summation order can't flip the value-hash.
+
+Scale notes per operator are in each docstring; the common rules: prune
+columns at the read, pre-aggregate inside map_batches before any groupby,
+broadcast dimension tables instead of shuffling fact tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from metis_ray.sources.parquet import read_table
+
+
+def _round2(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
+    def r(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            batch = batch.set_column(
+                batch.column_names.index(c), c,
+                pc.round(batch[c], ndigits=2))
+        return batch
+    return ds.map_batches(r, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q1 shape: filtered grouped aggregate over lineitem.
+    Pre-aggregation happens inside Ray's hash-shuffle aggregate (per-block
+    partial combine); read is column-pruned to the 7 needed columns."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice", "l_discount", "l_tax",
+                             "l_shipdate"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        m = pc.less_equal(batch["l_shipdate"],
+                          pa.scalar(pd.Timestamp("1998-09-02")))
+        t = batch.filter(m)
+        disc = pc.multiply(t["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        charge = pc.multiply(disc, pc.add(pa.scalar(1.0), t["l_tax"]))
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "l_quantity": t["l_quantity"],
+            "l_extendedprice": t["l_extendedprice"],
+            "disc_price": disc,
+            "charge": charge,
+        })
+
+    agg = (li.map_batches(prep, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Sum("l_extendedprice", alias_name="sum_base_price"),
+                      Sum("disc_price", alias_name="sum_disc_price"),
+                      Sum("charge", alias_name="sum_charge"),
+                      Mean("l_quantity", alias_name="avg_qty"),
+                      Count(alias_name="count_order")))
+    return _round2(agg, ["sum_qty", "sum_base_price", "sum_disc_price",
+                         "sum_charge", "avg_qty"])
+
+
+def q3_top_orders(sf_dir: str, *, segment: str = "BUILDING",
+                  k: int = 10) -> pd.DataFrame:
+    """TPC-H Q3 shape: 3-way hash join + grouped revenue + top-k.
+    customer/orders joined via Dataset.join (hash-partitioned); top-k via
+    sort+limit on the small aggregate."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], pa.scalar(segment)))
+        .select(["c_custkey"]),
+        batch_format="pyarrow")
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    co = orders.join(cust.rename_columns({"c_custkey": "o_custkey"}),
+                     join_type="inner", num_partitions=8, on=("o_custkey",))
+    col = li.join(co.rename_columns({"o_orderkey": "l_orderkey"}),
+                  join_type="inner", num_partitions=8, on=("l_orderkey",))
+
+    def rev(batch: pa.Table) -> pa.Table:
+        r = pc.multiply(batch["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table({"o_orderkey": batch["l_orderkey"],
+                         "o_orderdate": batch["o_orderdate"],
+                         "revenue": r})
+
+    agg = (col.map_batches(rev, batch_format="pyarrow")
+           .groupby(["o_orderkey", "o_orderdate"])
+           .aggregate(Sum("revenue", alias_name="revenue")))
+    # the aggregate is small (one row per qualifying order): round BEFORE the
+    # final ordering so ties at the k-th row resolve exactly as the SQL twin
+    top = agg.to_pandas()
+    top["revenue"] = top["revenue"].round(2)
+    top = top.sort_values(["revenue", "o_orderkey"],
+                          ascending=[False, True]).head(k).reset_index(drop=True)
+    return top[["o_orderkey", "o_orderdate", "revenue"]]
+
+
+def revenue_per_nation(sf_dir: str) -> rd.Dataset:
+    """Multi-join via BROADCAST dimensions: customer->nation map and the
+    order->custkey map are small sides shipped once with ray.put; the
+    lineitem fact table streams and never shuffles. Output
+    (n_name, revenue)."""
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = read_table(sf_dir, "nation",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey"]).to_pandas()
+    c2n = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    o2c = dict(zip(orders["o_orderkey"], orders["o_custkey"]))
+    ref = ray.put((o2c, c2n, n2name))
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        o2c_, c2n_, n2name_ = ray.get(ref)
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev = price * (1.0 - disc)
+        names = [n2name_[c2n_[o2c_[int(o)]]] for o in ok]
+        # per-batch partial aggregation before the tiny groupby
+        df = pd.DataFrame({"n_name": names, "revenue": rev})
+        g = df.groupby("n_name", as_index=False)["revenue"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (li.map_batches(stage, batch_format="pyarrow")
+           .groupby("n_name").aggregate(Sum("revenue", alias_name="revenue")))
+    return _round2(agg, ["revenue"])
+
+
+def nations_per_region(sf_dir: str) -> rd.Dataset:
+    """Small-dim join: nation x region -> (r_name, n_nations)."""
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
+    region = read_table(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    j = nation.join(region.rename_columns({"r_regionkey": "n_regionkey"}),
+                    join_type="inner", num_partitions=2, on=("n_regionkey",))
+    return j.groupby("r_name").aggregate(Count(alias_name="n_nations"))
+
+
+def top_parts(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """sort + limit: k most expensive parts."""
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_retailprice"])
+    df = part.sort(["p_retailprice", "p_partkey"],
+                   descending=[True, False]).limit(k).to_pandas()
+    df["p_retailprice"] = df["p_retailprice"].round(2)
+    return df
+
+
+def distinct_segments(sf_dir: str) -> pd.DataFrame:
+    """distinct: customer market segments, sorted."""
+    cust = read_table(sf_dir, "customer", columns=["c_mktsegment"])
+    vals = sorted(cust.unique("c_mktsegment"))
+    return pd.DataFrame({"c_mktsegment": vals})
+
+
+def customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """Broadcast ANTI-join: the order customer-key set ships once; customers
+    filter against it inside map_batches (no shuffle). Output (c_custkey).
+    Returned as a typed DataFrame so an empty result keeps its schema
+    (zero-row Ray datasets can be schema-less)."""
+    okeys = read_table(sf_dir, "orders", columns=["o_custkey"]).unique("o_custkey")
+    ref = ray.put(pa.array(sorted(okeys), pa.int64()))
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        return batch.filter(pc.invert(pc.is_in(batch["c_custkey"],
+                                               value_set=keys)))
+
+    df = cust.map_batches(anti, batch_format="pyarrow").to_pandas()
+    if "c_custkey" not in df.columns:
+        df = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
+    return df
+
+
+def events_hourly(sf_dir: str) -> rd.Dataset:
+    """Tumbling-window aggregate (streaming-shaped): events bucketed to the
+    hour per event_type. (event_type, hour, n_events, sum_value). ``hour`` is
+    epoch-hours (int) so the SQL twin is exact."""
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())       # microseconds since epoch
+        hour = pc.divide(us, pa.scalar(3_600_000_000))
+        return pa.table({"event_type": batch["event_type"],
+                         "hour": pc.cast(hour, pa.int64()),
+                         "value": batch["value"]})
+
+    agg = (ev.map_batches(prep, batch_format="pyarrow")
+           .groupby(["event_type", "hour"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value", alias_name="sum_value")))
+    return _round2(agg, ["sum_value"])
+
+
+def events_with_prev(sf_dir: str) -> rd.Dataset:
+    """Per-key ordered LAG (as-of/window shape): for each event, the previous
+    value of the same user by ts. Expressed as groupby(user).map_groups over
+    ts-sorted groups — the documented ordering assumption is 'ts unique per
+    user', which holds for the generated events table.
+    Output (event_id, user_id, prev_value) with -1.0 for the first event."""
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "value"])
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        out = pd.DataFrame({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "prev_value": g["value"].shift(1).fillna(-1.0).round(2),
+        })
+        return out
+
+    return ev.groupby("user_id").map_groups(lag, batch_format="pandas")
+
+
+def orders_status_counts(sf_dir: str) -> rd.Dataset:
+    """Grouped counting (the reference's rec_count per record type,
+    ``stdf2ph5.py:385-388``): orders per status. (o_orderstatus, n)."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderstatus"])
+    return orders.groupby("o_orderstatus").aggregate(Count(alias_name="n"))
+
+
+def part_brand_stats(sf_dir: str) -> rd.Dataset:
+    """Multi-aggregate: per brand min/max/avg retail price + count."""
+    part = read_table(sf_dir, "part", columns=["p_brand", "p_retailprice"])
+    agg = part.groupby("p_brand").aggregate(
+        Count(alias_name="n_parts"),
+        Min("p_retailprice", alias_name="min_price"),
+        Max("p_retailprice", alias_name="max_price"),
+        Mean("p_retailprice", alias_name="avg_price"))
+    return _round2(agg, ["min_price", "max_price", "avg_price"])
+
+
+def supplier_customer_nation_union(sf_dir: str) -> rd.Dataset:
+    """Set op (union + distinct): nation keys that appear as a supplier
+    nation OR a customer nation. (nationkey,)."""
+    sup = read_table(sf_dir, "supplier", columns=["s_nationkey"]).map_batches(
+        lambda t: pa.table({"nationkey": pc.cast(t["s_nationkey"], pa.int64())}),
+        batch_format="pyarrow")
+    cus = read_table(sf_dir, "customer", columns=["c_nationkey"]).map_batches(
+        lambda t: pa.table({"nationkey": pc.cast(t["c_nationkey"], pa.int64())}),
+        batch_format="pyarrow")
+    u = sup.union(cus)
+    return (u.groupby("nationkey").aggregate(Count(alias_name="_n"))
+            .drop_columns(["_n"]))

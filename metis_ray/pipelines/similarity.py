@@ -1,0 +1,135 @@
+"""Approximate-nearest-neighbor search over the ``embeddings`` table.
+
+* ``ann_topk`` — brute-force cosine top-k: the query matrix is broadcast
+  once (``ray.put``), every batch computes a float64 matmul against it and
+  emits its LOCAL top-k per query (the combiner), and the driver merges the
+  tiny partials exactly.  Work per batch is a dense BLAS matmul — the
+  canonical scale shape for exact search.
+* ``ann_lsh_topk`` — random-hyperplane-bucketed variant: candidate vectors
+  must share an LSH bucket with the query under at least one of ``n_tables``
+  hash tables; candidates then re-ranked exactly.  Trades recall for a
+  ~bucket-fraction of the matmul work — the 10^12-row path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from metis_ray.sources.parquet import read_table
+
+
+def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """First ``n_queries`` vectors by vec_id (deterministic)."""
+    import pyarrow.parquet as pq
+    import os
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(n_queries)
+    q = np.vstack([np.asarray(v, np.float64) for v in df["embedding"]])
+    return df["vec_id"].to_numpy(), q
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def ann_topk(sf_dir: str, *, k: int = 10, n_queries: int = 5) -> pd.DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rnk). Ties broken by
+    neighbor_id ascending; the query itself is included (matches the SQL
+    oracle). Scores deliberately omitted from the result so float summation
+    order cannot affect the correctness compare."""
+    qids, qm = _query_matrix(sf_dir, n_queries)
+    qn = _normalize(qm)
+    qref = ray.put((qids, qn))
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids_q, qmat = ray.get(qref)
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        mat = _normalize(np.vstack([np.asarray(v, np.float64)
+                                    for v in batch["embedding"].to_pylist()]))
+        sims = qmat @ mat.T                      # (Q, B)
+        kk = min(k, sims.shape[1])
+        o_q, o_n, o_s = [], [], []
+        for qi in range(sims.shape[0]):
+            row = sims[qi]
+            idx = np.argpartition(-row, kk - 1)[:kk]
+            o_q.extend([int(ids_q[qi])] * len(idx))
+            o_n.extend(int(v) for v in vids[idx])
+            o_s.extend(float(row[j]) for j in idx)
+        return pa.table({"query_id": pa.array(o_q, pa.int64()),
+                         "neighbor_id": pa.array(o_n, pa.int64()),
+                         "score": pa.array(o_s, pa.float64())})
+
+    partials = emb.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    # exact global merge of the (tiny) per-batch partials
+    partials.sort_values(["query_id", "score", "neighbor_id"],
+                         ascending=[True, False, True], inplace=True)
+    out = partials.groupby("query_id", sort=True).head(k).copy()
+    out["rnk"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "neighbor_id", "rnk"]].reset_index(drop=True)
+
+
+def ann_lsh_topk(sf_dir: str, *, k: int = 10, n_queries: int = 5,
+                 n_planes: int = 4, n_tables: int = 8,
+                 seed: int = 42) -> pd.DataFrame:
+    """LSH-prefiltered top-k, same output schema as ``ann_topk``. Approximate:
+    recall measured against the exact result in tests."""
+    qids, qm = _query_matrix(sf_dir, n_queries)
+    qn = _normalize(qm)
+    dim = qn.shape[1]
+    rng = np.random.RandomState(seed)
+    tables = [rng.normal(size=(dim, n_planes)) for _ in range(n_tables)]
+
+    def keys_for(mat: np.ndarray) -> np.ndarray:
+        out = np.empty((mat.shape[0], len(tables)), dtype=np.int64)
+        for t, pl in enumerate(tables):
+            bits = (mat @ pl) > 0
+            out[:, t] = bits @ (1 << np.arange(n_planes, dtype=np.int64))
+        return out
+
+    qkeys = keys_for(qn)                         # (Q, T)
+    qref = ray.put((qids, qn, qkeys))
+    tref = ray.put(tables)
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids_q, qmat, qk = ray.get(qref)
+        tbls = ray.get(tref)
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        mat = _normalize(np.vstack([np.asarray(v, np.float64)
+                                    for v in batch["embedding"].to_pylist()]))
+        vk = np.empty((mat.shape[0], len(tbls)), dtype=np.int64)
+        for t, pl in enumerate(tbls):
+            bits = (mat @ pl) > 0
+            vk[:, t] = bits @ (1 << np.arange(pl.shape[1], dtype=np.int64))
+        o_q, o_n, o_s = [], [], []
+        for qi in range(qmat.shape[0]):
+            cand = np.flatnonzero((vk == qk[qi][None, :]).any(axis=1))
+            if len(cand) == 0:
+                continue
+            row = mat[cand] @ qmat[qi]
+            kk = min(k, len(cand))
+            idx = np.argpartition(-row, kk - 1)[:kk]
+            o_q.extend([int(ids_q[qi])] * len(idx))
+            o_n.extend(int(v) for v in vids[cand[idx]])
+            o_s.extend(float(row[j]) for j in idx)
+        return pa.table({"query_id": pa.array(o_q, pa.int64()),
+                         "neighbor_id": pa.array(o_n, pa.int64()),
+                         "score": pa.array(o_s, pa.float64())})
+
+    partials = emb.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    if len(partials) == 0:
+        return pd.DataFrame({"query_id": [], "neighbor_id": [], "rnk": []})
+    partials.sort_values(["query_id", "score", "neighbor_id"],
+                         ascending=[True, False, True], inplace=True)
+    out = partials.groupby("query_id", sort=True).head(k).copy()
+    out["rnk"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "neighbor_id", "rnk"]].reset_index(drop=True)

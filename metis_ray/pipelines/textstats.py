@@ -1,0 +1,108 @@
+"""Text-analysis pipelines over the ``documents`` table: token counting,
+fingerprinting, language-ID, quality scoring — each a single vectorized-body
+``map_batches`` stage (actor pool where a compiled model/profile is held)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from metis_ray.functions.hashing import ngram_fingerprint
+from metis_ray.functions.text import (bpe_ish_tokens, lang_id, quality_score,
+                                      ws_token_count)
+from metis_ray.sources.parquet import read_table
+
+
+def token_counts(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_tokens): whitespace token count (SQL-oracle-checkable)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array([ws_token_count(t) for t in texts], pa.int64()),
+        })
+
+    return docs.map_batches(stage, batch_format="pyarrow")
+
+
+def token_pieces(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_pieces): BPE-ish regex piece count (words / numbers /
+    symbols) — the tokenizer-cost estimator; no SQL twin."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_pieces": pa.array([len(bpe_ish_tokens(t)) for t in texts], pa.int64()),
+        })
+
+    return docs.map_batches(stage, batch_format="pyarrow")
+
+
+def fingerprints(sf_dir: str) -> rd.Dataset:
+    """(doc_id, md5): content fingerprint matching DuckDB's md5()."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "md5": pa.array([hashlib.md5(t.encode()).hexdigest() for t in texts],
+                            pa.string()),
+        })
+
+    return docs.map_batches(stage, batch_format="pyarrow")
+
+
+def rolling_fingerprints(sf_dir: str) -> rd.Dataset:
+    """(doc_id, rolling_min): min rolling polynomial hash over char 8-grams
+    (a 1-perm MinHash document fingerprint); no SQL twin."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "rolling_min": pa.array([ngram_fingerprint(t) for t in texts],
+                                    pa.int64()),
+        })
+
+    return docs.map_batches(stage, batch_format="pyarrow")
+
+
+class LangQuality:
+    """Actor-pool stage (profiles/regexes loaded once per actor):
+    (doc_id, lang_pred, quality, n_chars)."""
+
+    def __init__(self) -> None:
+        # touch module-level compiled state so import cost is paid here
+        lang_id("warm up the profiles")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lang_pred": pa.array([lang_id(t) for t in texts], pa.string()),
+            "quality": pa.array([quality_score(t) for t in texts], pa.float64()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        })
+
+
+def lang_quality(sf_dir: str, concurrency: int = 2) -> rd.Dataset:
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(LangQuality, batch_format="pyarrow",
+                            concurrency=concurrency)
+
+
+def lang_distribution(sf_dir: str, concurrency: int = 2) -> rd.Dataset:
+    """(lang_pred, n_docs): grouped rollup of predicted language."""
+    from ray.data.aggregate import Count
+    return (lang_quality(sf_dir, concurrency)
+            .groupby("lang_pred").aggregate(Count(alias_name="n_docs")))

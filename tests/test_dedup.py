@@ -1,0 +1,110 @@
+"""Dedup pipelines vs brute-force oracles on planted duplicates (FIXTURES
+F5-style constructed inputs: known answers by construction)."""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from metis_ray.functions.text import jaccard, word_shingles
+from metis_ray.pipelines import dedup
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    """An sf-dir-shaped directory whose documents table has planted exact
+    and near duplicates, and whose embeddings table has planted
+    near-identical vectors."""
+    d = tmp_path_factory.mktemp("planted")
+    base = ("the quick brown fox jumps over the lazy dog while the band "
+            "plays on and the crowd cheers loudly for more music tonight")
+    alt = base.replace("lazy", "sleepy")          # near-dup of base
+    rng = np.random.RandomState(7)
+    texts = [base, base, alt]                      # 0,1 exact; 2 near
+    for i in range(30):
+        words = rng.choice(
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau".split(), size=40)
+        texts.append(" ".join(words))
+    doc_ids = list(range(len(texts)))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(d / "documents.parquet"))
+
+    dim = 16
+    vecs = rng.normal(size=(20, dim)).astype(np.float32)
+    vecs[1] = vecs[0] + rng.normal(scale=0.01, size=dim).astype(np.float32)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(20), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * 20, pa.int32()),
+    }), str(d / "embeddings.parquet"))
+    return str(d), texts, vecs
+
+
+def test_exact_dedup_planted(planted_dir):
+    d, texts, _ = planted_dir
+    out = dedup.exact_dedup(d).to_pandas()
+    assert len(out) == len(texts) - 1            # docs 0 and 1 collapse
+    dup = out[out["n_dups"] > 1]
+    assert len(dup) == 1
+    assert dup.iloc[0]["keep_id"] == 0
+    assert dup.iloc[0]["n_dups"] == 2
+
+
+def _brute_jaccard_pairs(texts, k, threshold):
+    sh = [set(word_shingles(t, k)) for t in texts]
+    out = set()
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        if jaccard(sh[a], sh[b]) >= threshold:
+            out.add((a, b))
+    return out
+
+
+def test_minhash_finds_planted_neardups(planted_dir):
+    d, texts, _ = planted_dir
+    got = dedup.minhash_dedup(d, threshold=0.5).to_pandas()
+    got_pairs = set(zip(got["a"], got["b"]))
+    want = _brute_jaccard_pairs(texts, 3, 0.5)
+    # verification is exact-Jaccard, so no false positives:
+    assert got_pairs <= want
+    # the planted pairs must be found (high-similarity pairs survive LSH):
+    assert (0, 1) in got_pairs and (0, 2) in got_pairs and (1, 2) in got_pairs
+
+
+def test_simhash_finds_exact_and_near(planted_dir):
+    d, texts, _ = planted_dir
+    got = dedup.simhash_dedup(d, max_hamming=3).to_pandas()
+    pairs = set(zip(got["a"], got["b"]))
+    assert (0, 1) in pairs                        # identical docs: hamming 0
+    assert (got["hamming"] <= 3).all()
+
+
+def test_ngram_jaccard_planted(planted_dir):
+    d, texts, _ = planted_dir
+    got = dedup.ngram_jaccard_dedup(d, threshold=0.8).to_pandas()
+    pairs = set(zip(got["a"], got["b"]))
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs                        # one-word edit: char-8-gram
+    assert (got["jaccard"] >= 0.8).all()          # jaccard stays high
+
+
+def test_embedding_neardup_planted(planted_dir):
+    d, _, vecs = planted_dir
+    got = dedup.embedding_neardup(d, threshold=0.95).to_pandas()
+    pairs = set(zip(got["a"], got["b"]))
+    assert (0, 1) in pairs
+    # oracle: all brute-force pairs >= 0.95 that share an LSH bucket; verify
+    # no false positives at least
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = vn @ vn.T
+    for a, b in pairs:
+        assert sims[a, b] >= 0.95 - 1e-9

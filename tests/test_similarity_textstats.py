@@ -1,0 +1,78 @@
+"""ANN vs brute force; text-analysis sanity; multimodal plumbing."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from metis_ray.pipelines import multimodal, similarity, textstats
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_topk(k=10, n_queries=5):
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas().sort_values("vec_id")
+    mat = np.vstack([np.asarray(v, np.float64) for v in t["embedding"]])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = t["vec_id"].to_numpy()
+    q = mat[:n_queries]
+    sims = q @ mat.T
+    out = {}
+    for qi in range(n_queries):
+        order = sorted(range(len(ids)), key=lambda j: (-sims[qi, j], ids[j]))
+        out[ids[qi]] = [int(ids[j]) for j in order[:k]]
+    return out
+
+
+def test_ann_topk_exact_matches_bruteforce():
+    got = similarity.ann_topk(SF, k=10, n_queries=5)
+    want = _brute_topk()
+    for qid, neighbors in want.items():
+        g = got[got["query_id"] == qid].sort_values("rnk")["neighbor_id"].tolist()
+        assert g == neighbors, qid
+
+
+def test_ann_lsh_recall():
+    got = similarity.ann_lsh_topk(SF, k=10, n_queries=5)
+    want = _brute_topk()
+    hits = total = 0
+    for qid, neighbors in want.items():
+        g = set(got[got["query_id"] == qid]["neighbor_id"])
+        hits += len(g & set(neighbors))
+        total += len(neighbors)
+    assert hits / total >= 0.5, f"LSH recall too low: {hits}/{total}"
+    # self-match must always survive (query is its own nearest neighbor)
+    for qid in want:
+        g = got[(got["query_id"] == qid) & (got["rnk"] == 1)]
+        assert list(g["neighbor_id"]) == [qid]
+
+
+def test_token_counts_independent_recount():
+    out = textstats.token_counts(SF).to_pandas().set_index("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    for _, row in docs.head(50).iterrows():
+        assert out.loc[row["doc_id"], "n_tokens"] == len(row["text"].split())
+
+
+def test_lang_quality_shape():
+    out = textstats.lang_quality(SF).to_pandas()
+    assert len(out) == 500
+    assert set(out["lang_pred"]) <= {"en", "es", "fr", "de", "zh", "und"}
+    assert out["quality"].between(0, 1).all()
+
+
+def test_multimodal_plumbing():
+    out = multimodal.decode_features(SF, batch_size=32).to_pandas()
+    assert len(out) == 500
+    f0 = np.asarray(out["feature"].iloc[0])
+    assert f0.shape == (multimodal.DecodeAndFeaturize.FEATURE_DIM,)
+    assert (0 <= f0).all() and (f0 <= 1).all()
+    # deterministic across runs
+    again = multimodal.decode_features(SF, batch_size=64).to_pandas()
+    m1 = dict(zip(out["asset_id"], [tuple(v) for v in out["feature"]]))
+    m2 = dict(zip(again["asset_id"], [tuple(v) for v in again["feature"]]))
+    assert m1 == m2
+
+
+def test_multimodal_real_decoder_is_gated():
+    with pytest.raises(NotImplementedError):
+        multimodal.DecodeAndFeaturize(decoder="real")
