@@ -90,6 +90,14 @@ def _q_labelprop(sf_dir: str):
     return _run_graph(sf_dir, "labelprop")
 
 
+def _q_degree_hist(sf_dir: str):
+    """In-degree histogram of the dependency graph (the skew diagnostic)."""
+    from metis_ray.graph.dataset_engine import degree_histogram
+    from metis_ray.pipelines.linkgraph import ingest
+    return (degree_histogram(ingest(_corpus_dir(sf_dir)).edges_file)
+            .to_pandas().sort_values("degree").reset_index(drop=True))
+
+
 def _q_triangles(sf_dir: str):
     from metis_ray.graph.triangles import triangle_counts
     from metis_ray.pipelines.linkgraph import ingest
@@ -127,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "components": _q_components,
         "labelprop": _q_labelprop,
         "triangles": _q_triangles,
+        "degree_hist": _q_degree_hist,
         # --- relational operator matrix (SQL-oracled) ---
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_top_orders": relational.q3_top_orders,
@@ -137,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": relational.customers_without_orders,
         "events_hourly": relational.events_hourly,
         "events_with_prev": relational.events_with_prev,
+        "events_sessionize": relational.events_sessionize,
         "orders_status_counts": relational.orders_status_counts,
         "part_brand_stats": relational.part_brand_stats,
         "nation_union": relational.supplier_customer_nation_union,
@@ -223,6 +233,24 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(LAG(value) OVER (PARTITION BY user_id ORDER BY ts),
                                   -1.0), 2) AS prev_value
             FROM events
+        """,
+        "events_sessionize": """
+            WITH g AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > 1800000000
+                            THEN 1 ELSE 0 END AS brk
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT user_id, value,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM g
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM s GROUP BY user_id, session_id
         """,
         "orders_status_counts": """
             SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus

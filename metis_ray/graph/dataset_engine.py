@@ -1,0 +1,114 @@
+"""Pure-Dataset superstep engine: PageRank as map_batches + groupby shuffle.
+
+The actor engine (runner.py) is the fast path; this module is the same
+superstep expressed ENTIRELY in the Dataset algebra — scatter is a
+``map_batches`` join of edges with the rank table, gather is a
+``groupby(dst).sum`` hash shuffle with a per-batch pre-aggregation combiner,
+and apply is a vectorized projection.  It exists because (a) it is the
+formulation that generalizes to any Ray cluster feature (autoscaling,
+fault-tolerant shuffle) with zero custom state, and (b) it carries the
+EXPLICIT skew controls: the combiner collapses each block's contributions
+per destination before the shuffle, and ``salt`` splits listed hot
+destinations into S subkeys aggregated in two stages (salted groupby, then
+unsalt groupby) — SURVEY.md section 4.2.4.
+
+Per-superstep cost is two materializations and one shuffle; the actor engine
+amortizes all of that into resident state.  Both are tested equal (tiny
+scale) and both match NetworkX.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+
+def _outdegrees(edges: rd.Dataset) -> rd.Dataset:
+    return edges.groupby("src").aggregate(Count(alias_name="outdeg"))
+
+
+def pagerank_dataset(edges: rd.Dataset, vertices: rd.Dataset, *,
+                     alpha: float = 0.85, tol: float = 1e-9,
+                     max_iter: int = 100, hot_keys: set[int] | None = None,
+                     salt: int = 8) -> tuple[rd.Dataset, int]:
+    """PageRank over (src, dst) edges + (vertex_id,) vertices.
+
+    Returns (ranks dataset with columns (v, rank), epochs run).  The rank
+    table is broadcast per superstep (``ray.put`` of a v->contrib map): right
+    for rank tables that fit a node's memory; beyond that, replace the
+    broadcast with ``edges.join(ranks)`` — the shuffle shape is identical.
+    ``hot_keys``/``salt``: destinations in ``hot_keys`` are salted into
+    ``salt`` subkeys before the groupby and unsalted after."""
+    verts = vertices.select_columns(["vertex_id"]).to_pandas()
+    vid = np.sort(verts["vertex_id"].to_numpy())
+    n = len(vid)
+
+    deg = _outdegrees(edges).to_pandas()
+    outdeg = np.zeros(n, dtype=np.float64)
+    outdeg[np.searchsorted(vid, deg["src"].to_numpy())] = deg["outdeg"].to_numpy()
+    dangling = outdeg == 0.0
+
+    hot = np.array(sorted(hot_keys), dtype=np.int64) if hot_keys else None
+    x = np.full(n, 1.0 / n)
+    edges = edges.select_columns(["src", "dst"]).materialize()
+
+    epochs = 0
+    for epoch in range(max_iter):
+        contrib = np.where(dangling, 0.0, x / np.where(outdeg > 0, outdeg, 1.0))
+        ref = ray.put((vid, contrib, hot))
+
+        def scatter(batch: pa.Table) -> pa.Table:
+            v, c, hot_arr = ray.get(ref)
+            src = batch["src"].to_numpy(zero_copy_only=False)
+            dst = batch["dst"].to_numpy(zero_copy_only=False)
+            vals = c[np.searchsorted(v, src)]
+            if hot_arr is not None and len(hot_arr):
+                is_hot = np.isin(dst, hot_arr)
+                salt_col = np.where(is_hot, src % salt, 0).astype(np.int64)
+            else:
+                salt_col = np.zeros(len(dst), dtype=np.int64)
+            t = pa.table({"dst": pa.array(dst, pa.int64()),
+                          "s": pa.array(salt_col, pa.int64()),
+                          "m": pa.array(vals, pa.float64())})
+            # combiner: collapse per (dst, salt) BEFORE the shuffle
+            g = t.group_by(["dst", "s"]).aggregate([("m", "sum")])
+            return g.select(["dst", "s", "m_sum"]).rename_columns(["dst", "s", "m"])
+
+        salted = (edges.map_batches(scatter, batch_format="pyarrow")
+                  .groupby(["dst", "s"]).aggregate(Sum("m", alias_name="m")))
+        incoming_df = (salted.groupby("dst").aggregate(Sum("m", alias_name="m"))
+                       .to_pandas())
+
+        inc = np.zeros(n)
+        inc[np.searchsorted(vid, incoming_df["dst"].to_numpy())] = \
+            incoming_df["m"].to_numpy()
+        danglesum = float(x[dangling].sum())
+        x_new = alpha * (inc + danglesum / n) + (1.0 - alpha) / n
+        delta = float(np.abs(x_new - x).sum())
+        x = x_new
+        epochs = epoch + 1
+        if delta < n * tol:
+            break
+
+    return rd.from_arrow(pa.table({"v": pa.array(vid, pa.int64()),
+                                   "rank": pa.array(x, pa.float64())})), epochs
+
+
+def degree_histogram(edges: rd.Dataset, *, col: str = "dst") -> rd.Dataset:
+    """(degree, n_vertices): the skew diagnostic that picks hot keys
+    (SURVEY.md section 4.1 'skew/stragglers')."""
+    deg = edges.groupby(col).aggregate(Count(alias_name="degree"))
+    return deg.groupby("degree").aggregate(Count(alias_name="n_vertices"))
+
+
+def hot_vertices(edges: rd.Dataset, *, col: str = "dst",
+                 top_k: int = 16) -> list[int]:
+    """The top-k in-degree vertices — the salt set for skewed gathers."""
+    deg = edges.groupby(col).aggregate(Count(alias_name="degree"))
+    top = deg.sort("degree", descending=True).limit(top_k).to_pandas()
+    return [int(v) for v in top[col]]

@@ -28,10 +28,23 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 
-def _with_pid(col: str, P: int):
+def pid_of(ids: np.ndarray, P: int, mode: str, bound: int) -> np.ndarray:
+    """Partition function. ``hash``: uniform modulo over the 63-bit hash id
+    space. ``range``: contiguous id ranges of span ceil(bound/P) — used when
+    vertex ids are community-ordered (e.g. files numbered by repo, or a
+    clustering pass), so that most edges fall INSIDE their shard and never
+    enter the per-superstep exchange. Locality is a property of the id
+    assignment; the partitioner just preserves it."""
+    if mode == "range":
+        span = (bound + P - 1) // P
+        return np.minimum(ids // span, P - 1).astype(np.int64)
+    return (ids % np.int64(P)).astype(np.int64)
+
+
+def _with_pid(col: str, P: int, mode: str = "hash", bound: int = 0):
     def add(batch: pa.Table) -> pa.Table:
-        arr = batch[col].to_numpy(zero_copy_only=False) % np.int64(P)
-        return batch.append_column("pid", pa.array(arr.astype(np.int64), pa.int64()))
+        arr = pid_of(batch[col].to_numpy(zero_copy_only=False), P, mode, bound)
+        return batch.append_column("pid", pa.array(arr, pa.int64()))
     return add
 
 
@@ -72,24 +85,29 @@ def symmetrized(edges: rd.Dataset) -> rd.Dataset:
 
 
 def build_graph_dir(edges: rd.Dataset, vertices: rd.Dataset, out_dir: str,
-                    P: int, *, directed: bool = True) -> str:
+                    P: int, *, directed: bool = True,
+                    partition: str = "hash", id_bound: int = 0) -> str:
     """Write the partitioned graph layout. ``edges`` needs (src, dst) —
     extra columns are dropped; ``vertices`` needs (vertex_id,).
 
-    ``directed=False`` symmetrizes first (CC / label propagation)."""
+    ``directed=False`` symmetrizes first (CC / label propagation).
+    ``partition='range'`` (with ``id_bound`` = max vertex id + 1) range-
+    partitions a community-ordered id space — see ``pid_of``."""
     os.makedirs(out_dir, exist_ok=True)
     e = edges.select_columns(["src", "dst"])
     if not directed:
         e = symmetrized(e)
-    e = e.map_batches(_with_pid("src", P), batch_format="pyarrow")
+    e = e.map_batches(_with_pid("src", P, partition, id_bound),
+                      batch_format="pyarrow")
     e.write_parquet(os.path.join(out_dir, "edges"), partition_cols=["pid"])
 
     v = vertices.select_columns(["vertex_id"]).map_batches(
-        _with_pid("vertex_id", P), batch_format="pyarrow")
+        _with_pid("vertex_id", P, partition, id_bound), batch_format="pyarrow")
     v.write_parquet(os.path.join(out_dir, "vertices"), partition_cols=["pid"])
 
     with open(os.path.join(out_dir, "graph_meta.json"), "w") as fh:
-        json.dump({"P": P, "directed": directed}, fh)
+        json.dump({"P": P, "directed": directed, "partition": partition,
+                   "id_bound": id_bound}, fh)
     return out_dir
 
 

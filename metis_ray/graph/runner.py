@@ -35,6 +35,13 @@ import ray
 from metis_ray.graph.partition import graph_meta
 from metis_ray.graph.shard import CSRShardActor
 
+# Epochs kept in flight in fixed-iteration mode. Measured on a single
+# 32-core node: 1 (epoch-synchronous, no driver barrier between scatter and
+# apply) beats 2 (overlap doubles live payload bytes and competes for the
+# same cores) and unbounded floods the object store into spilling. On a real
+# multi-node cluster where network transfer idles CPUs, 2 may win — re-measure.
+_ASYNC_WINDOW = 1
+
 
 @dataclass
 class RunStats:
@@ -82,36 +89,74 @@ class GraphRunner:
             for t in range(P):
                 installs.append(self.shards[j].install_positions.remote(
                     t, q[j][t], a[j][t], metas[t]["n"]))
+                # target t caches j's static layout; j's later payloads to t
+                # are values-only vectors aligned to it
+                installs.append(self.shards[t].store_incoming_layout.remote(
+                    j, a[j][t]))
         ray.get(installs)
 
     # ------------------------------------------------------------------
     def _superstep_loop(self, *, scatter: str, apply: str, apply_extra,
                         delta_done, max_iter: int, value_name: str,
                         ckpt_dir: str | None, checkpoint_every: int,
-                        start_epoch: int, stats: RunStats) -> None:
+                        start_epoch: int, stats: RunStats,
+                        on_epoch=None) -> None:
         shards = self.shards
+        sync = delta_done is not None
+        arefs: list = []
+        inflight: list[list] = []   # bounded async window (see below)
         t0 = time.perf_counter()
         for epoch in range(start_epoch, max_iter):
             te = time.perf_counter()
             # payload refs are routed to the target shards WITHOUT being
             # fetched to the driver: only floats/ints cross the driver.
-            payloads = [getattr(s, scatter).remote() for s in shards]
             if scatter == "pagerank_scatter":
-                dangle = float(sum(ray.get(
-                    [s.dangling_mass.remote() for s in shards])))
-                extra = apply_extra(dangle)
-            else:
+                # num_returns=2 splits (payload, dangling) into separate
+                # refs; the dangling refs flow straight into apply, so the
+                # driver never blocks between scatter and apply. In
+                # fixed-iteration mode (delta_done=None, the bench path) the
+                # driver submits EVERY superstep without a single blocking
+                # get — actor task ordering + ref dataflow enforce the
+                # epoch sequence — and syncs once at the end.
+                pairs = [s.pagerank_scatter.options(num_returns=2).remote()
+                         for s in shards]
+                # the driver sums the P dangling floats (one tiny batched
+                # get); shipping the refs instead would cost P^2 inner gets
+                dangle = float(sum(ray.get([p[1] for p in pairs])))
+                bundle = ray.put(([p[0] for p in pairs], dangle))
                 extra = apply_extra(None)
-            arefs = [getattr(s, apply).remote(payloads, *extra) for s in shards]
-            deltas = ray.get(arefs)
+            else:
+                payloads = [getattr(s, scatter).remote() for s in shards]
+                bundle = ray.put((payloads, []))
+                extra = apply_extra(None)
+            # one ray.put bundle instead of 2P ref args per apply call:
+            # submission cost per superstep drops from O(P^2) to O(P)
+            arefs = [getattr(s, apply).remote(bundle, *extra) for s in shards]
             stats.epochs = epoch + 1
+            if not sync:
+                # bounded pipelining: keep at most 2 epochs in flight so
+                # scatter(k+1) overlaps apply(k) without the driver barrier,
+                # but payload objects from older epochs are consumed (and
+                # freed from the object store) before more are produced —
+                # unbounded submission floods plasma and forces spilling.
+                inflight.append(arefs)
+                if len(inflight) >= _ASYNC_WINDOW:
+                    ray.get(inflight.pop(0))
+                continue
+            deltas = ray.get(arefs)
             se_secs = time.perf_counter() - te
+            if on_epoch is not None:
+                # progress hook (the reference's update_progress callback,
+                # stdf2ph5.py:70-71,370-372)
+                on_epoch(epoch + 1, sum(deltas), se_secs)
             if ckpt_dir and ((epoch + 1) % checkpoint_every == 0 or
                              delta_done(deltas)):
                 self._checkpoint(ckpt_dir, epoch + 1, value_name, se_secs, stats)
             if delta_done(deltas):
                 stats.converged = True
                 break
+        for pending in inflight:
+            ray.get(pending)    # drain the pipeline
         stats.seconds = time.perf_counter() - t0
         done_epochs = stats.epochs - start_epoch
         if stats.seconds > 0 and done_epochs > 0:
@@ -151,9 +196,12 @@ class GraphRunner:
     # ------------------------------------------------------------------
     def pagerank(self, *, alpha: float = 0.85, tol: float = 1e-9,
                  max_iter: int = 200, ckpt_dir: str | None = None,
-                 checkpoint_every: int = 10, resume: bool = False) -> RunStats:
+                 checkpoint_every: int = 10, resume: bool = False,
+                 payload_dtype: str = "float32", on_epoch=None) -> RunStats:
         """NetworkX-formulation PageRank: converges when the global L1 delta
-        < N*tol (nx.pagerank's exact stopping rule)."""
+        < N*tol (nx.pagerank's exact stopping rule). ``payload_dtype``
+        controls the scatter transport precision (see
+        CSRShard.pagerank_scatter); accumulation is always float64."""
         stats = RunStats("pagerank")
         start = 0
         re = self.resume_epoch(ckpt_dir) if resume else None
@@ -163,14 +211,18 @@ class GraphRunner:
             start = re
             stats.resumed_from = re
         else:
-            ray.get([s.pagerank_init.remote(self.n_total) for s in self.shards])
+            ray.get([s.pagerank_init.remote(self.n_total, payload_dtype)
+                     for s in self.shards])
         n = self.n_total
         self._superstep_loop(
             scatter="pagerank_scatter", apply="pagerank_apply",
-            apply_extra=lambda dangle: (dangle, alpha, n),
-            delta_done=lambda deltas: sum(deltas) < n * tol,
+            apply_extra=lambda _: (alpha, n),
+            # tol<=0 selects the async fixed-iteration pipeline (bench mode)
+            delta_done=(None if tol <= 0
+                        else (lambda deltas: sum(deltas) < n * tol)),
             max_iter=max_iter, value_name="rank", ckpt_dir=ckpt_dir,
-            checkpoint_every=checkpoint_every, start_epoch=start, stats=stats)
+            checkpoint_every=checkpoint_every, start_epoch=start, stats=stats,
+            on_epoch=on_epoch)
         return stats
 
     def connected_components(self, *, max_iter: int = 200,

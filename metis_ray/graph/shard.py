@@ -3,27 +3,46 @@
 The reference's streaming source/sink hold cross-call state — byteorder, lot,
 read offset, append position (``metis_source.py:47-52``,
 ``metis_sink.py:56-65``).  Metis-Ray's analogue is a CSR shard: the
-per-partition compressed adjacency (indptr/indices numpy arrays), the current
-value vector (rank / label), and the epoch number, loaded once and reused
-every superstep.  It runs as a raw ``@ray.remote`` actor rather than a
-``map_batches`` actor pool because Ray Data's pool gives no partition->actor
-affinity — a shard must always see *its* partition, which is exactly the
-"shared mutable index" case where dropping below the Dataset API is
-warranted.  Everything around the shards (build, shuffle, outputs) stays in
-Dataset land.
+per-partition compressed adjacency, the current value vector (rank / label),
+and the epoch number, loaded once and reused every superstep.  It runs as a
+raw ``@ray.remote`` actor rather than a ``map_batches`` actor pool because
+Ray Data's pool gives no partition->actor affinity — a shard must always see
+*its* partition, which is exactly the "shared mutable index" case where
+dropping below the Dataset API is warranted.  Everything around the shards
+(build, shuffle, outputs) stays in Dataset land.
 
-Scatter payloads are pre-combined per destination partition before leaving
-the shard (dense ``bincount`` for sums, sort+``reduceat`` for mins, count
-triples for label frequencies).  This per-shard combining is the skew
-mitigation: a hot destination vertex receives at most P partial values per
-superstep — the salted-key pattern with P implicit salts — so a 10^8-degree
-hub costs the same as any other vertex at apply time (SURVEY.md section 4.2).
+Execution design (what each superstep actually does, and why):
+
+* **Static target-major layout.** At load, edges are permuted to
+  (destination-partition, destination) order. Per (shard j -> target t)
+  pair the unique destinations, their run boundaries and their positions in
+  t's vertex array are all computed ONCE; a superstep is then
+  ``np.take`` + ``np.add.reduceat`` over preallocated buffers — no
+  allocations in the hot loop.  (This matters beyond cache-friendliness: on
+  paravirtualized kernels, first-touch page faults on fresh numpy arrays
+  are ~20x slower than the arithmetic they feed.)
+* **Values-only exchange.** Because the position layout of every (j, t)
+  pair is static, targets cache it once (``store_incoming_layout``) and
+  per-superstep payloads are bare value vectors aligned to that layout —
+  exchange bytes track actual cross-partition edges, not P*V.
+* **Shard-local mass never leaves the actor.** With a community-aligned
+  partitioning (range partitioning over a repo/community-ordered id space,
+  ``partition.pid_of``) most edges are intra-shard; their contribution is
+  folded into the local accumulator directly.
+* **Per-shard pre-combining is the skew mitigation**: a hot destination
+  receives at most P partial values per superstep — the salted-key pattern
+  with P implicit salts (SURVEY.md section 4.2).
+* Rank payloads are computed in float64 and transported as float32 by
+  default (re-accumulated in float64 at the target: absolute error ~1e-9,
+  three orders under the 1e-6 oracle tolerance; ``payload_dtype='float64'``
+  disables).
 
 The plain class is directly unit-testable; ``CSRShardActor = ray.remote(CSRShard)``.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -36,28 +55,31 @@ import ray
 _IDMAX = np.int64(np.iinfo(np.int64).max)
 
 
-def _groupmin(pos: np.ndarray, vals: np.ndarray, out: np.ndarray) -> None:
-    """out[p] = min(out[p], min(vals where pos==p)) — vectorized via sort +
-    reduceat (np.minimum.at is orders of magnitude slower)."""
-    if len(pos) == 0:
-        return
-    order = np.argsort(pos, kind="stable")
-    p = pos[order]
-    v = vals[order]
-    starts = np.flatnonzero(np.r_[True, p[1:] != p[:-1]])
-    mins = np.minimum.reduceat(v, starts)
-    upos = p[starts]
-    out[upos] = np.minimum(out[upos], mins)
+def _resolve(refs: list) -> list:
+    """Resolve a mixed list of ObjectRefs/values with ONE batched ray.get —
+    per-ref sequential gets cost ~0.2-1 ms each, which at P payloads per
+    apply per superstep is real money."""
+    idx = [i for i, r in enumerate(refs) if isinstance(r, ray.ObjectRef)]
+    if not idx:
+        return list(refs)
+    fetched = ray.get([refs[i] for i in idx])
+    out = list(refs)
+    for i, v in zip(idx, fetched):
+        out[i] = v
+    return out
 
 
 class CSRShard:
-    """One graph partition: owned vertices + CSR over their out-edges."""
+    """One graph partition: owned vertices + static target-major edge layout."""
 
     def __init__(self, pid: int, P: int, graph_dir: str) -> None:
         self.pid = pid
         self.P = P
         self.graph_dir = graph_dir
         t0 = time.perf_counter()
+        with open(os.path.join(graph_dir, "graph_meta.json")) as fh:
+            gm = json.load(fh)
+        from metis_ray.graph.partition import pid_of
 
         vdir = os.path.join(graph_dir, "vertices", f"pid={pid}")
         self.verts = np.sort(
@@ -70,39 +92,81 @@ class CSRShard:
             et = pq.read_table(edir, columns=["src", "dst"])
             src = et["src"].to_numpy(zero_copy_only=False).astype(np.int64)
             dst = et["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+            del et
         else:  # partition with vertices but no out-edges
             src = np.empty(0, np.int64)
             dst = np.empty(0, np.int64)
-        order = np.argsort(src, kind="stable")
-        src = src[order]
-        self.dst = dst[order]
-        row = np.searchsorted(self.verts, src)
-        counts = np.bincount(row, minlength=self.n) if len(row) else np.zeros(self.n, np.int64)
-        self.indptr = np.zeros(self.n + 1, dtype=np.int64)
-        np.cumsum(counts, out=self.indptr[1:])
-        self.outdeg = counts.astype(np.float64)
-        self.m = len(self.dst)
+        self.m = len(dst)
 
-        self.dst_owner = (self.dst % np.int64(P)).astype(np.int32)
-        # per-target edge index lists, precomputed once (used every superstep)
-        self._tgt_edges = [np.flatnonzero(self.dst_owner == t) for t in range(P)]
-        self.dst_pos = np.zeros(self.m, dtype=np.int64)   # filled by exchange
+        row = np.searchsorted(self.verts, src)
+        if len(row) and not (self.verts[np.minimum(row, self.n - 1)] == src).all():
+            raise ValueError(f"shard {pid}: edge sources outside vertex set")
+        counts = np.bincount(row, minlength=self.n) if self.m else np.zeros(self.n, np.int64)
+        self.outdeg = counts.astype(np.float64)
+
+        # ---- static target-major, destination-sorted edge layout ----
+        dst_owner = pid_of(dst, P, gm.get("partition", "hash"),
+                           gm.get("id_bound", 0)).astype(np.int32)
+        torder = np.lexsort((dst, dst_owner))
+        self._row_sorted = row[torder] if self.m else np.empty(0, np.int64)
+        dst_sorted = dst[torder]
+        del src, dst, row, torder
+        tcounts = np.bincount(dst_owner, minlength=P) if self.m else np.zeros(P, np.int64)
+        del dst_owner
+        self._tstart = np.zeros(P + 1, dtype=np.int64)
+        np.cumsum(tcounts, out=self._tstart[1:])
+
+        # per-target: run starts (relative to slice) + unique destinations
+        self._runs: list[np.ndarray | None] = [None] * P
+        self._uniq_dst: list[np.ndarray | None] = [None] * P
+        for t in range(P):
+            s, e = self._tslice(t)
+            if e == s:
+                continue
+            d = dst_sorted[s:e]
+            starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+            self._runs[t] = starts
+            self._uniq_dst[t] = d[starts]
+        del dst_sorted
+
+        # filled by the one-time exchange
+        self._out_pos: list[np.ndarray | None] = [None] * P  # my uniq dsts' pos in t
+        self._in_pos: dict[int, np.ndarray] = {}             # shard j -> pos in me
         self.peer_counts: list[int] = [0] * P
 
+        # preallocated hot-loop buffers (never reallocated per superstep)
+        self._per_edge = np.empty(self.m, dtype=np.float64)
+        self._per_edge_i = np.empty(self.m, dtype=np.int64)
+        self._out_vals = [np.empty(len(u), dtype=np.float64) if u is not None
+                          else None for u in self._uniq_dst]
+        self._incoming = np.empty(self.n, dtype=np.float64)
+        self._x_tmp = np.empty(self.n, dtype=np.float64)
+        self._pv = np.empty(self.n, dtype=np.float64)
+        self._safe_deg = np.where(self.outdeg > 0, self.outdeg, 1.0)
+        self._dangling = self.outdeg == 0
+        self._self_vals: np.ndarray | None = None
+        self._self_min: np.ndarray | None = None
+        self._self_lpa = None
+
         self.x: np.ndarray | None = None       # float64 (pagerank)
-        self.labels: np.ndarray | None = None  # uint64 (cc / lpa)
+        self.labels: np.ndarray | None = None  # int64 (cc / lpa)
+        self.payload_dtype = np.dtype(np.float32)
         self.epoch = 0
         self.load_seconds = time.perf_counter() - t0
 
-    # ---- one-time dst-position exchange ---------------------------------
+    def _tslice(self, t: int) -> tuple[int, int]:
+        return int(self._tstart[t]), int(self._tstart[t + 1])
+
+    # ---- one-time dst-position/layout exchange --------------------------
 
     def meta(self) -> dict:
         return {"pid": self.pid, "n": self.n, "m": self.m,
                 "load_seconds": self.load_seconds}
 
     def queries_for(self, t: int) -> np.ndarray:
-        """Unique raw dst ids this shard sends to partition t."""
-        return np.unique(self.dst[self._tgt_edges[t]])
+        """Unique dst ids this shard sends to partition t (static)."""
+        u = self._uniq_dst[t]
+        return u if u is not None else np.empty(0, np.int64)
 
     def answer_positions(self, dsts: np.ndarray) -> np.ndarray:
         """Positions of the queried vertex ids within this shard's verts.
@@ -118,60 +182,83 @@ class CSRShard:
 
     def install_positions(self, t: int, uniq: np.ndarray, pos: np.ndarray,
                           peer_n: int) -> None:
-        idx = self._tgt_edges[t]
-        lookup = np.searchsorted(uniq, self.dst[idx])
-        self.dst_pos[idx] = pos[lookup]
+        if self._uniq_dst[t] is not None:
+            assert len(uniq) == len(self._uniq_dst[t])
+            self._out_pos[t] = pos.astype(np.int64)
         self.peer_counts[t] = peer_n
+
+    def store_incoming_layout(self, j: int, pos: np.ndarray) -> None:
+        """Cache shard j's static destination positions within my vertex
+        array; j's per-superstep payloads to me are values aligned to it."""
+        if len(pos):
+            self._in_pos[j] = pos.astype(np.int64)
 
     # ---- PageRank -------------------------------------------------------
 
-    def pagerank_init(self, n_total: int) -> None:
+    def pagerank_init(self, n_total: int, payload_dtype: str = "float32") -> None:
         self.x = np.full(self.n, 1.0 / n_total, dtype=np.float64)
+        self.payload_dtype = np.dtype(payload_dtype)
         self.epoch = 0
 
-    def pagerank_scatter(self) -> dict[int, np.ndarray]:
-        """Per-target dense partial sums of rank mass.
-
-        Dense exchange: each payload is a float64 vector of the target's
-        vertex count — at most P*|V| floats per superstep in total.  For very
-        large V/P ratios a sparse (positions, values) payload would win; the
-        dense form keeps apply a pure vector add.  The returned dict lives in
-        the object store; the driver routes only the ObjectRef, never the
-        data."""
+    def pagerank_scatter(self) -> tuple[dict[int, np.ndarray], float]:
+        """(per-target value vectors aligned to each cached layout, local
+        dangling mass). Zero allocations apart from the outgoing payload
+        copies themselves. Called with num_returns=2 so the driver routes
+        the dangling float without touching the payload."""
         assert self.x is not None
-        safe = np.where(self.outdeg > 0, self.outdeg, 1.0)
-        per_vert = self.x / safe
-        per_edge = np.repeat(per_vert, np.diff(self.indptr))
+        np.divide(self.x, self._safe_deg, out=self._pv)
+        if self.m:
+            np.take(self._pv, self._row_sorted, out=self._per_edge)
         out: dict[int, np.ndarray] = {}
+        self._self_vals = None
         for t in range(self.P):
-            idx = self._tgt_edges[t]
-            if len(idx) == 0:
+            s, e = self._tslice(t)
+            if e == s:
                 continue
-            out[t] = np.bincount(self.dst_pos[idx], weights=per_edge[idx],
-                                 minlength=self.peer_counts[t])
-        return out
+            buf = self._out_vals[t]
+            np.add.reduceat(self._per_edge[s:e], self._runs[t], out=buf)
+            if t == self.pid:
+                self._self_vals = buf      # stays in actor memory
+            else:
+                out[t] = buf.astype(self.payload_dtype)
+        dangle = float(self.x[self._dangling].sum())
+        return out, dangle
 
-    def dangling_mass(self) -> float:
-        """Local rank mass on dangling (out-degree 0) vertices — summed
-        globally by the driver each superstep (a float per shard, not data)."""
-        assert self.x is not None
-        return float(self.x[self.outdeg == 0].sum())
-
-    def pagerank_apply(self, payload_refs: list, dangle_sum: float,
-                       alpha: float, n_total: int) -> float:
+    def pagerank_apply(self, bundle, alpha: float, n_total: int) -> float:
         """x_new = alpha*(incoming + danglesum/N) + (1-alpha)/N — the exact
-        NetworkX power-iteration formulation (uniform personalization /
-        dangling weights). Returns local L1 delta."""
-        incoming = np.zeros(self.n, dtype=np.float64)
-        for ref in payload_refs:
-            part = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        NetworkX power-iteration formulation. Returns local L1 delta.
+
+        ``bundle`` is ONE driver-side ``ray.put`` object holding
+        (payload_refs ordered by source shard, dangle_refs): passing 2P refs
+        per apply call costs ~15us per ref at submission — O(P^2) per
+        superstep — so they ride in a single object instead. Dangling floats
+        are summed HERE so the driver never blocks between scatter and
+        apply."""
+        payload_refs, dangle = bundle
+        if isinstance(dangle, (int, float)):
+            dangle_sum = float(dangle)
+        else:
+            refs = [r for r in dangle if isinstance(r, ray.ObjectRef)]
+            plain = [r for r in dangle if not isinstance(r, ray.ObjectRef)]
+            dangle_sum = float(sum(ray.get(refs)) + sum(plain))
+        inc = self._incoming
+        inc.fill(0.0)
+        if self._self_vals is not None:
+            pos = self._out_pos[self.pid]
+            inc[pos] += self._self_vals
+            self._self_vals = None
+        for j, part in enumerate(_resolve(payload_refs)):
             vec = part.get(self.pid)
             if vec is not None:
-                incoming[: len(vec)] += vec
+                inc[self._in_pos[j]] += vec
         base = (alpha * dangle_sum + (1.0 - alpha)) / n_total
-        x_new = alpha * incoming + base
-        delta = float(np.abs(x_new - self.x).sum())
-        self.x = x_new
+        np.multiply(inc, alpha, out=self._x_tmp)
+        self._x_tmp += base
+        # delta without temporaries: x := |x_tmp - x|, then swap
+        np.subtract(self._x_tmp, self.x, out=self.x)
+        np.abs(self.x, out=self.x)
+        delta = float(self.x.sum())
+        self.x, self._x_tmp = self._x_tmp, self.x
         self.epoch += 1
         return delta
 
@@ -182,28 +269,38 @@ class CSRShard:
         self.epoch = 0
 
     def minlabel_scatter(self) -> dict[int, np.ndarray]:
-        """Per-target min-combined labels (dense vector, identity = U64MAX)."""
+        """Per-target min label per unique destination (values aligned to
+        the cached layout)."""
         assert self.labels is not None
-        per_edge = np.repeat(self.labels, np.diff(self.indptr))
+        if self.m:
+            np.take(self.labels, self._row_sorted, out=self._per_edge_i)
         out: dict[int, np.ndarray] = {}
+        self._self_min = None
         for t in range(self.P):
-            idx = self._tgt_edges[t]
-            if len(idx) == 0:
+            s, e = self._tslice(t)
+            if e == s:
                 continue
-            acc = np.full(self.peer_counts[t], _IDMAX, dtype=np.int64)
-            _groupmin(self.dst_pos[idx], per_edge[idx], acc)
-            out[t] = acc
+            vals = np.minimum.reduceat(self._per_edge_i[s:e], self._runs[t])
+            if t == self.pid:
+                self._self_min = vals
+            else:
+                out[t] = vals
         return out
 
-    def minlabel_apply(self, payload_refs: list) -> int:
+    def minlabel_apply(self, bundle) -> int:
         """labels = min(labels, incoming); returns #changed."""
+        payload_refs = bundle[0] if isinstance(bundle, tuple) else bundle
         assert self.labels is not None
         acc = np.full(self.n, _IDMAX, dtype=np.int64)
-        for ref in payload_refs:
-            part = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        if self._self_min is not None:
+            pos = self._out_pos[self.pid]
+            acc[pos] = np.minimum(acc[pos], self._self_min)
+            self._self_min = None
+        for j, part in enumerate(_resolve(payload_refs)):
             vec = part.get(self.pid)
             if vec is not None:
-                np.minimum(acc[: len(vec)], vec, out=acc[: len(vec)])
+                pos = self._in_pos[j]
+                acc[pos] = np.minimum(acc[pos], vec)
         new = np.minimum(self.labels, acc)
         changed = int((new != self.labels).sum())
         self.labels = new
@@ -215,40 +312,60 @@ class CSRShard:
     def lpa_scatter(self) -> dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """Per-target (pos, label, count) triples — counts pre-combined per
         shard so a hub vertex receives at most P partial count rows per
-        distinct label."""
+        distinct label. (Positions sent explicitly: unlike sum/min, the
+        frequency payload is ragged per (dst, label), not per dst.)"""
         assert self.labels is not None
-        per_edge = np.repeat(self.labels, np.diff(self.indptr))
+        if self.m:
+            np.take(self.labels, self._row_sorted, out=self._per_edge_i)
         out = {}
+        self._self_lpa = None
         for t in range(self.P):
-            idx = self._tgt_edges[t]
-            if len(idx) == 0:
+            s, e = self._tslice(t)
+            if e == s:
                 continue
-            pos = self.dst_pos[idx]
-            lab = per_edge[idx]
-            key = np.stack([pos.astype(np.int64), lab], axis=1)
+            # edges are dst-sorted within the slice; count (run, label) pairs
+            pos_per_edge = np.repeat(
+                np.arange(len(self._runs[t]), dtype=np.int64),
+                np.diff(np.r_[self._runs[t], e - s]))
+            lab = self._per_edge_i[s:e]
+            key = np.stack([pos_per_edge, lab], axis=1)
             uniq, cnt = np.unique(key, axis=0, return_counts=True)
-            out[t] = (uniq[:, 0].astype(np.int64), uniq[:, 1], cnt.astype(np.int64))
+            # map run index back to the target's vertex positions
+            if t == self.pid:
+                run_pos = self._out_pos[t]
+            else:
+                run_pos = None  # target resolves via its cached layout
+            triple = (uniq[:, 0], uniq[:, 1], cnt.astype(np.int64))
+            if t == self.pid:
+                self._self_lpa = (run_pos[uniq[:, 0]], uniq[:, 1],
+                                  cnt.astype(np.int64))
+            else:
+                out[t] = triple
         return out
 
-    def lpa_apply(self, payload_refs: list) -> int:
+    def lpa_apply(self, bundle) -> int:
         """label(v) = argmax_count over neighbor labels, tie -> smallest
         label; vertices with no incoming keep their label. Deterministic
-        synchronous LPA (see graph/runner.py docstring for the exact
-        semantics the oracle mirrors)."""
+        synchronous LPA (see graph/runner.py docstring)."""
+        payload_refs = bundle[0] if isinstance(bundle, tuple) else bundle
         assert self.labels is not None
         poss, labs, cnts = [], [], []
-        for ref in payload_refs:
-            part = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        if self._self_lpa is not None:
+            tr = self._self_lpa
+            poss.append(tr[0]); labs.append(tr[1]); cnts.append(tr[2])
+            self._self_lpa = None
+        for j, part in enumerate(_resolve(payload_refs)):
             tr = part.get(self.pid)
             if tr is not None:
-                poss.append(tr[0]); labs.append(tr[1]); cnts.append(tr[2])
+                # translate sender-run indices to my vertex positions
+                poss.append(self._in_pos[j][tr[0]])
+                labs.append(tr[1]); cnts.append(tr[2])
         if not poss:
             self.epoch += 1
             return 0
         pos = np.concatenate(poss)
         lab = np.concatenate(labs)
         cnt = np.concatenate(cnts)
-        # combine partial counts for identical (pos, label)
         order = np.lexsort((lab, pos))
         pos, lab, cnt = pos[order], lab[order], cnt[order]
         newgrp = np.r_[True, (pos[1:] != pos[:-1]) | (lab[1:] != lab[:-1])]
@@ -256,14 +373,11 @@ class CSRShard:
         gpos = pos[starts]
         glab = lab[starts]
         gcnt = np.add.reduceat(cnt, starts)
-        # pick per pos: max count, tie -> min label. Sort by (pos, -cnt, lab)
         order2 = np.lexsort((glab, -gcnt, gpos))
         gpos, glab = gpos[order2], glab[order2]
         first = np.flatnonzero(np.r_[True, gpos[1:] != gpos[:-1]])
-        upd_pos = gpos[first]
-        upd_lab = glab[first]
         new = self.labels.copy()
-        new[upd_pos] = upd_lab
+        new[gpos[first]] = glab[first]
         changed = int((new != self.labels).sum())
         self.labels = new
         self.epoch += 1

@@ -1,0 +1,111 @@
+"""Incremental / arriving-input ingestion (reference S2/S3 analogue).
+
+The reference tail-follows growing STDF files via inotify and lands each one
+idempotently ("already imported => nothing to do",
+``Metis/tools/HDF5Helper.py:53-69``; daemon spawn per new file,
+``Metis/sinotify.py:82-87``).  Ray Data has no tail-follow; the equivalent
+unit of arrival for a Parquet corpus is the FRAGMENT (part file).  Each call
+to ``ingest_increment``:
+
+1. lists fragments under ``<corpus_dir>/corpus``,
+2. diffs against the state manifest (processed fragment name + size),
+3. runs extract->resolve->dedup over ONLY the new fragments,
+4. writes their edges to ``<state_dir>/edges/batch=<n>/`` atomically,
+5. commits the manifest (write-temp + rename).
+
+Re-running with nothing new is a no-op.  A crash between 4 and 5 leaves a
+dangling batch dir that is ignored (not in the manifest) and overwritten on
+retry — the same exactly-once landing contract as the reference.
+
+The symbol table is global (imports may target any file ever seen), so it is
+rebuilt from the full corpus each increment — a (repo, path)-only pass,
+cheap next to content scanning.  Edge dedup is per-increment; readers that
+need global dedup apply the standard groupby over the union.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import ray
+import ray.data as rd
+
+from metis_ray.pipelines.linkgraph import dedup_edges, raw_resolved
+from metis_ray.sources.parquet import read_corpus
+from metis_ray.stages.resolve import build_symbol_table
+
+
+def _manifest_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "ingested.json")
+
+
+def _load_manifest(state_dir: str) -> dict:
+    p = _manifest_path(state_dir)
+    if os.path.exists(p):
+        with open(p) as fh:
+            return json.load(fh)
+    return {"fragments": {}, "batches": []}
+
+
+def ingest_increment(corpus_dir: str, state_dir: str, *,
+                     concurrency=None) -> dict:
+    """Process fragments not yet in the manifest. Returns an info dict
+    {new_fragments, new_edges, batch_dir|None}."""
+    os.makedirs(state_dir, exist_ok=True)
+    man = _load_manifest(state_dir)
+    frag_dir = os.path.join(corpus_dir, "corpus")
+    if not os.path.isdir(frag_dir):
+        frag_dir = corpus_dir
+    frags = {f: os.path.getsize(os.path.join(frag_dir, f))
+             for f in sorted(os.listdir(frag_dir)) if f.endswith(".parquet")}
+    new = [f for f, size in frags.items()
+           if man["fragments"].get(f) != size]
+    if not new:
+        return {"new_fragments": 0, "new_edges": 0, "batch_dir": None}
+
+    symbols_ref = ray.put(build_symbol_table(
+        read_corpus(corpus_dir, columns=["repo", "path"])))
+    new_ds = rd.read_parquet([os.path.join(frag_dir, f) for f in new])
+    edges = dedup_edges(raw_resolved(new_ds, symbols_ref,
+                                     concurrency=concurrency))
+
+    batch_id = len(man["batches"])
+    batch_dir = os.path.join(state_dir, "edges", f"batch={batch_id}")
+    tmp = batch_dir + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    if os.path.exists(batch_dir):           # crash-leftover: overwrite
+        shutil.rmtree(batch_dir)
+    edges.write_parquet(tmp)
+    n_edges = rd.read_parquet(tmp).count()
+    os.replace(tmp, batch_dir)
+
+    for f in new:
+        man["fragments"][f] = frags[f]
+    man["batches"].append({"batch": batch_id, "fragments": new,
+                           "edges": n_edges})
+    mp = _manifest_path(state_dir)
+    with open(mp + ".tmp", "w") as fh:
+        json.dump(man, fh)
+    os.replace(mp + ".tmp", mp)
+    return {"new_fragments": len(new), "new_edges": n_edges,
+            "batch_dir": batch_dir}
+
+
+def edges_so_far(state_dir: str) -> rd.Dataset:
+    """Union of all committed edge batches (globally deduped)."""
+    from ray.data.aggregate import Sum
+    man = _load_manifest(state_dir)
+    dirs = [os.path.join(state_dir, "edges", f"batch={b['batch']}")
+            for b in man["batches"]]
+    if not dirs:
+        import pyarrow as pa
+        return rd.from_arrow(pa.schema(
+            [("src", pa.int64()), ("dst", pa.int64()),
+             ("src_repo", pa.string()), ("dst_repo", pa.string()),
+             ("multiplicity", pa.int64())]).empty_table())
+    ds = rd.read_parquet(dirs)
+    return (ds.groupby(["src", "dst", "src_repo", "dst_repo"])
+            .aggregate(Sum("multiplicity", alias_name="multiplicity")))

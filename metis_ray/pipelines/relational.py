@@ -235,6 +235,32 @@ def events_with_prev(sf_dir: str) -> rd.Dataset:
     return ev.groupby("user_id").map_groups(lag, batch_format="pandas")
 
 
+def events_sessionize(sf_dir: str, *, gap_minutes: int = 30) -> rd.Dataset:
+    """Session windows (streaming-shaped): per user, a new session starts
+    when the gap to the previous event exceeds ``gap_minutes``. Grouped
+    per-session rollup (user_id, session_id, n_events, sum_value).
+    Ordering assumption: ts strictly increasing per user within the table
+    (holds for the generated events). The reference's positional brackets
+    (PIR..PRR part windows, ``stdf2ph5.py:390-420``) are the analogous
+    'window by ordered scan' semantics."""
+    ev = read_table(sf_dir, "events", columns=["ts", "user_id", "value"])
+    gap_us = gap_minutes * 60_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        us = g["ts"].astype("int64")
+        brk = (us.diff().fillna(gap_us + 1) > gap_us).astype("int64")
+        sid = brk.cumsum()
+        out = pd.DataFrame({"user_id": g["user_id"], "session_id": sid,
+                            "value": g["value"]})
+        r = out.groupby(["user_id", "session_id"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum"))
+        r["sum_value"] = r["sum_value"].round(2)
+        return r
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
 def orders_status_counts(sf_dir: str) -> rd.Dataset:
     """Grouped counting (the reference's rec_count per record type,
     ``stdf2ph5.py:385-388``): orders per status. (o_orderstatus, n)."""

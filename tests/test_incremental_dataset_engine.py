@@ -1,0 +1,88 @@
+"""Incremental ingest idempotence + Dataset-engine PageRank parity."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from metis_ray.graph.dataset_engine import (degree_histogram, hot_vertices,
+                                            pagerank_dataset)
+from metis_ray.pipelines.incremental import edges_so_far, ingest_increment
+from metis_ray.pipelines.linkgraph import graph_vertices, ingest
+
+
+def test_incremental_matches_batch(tiny_corpus_dir, tmp_path):
+    # stage fragments one at a time into a fresh corpus dir
+    src = os.path.join(tiny_corpus_dir, "corpus")
+    frags = sorted(os.listdir(src))
+    cd = str(tmp_path / "corpus_inc")
+    os.makedirs(os.path.join(cd, "corpus"))
+    state = str(tmp_path / "state")
+
+    # first increment: first fragment only
+    shutil.copy(os.path.join(src, frags[0]), os.path.join(cd, "corpus", frags[0]))
+    info1 = ingest_increment(cd, state)
+    assert info1["new_fragments"] == 1 and info1["new_edges"] > 0
+
+    # no-op re-run (the "already imported => nothing to do" contract)
+    info2 = ingest_increment(cd, state)
+    assert info2 == {"new_fragments": 0, "new_edges": 0, "batch_dir": None}
+
+    # remaining fragments arrive
+    for f in frags[1:]:
+        shutil.copy(os.path.join(src, f), os.path.join(cd, "corpus", f))
+    info3 = ingest_increment(cd, state)
+    assert info3["new_fragments"] == len(frags) - 1
+
+    # union equals the one-shot batch ingest edge set
+    inc = edges_so_far(state).to_pandas()
+    batch = ingest(tiny_corpus_dir).edges_file.to_pandas()
+    assert set(zip(inc["src"], inc["dst"])) == set(zip(batch["src"], batch["dst"]))
+
+
+@pytest.fixture(scope="module")
+def tiny_ingest(tiny_corpus_dir):
+    return ingest(tiny_corpus_dir)
+
+
+def test_dataset_engine_matches_networkx(tiny_ingest, tiny_corpus_dir):
+    from networkx.algorithms.link_analysis.pagerank_alg import _pagerank_python
+    import networkx as nx
+
+    ranks, epochs = pagerank_dataset(
+        tiny_ingest.edges_file, graph_vertices(tiny_ingest.files),
+        alpha=0.85, tol=1e-9, max_iter=200)
+    got = dict(zip(*[ranks.to_pandas()[c] for c in ("v", "rank")]))
+
+    golden = pq.read_table(os.path.join(tiny_corpus_dir,
+                                        "golden_edges_file.parquet"))
+    g = nx.DiGraph()
+    g.add_nodes_from(got.keys())
+    g.add_edges_from(zip(golden["src"].to_pylist(), golden["dst"].to_pylist()))
+    want = _pagerank_python(g, alpha=0.85, tol=1e-9, max_iter=1000)
+    a = np.array([got[v] for v in sorted(got)])
+    b = np.array([want[v] for v in sorted(got)])
+    np.testing.assert_allclose(a, b, atol=1e-6, rtol=0)
+
+
+def test_dataset_engine_salted_equals_unsalted(tiny_ingest):
+    verts = graph_vertices(tiny_ingest.files)
+    hot = set(hot_vertices(tiny_ingest.edges_file, top_k=8))
+    r1, _ = pagerank_dataset(tiny_ingest.edges_file, verts, max_iter=5, tol=0.0)
+    r2, _ = pagerank_dataset(tiny_ingest.edges_file, verts, max_iter=5, tol=0.0,
+                             hot_keys=hot, salt=4)
+    a = r1.to_pandas().sort_values("v")["rank"].to_numpy()
+    b = r2.to_pandas().sort_values("v")["rank"].to_numpy()
+    np.testing.assert_allclose(a, b, atol=1e-12, rtol=0)
+
+
+def test_degree_histogram_reconciles(tiny_ingest):
+    hist = degree_histogram(tiny_ingest.edges_file).to_pandas()
+    edges = tiny_ingest.edges_file.to_pandas()
+    import collections
+    indeg = collections.Counter(edges["dst"])
+    want = collections.Counter(indeg.values())
+    got = dict(zip(hist["degree"], hist["n_vertices"]))
+    assert got == dict(want)
