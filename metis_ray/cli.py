@@ -1,0 +1,108 @@
+"""CLI driver — the ``stdf2ph5 main()`` analogue (reference S6:
+``Metis/tools/stdf2ph5.py:575-608``: validate args -> convert -> report).
+
+    python -m metis_ray.cli ingest  --corpus DIR --out DIR
+    python -m metis_ray.cli graph   --corpus DIR --workdir DIR --algo pagerank
+                                    [--p 8] [--ckpt DIR] [--resume]
+    python -m metis_ray.cli bench-graph --sf-dir DIR --p 8
+
+Owns its Ray session (guarded init, shutdown at exit) — library code never
+does (driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "ignore_reinit_error": True, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    return ray
+
+
+def cmd_ingest(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from metis_ray.pipelines.linkgraph import ingest
+    res = ingest(args.corpus, collect_stats=True)
+    res.edges_file.write_parquet(f"{args.out}/edges_file")
+    res.edges_repo.write_parquet(f"{args.out}/edges_repo")
+    res.files.write_parquet(f"{args.out}/files")
+    print(json.dumps({"stats": res.stats, "out": args.out}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_graph(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from metis_ray.graph import ALGORITHM_DIRECTED, run_algorithm
+    from metis_ray.pipelines.linkgraph import build_linkgraph
+    directed = ALGORITHM_DIRECTED[args.algo]
+    gdir = build_linkgraph(args.corpus, args.workdir, args.p, directed=directed)
+    kwargs = {}
+    if args.ckpt:
+        kwargs.update(ckpt_dir=args.ckpt, resume=args.resume)
+    stats, table = run_algorithm(args.algo, gdir, **kwargs)
+    out = f"{args.workdir}/result_{args.algo}"
+    import pyarrow.parquet as pq
+    import os
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(table, f"{out}/part-0.parquet")
+    print(json.dumps({
+        "algorithm": stats.algorithm, "epochs": stats.epochs,
+        "converged": stats.converged,
+        "supersteps_per_sec": round(stats.supersteps_per_sec, 3),
+        "edges": stats.total_edges, "vertices": stats.total_vertices,
+        "result": out,
+    }))
+    ray.shutdown()
+    return 0
+
+
+def cmd_bench_graph(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    from metis_ray.benchgraph import bench_graph_dir
+    g = bench_graph_dir(args.sf_dir, args.p)
+    print(json.dumps({"graph_dir": g}))
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="metis_ray")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p1 = sub.add_parser("ingest", help="corpus -> files + edge tables")
+    p1.add_argument("--corpus", required=True)
+    p1.add_argument("--out", required=True)
+    p1.set_defaults(fn=cmd_ingest)
+
+    p2 = sub.add_parser("graph", help="run a graph algorithm end-to-end")
+    p2.add_argument("--corpus", required=True)
+    p2.add_argument("--workdir", required=True)
+    p2.add_argument("--algo", choices=["pagerank", "components", "labelprop"],
+                    default="pagerank")
+    p2.add_argument("--p", type=int, default=8)
+    p2.add_argument("--ckpt", default=None)
+    p2.add_argument("--resume", action="store_true")
+    p2.set_defaults(fn=cmd_graph)
+
+    p3 = sub.add_parser("bench-graph", help="materialize a bench graph")
+    p3.add_argument("--sf-dir", required=True)
+    p3.add_argument("--p", type=int, default=8)
+    p3.set_defaults(fn=cmd_bench_graph)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

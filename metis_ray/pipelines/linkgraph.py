@@ -73,6 +73,16 @@ def raw_resolved(corpus: rd.Dataset, symbols_ref, *, concurrency=None) -> rd.Dat
 
     Extraction (regex scanning over content) dominates; resolution is a dict
     probe — its pool is half the size."""
+    cpu = int(ray.cluster_resources().get("CPU", 8))
+    if cpu < 4:
+        # tiny cluster: two actor pools + read tasks would starve each other
+        # (pool CPUs are reserved); fall back to stateless task stages —
+        # state is rebuilt per task, acceptable at tiny scale by definition
+        ex = validated(corpus).map_batches(
+            EdgeExtractor(), batch_format="pyarrow", zero_copy_batch=True)
+        return ex.map_batches(
+            ResolveEdges(symbols_ref), batch_format="pyarrow",
+            zero_copy_batch=True)
     if concurrency is None:
         concurrency = _default_concurrency()
     ex = validated(corpus).map_batches(
