@@ -147,6 +147,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "events_with_prev": relational.events_with_prev,
         "events_sessionize": relational.events_sessionize,
+        "orders_last_event": relational.orders_last_event,
+        "events_last_order": relational.events_last_order,
+        "events_approx_users": relational.events_approx_users,
         "orders_status_counts": relational.orders_status_counts,
         "part_brand_stats": relational.part_brand_stats,
         "nation_union": relational.supplier_customer_nation_union,
@@ -251,6 +254,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
             FROM s GROUP BY user_id, session_id
+        """,
+        "orders_last_event": """
+            SELECT o_orderkey,
+                   coalesce((SELECT epoch_us(e.ts) FROM events e
+                             WHERE e.user_id = o_custkey AND e.ts <= o_orderdate
+                             ORDER BY e.ts DESC LIMIT 1), -1) AS last_event_ts,
+                   coalesce((SELECT round(e.value, 2) FROM events e
+                             WHERE e.user_id = o_custkey AND e.ts <= o_orderdate
+                             ORDER BY e.ts DESC LIMIT 1), -1.0) AS last_event_value
+            FROM orders
+        """,
+        "events_last_order": """
+            SELECT event_id,
+                   coalesce((SELECT o.o_orderkey FROM orders o
+                             WHERE o.o_custkey = e.user_id
+                               AND o.o_orderdate <= e.ts
+                             ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                             LIMIT 1), -1) AS last_order_key,
+                   coalesce((SELECT round(o.o_totalprice, 2) FROM orders o
+                             WHERE o.o_custkey = e.user_id
+                               AND o.o_orderdate <= e.ts
+                             ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                             LIMIT 1), -1.0) AS last_order_total
+            FROM events e
         """,
         "orders_status_counts": """
             SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus

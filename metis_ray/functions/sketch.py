@@ -1,0 +1,59 @@
+"""Mergeable sketches: HyperLogLog approximate-distinct (Flajolet et al.).
+
+The scale pattern (ray guide "Aggregation at scale"): emit one serialized
+sketch per batch inside ``map_batches``, merge the tiny partials in a final
+grouped stage — sketches are designed to be mergeable, so the shuffle moves
+kilobytes regardless of input cardinality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from metis_ray.functions.hashing import hash64
+
+P_BITS = 12
+M = 1 << P_BITS
+_ALPHA = 0.7213 / (1 + 1.079 / M)
+
+
+def hll_new() -> np.ndarray:
+    return np.zeros(M, dtype=np.uint8)
+
+
+def hll_add_values(reg: np.ndarray, values) -> np.ndarray:
+    """Fold a batch of values (strings or ints) into the register array."""
+    if len(values) == 0:
+        return reg
+    if isinstance(values[0], (int, np.integer)):
+        h = np.asarray(values, dtype=np.int64).astype(np.uint64)
+        # avalanche integer keys (splitmix-style) so low-entropy ids spread
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+    else:
+        h = hash64([str(v) for v in values]).astype(np.uint64)
+    idx = (h >> np.uint64(64 - P_BITS)).astype(np.int64)
+    rest = (h << np.uint64(P_BITS)) | np.uint64((1 << P_BITS) - 1)
+    # rank = count-leading-zeros(rest) + 1, vectorized binary reduction
+    lz = np.zeros(len(rest), dtype=np.uint8)
+    cur = rest.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = cur < (np.uint64(1) << np.uint64(64 - s))   # top s bits all zero
+        lz[m] += s
+        cur[m] = cur[m] << np.uint64(s)
+    rank = lz + 1
+    np.maximum.at(reg, idx, rank)
+    return reg
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+def hll_estimate(reg: np.ndarray) -> float:
+    est = _ALPHA * M * M / np.power(2.0, -reg.astype(np.float64)).sum()
+    zeros = int((reg == 0).sum())
+    if est <= 2.5 * M and zeros:
+        est = M * np.log(M / zeros)      # linear counting for small ranges
+    return float(est)

@@ -261,6 +261,141 @@ def events_sessionize(sf_dir: str, *, gap_minutes: int = 30) -> rd.Dataset:
     return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+def orders_last_event(sf_dir: str) -> rd.Dataset:
+    """AS-OF JOIN: for each order, the user's latest event at or before the
+    order date. The portable Ray Data shape (per the as-of pattern): tag both
+    sides, union on a common schema, hash-partition by key, per-key ordered
+    merge inside map_groups (events processed before orders at equal ts so
+    ties count). Output (o_orderkey, last_event_ts, last_event_value) with
+    -1 sentinels when no prior event exists (keeps the column non-null so the
+    SQL twin hashes identically)."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    events = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(t["o_custkey"], pa.int64()),
+            "ts": pc.cast(t["o_orderdate"], pa.int64()),
+            "tag": pa.array(np.ones(t.num_rows, np.int8)),
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "value": pa.array(np.full(t.num_rows, np.nan), pa.float64()),
+        })
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(t["user_id"], pa.int64()),
+            "ts": pc.cast(t["ts"], pa.int64()),
+            "tag": pa.array(np.zeros(t.num_rows, np.int8)),
+            "o_orderkey": pa.array(np.full(t.num_rows, -1), pa.int64()),
+            "value": t["value"],
+        })
+
+    u = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        events.map_batches(tag_events, batch_format="pyarrow"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "tag"], kind="mergesort")
+        out_key, out_ts, out_val = [], [], []
+        last_ts, last_val = -1, -1.0
+        for ts, tag, ok, val in zip(g["ts"], g["tag"], g["o_orderkey"], g["value"]):
+            if tag == 0:
+                last_ts, last_val = int(ts), float(val)
+            else:
+                out_key.append(int(ok))
+                out_ts.append(last_ts)
+                out_val.append(round(last_val, 2))
+        return pd.DataFrame({"o_orderkey": out_key,
+                             "last_event_ts": out_ts,
+                             "last_event_value": out_val})
+
+    return u.groupby("key").map_groups(merge, batch_format="pandas")
+
+
+def events_last_order(sf_dir: str) -> rd.Dataset:
+    """AS-OF JOIN, positive direction for this dataset: for each event, the
+    user's most recent order at or before the event time (events are dated
+    after the orders, so nearly every event has a match — exercises the
+    carry-forward branch the other direction can't). Output
+    (event_id, last_order_key, last_order_total)."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                 "o_totalprice"])
+    events = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(t["o_custkey"], pa.int64()),
+            "ts": pc.cast(t["o_orderdate"], pa.int64()),
+            "tag": pa.array(np.zeros(t.num_rows, np.int8)),
+            "rid": pc.cast(t["o_orderkey"], pa.int64()),
+            "val": t["o_totalprice"],
+        })
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(t["user_id"], pa.int64()),
+            "ts": pc.cast(t["ts"], pa.int64()),
+            "tag": pa.array(np.ones(t.num_rows, np.int8)),
+            "rid": pc.cast(t["event_id"], pa.int64()),
+            "val": pa.array(np.full(t.num_rows, np.nan), pa.float64()),
+        })
+
+    u = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        events.map_batches(tag_events, batch_format="pyarrow"))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # at equal ts the order (tag 0) is processed first, so <= semantics
+        # hold; ties among orders at the same ts resolve to the larger
+        # o_orderkey (matches the SQL twin's ORDER BY ts DESC, o_orderkey
+        # DESC LIMIT 1 via stable sort)
+        g = g.sort_values(["ts", "tag", "rid"], kind="mergesort")
+        out_e, out_k, out_v = [], [], []
+        last_k, last_v = -1, -1.0
+        for tag, rid, val in zip(g["tag"], g["rid"], g["val"]):
+            if tag == 0:
+                last_k, last_v = int(rid), round(float(val), 2)
+            else:
+                out_e.append(int(rid))
+                out_k.append(last_k)
+                out_v.append(last_v)
+        return pd.DataFrame({"event_id": out_e, "last_order_key": out_k,
+                             "last_order_total": out_v})
+
+    return u.groupby("key").map_groups(merge, batch_format="pandas")
+
+
+def events_approx_users(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct users per event type via a mergeable HLL sketch:
+    one 4KB register array per (batch, type) partial, merged per type —
+    shuffle bytes independent of cardinality (the sketch pattern for 100 TB
+    aggregation). Output (event_type, approx_users). Accuracy ~2% at
+    2^12 registers (tested vs exact within 5%)."""
+    from metis_ray.functions.sketch import (hll_add_values, hll_estimate,
+                                            hll_merge, hll_new)
+    ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        rows = []
+        for et, g in df.groupby("event_type"):
+            reg = hll_add_values(hll_new(), g["user_id"].to_numpy())
+            rows.append({"event_type": et, "reg": reg.tobytes()})
+        out = pd.DataFrame(rows)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        reg = hll_new()
+        for b in g["reg"]:
+            reg = hll_merge(reg, np.frombuffer(b, dtype=np.uint8))
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "approx_users": [int(round(hll_estimate(reg)))]})
+
+    return (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type").map_groups(final, batch_format="pandas")
+            .to_pandas().sort_values("event_type").reset_index(drop=True))
+
+
 def orders_status_counts(sf_dir: str) -> rd.Dataset:
     """Grouped counting (the reference's rec_count per record type,
     ``stdf2ph5.py:385-388``): orders per status. (o_orderstatus, n)."""
