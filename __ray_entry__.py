@@ -102,7 +102,7 @@ def _q_triangles(sf_dir: str):
     from metis_ray.graph.triangles import triangle_counts
     from metis_ray.pipelines.linkgraph import ingest
     edges = ingest(_corpus_dir(sf_dir)).edges_file
-    return (triangle_counts(edges, num_partitions=4).to_pandas()
+    return (triangle_counts(edges).to_pandas()
             .sort_values("v").reset_index(drop=True))
 
 

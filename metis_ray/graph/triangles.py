@@ -70,14 +70,40 @@ def _adjacency(oriented: rd.Dataset) -> rd.Dataset:
     return oriented.groupby("u").map_groups(to_list, batch_format="pyarrow")
 
 
-def triangle_counts(edges: rd.Dataset, *, num_partitions: int = 16
-                    ) -> rd.Dataset:
-    """Per-vertex triangle counts: (v: uint64, triangles: int64).
+def triangle_counts(edges: rd.Dataset, *, num_partitions: int | None = None,
+                    strategy: str = "auto",
+                    broadcast_max_edges: int = 20_000_000) -> rd.Dataset:
+    """Per-vertex triangle counts: (v: int64, triangles: int64).
 
     Only vertices with >= 1 triangle appear; absent vertices have 0 (join
     with the vertex table to densify if needed). Global count =
-    ``total_triangles(result)``."""
+    ``total_triangles(result)``.
+
+    Two physical strategies (same semantics, tested equal):
+
+    * ``broadcast`` — the oriented adjacency (bounded O(sqrt(E)) out-degree)
+      is built once, ``ray.put`` once, and every batch of oriented edges
+      intersects against it in ``map_batches``. No joins; the fast path
+      whenever the oriented adjacency fits in memory.
+    * ``join`` — two hash-partitioned ``Dataset.join``s attach the
+      serialized adjacency to each edge endpoint: the 10^12-edge path where
+      nothing is broadcastable.
+
+    ``auto`` picks broadcast below ``broadcast_max_edges`` canonical edges.
+    """
+    import ray as _ray
+    if num_partitions is None:
+        # join aggregator actors must FIT the cluster: more partitions than
+        # available CPUs leaves aggregators pending forever (a deadlock, not
+        # slowness)
+        num_partitions = max(2, min(16, int(
+            _ray.cluster_resources().get("CPU", 8)) - 2))
     canon = canonical_edges(edges).materialize()
+    if strategy == "auto":
+        strategy = ("broadcast" if canon.count() <= broadcast_max_edges
+                    else "join")
+    if strategy == "broadcast":
+        return _triangles_broadcast(canon)
     deg = _degrees(canon)
 
     e1 = canon.join(deg.rename_columns({"v": "src", "deg": "deg_src"}),
@@ -129,6 +155,59 @@ def triangle_counts(edges: rd.Dataset, *, num_partitions: int = 16
     per_vertex = (credits.map_batches(partial, batch_format="pyarrow")
                   .groupby("v").aggregate(Sum("triangles", alias_name="triangles")))
     return per_vertex
+
+
+def _triangles_broadcast(canon: rd.Dataset) -> rd.Dataset:
+    """Broadcast-adjacency strategy: degree-orient locally, broadcast the
+    CSR-shaped oriented adjacency, intersect per batch."""
+    import ray
+
+    parts = [t for t in (ray.get(r) for r in canon.to_arrow_refs())
+             if t.num_rows]
+    tbl = pa.concat_tables(parts) if parts else pa.table(
+        {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    a = tbl["src"].to_numpy(zero_copy_only=False)
+    b = tbl["dst"].to_numpy(zero_copy_only=False)
+    verts, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[:len(a)], inv[len(a):]
+    deg = np.bincount(ai, minlength=len(verts)) + np.bincount(bi, minlength=len(verts))
+    # orient low (deg, id) -> high, in compact index space
+    fwd = (deg[ai] < deg[bi]) | ((deg[ai] == deg[bi]) & (ai < bi))
+    u = np.where(fwd, ai, bi)
+    v = np.where(fwd, bi, ai)
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    indptr = np.zeros(len(verts) + 1, dtype=np.int64)
+    np.cumsum(np.bincount(u, minlength=len(verts)), out=indptr[1:])
+    ref = ray.put((verts, indptr, v))
+
+    oriented = rd.from_arrow(pa.table({
+        "u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64())}))
+
+    def intersect(batch: pa.Table) -> pa.Table:
+        vv, ip, adj = ray.get(ref)
+        us = batch["u"].to_numpy(zero_copy_only=False)
+        vs = batch["v"].to_numpy(zero_copy_only=False)
+        o_v: list[int] = []
+        o_c: list[int] = []
+        for x, y in zip(us, vs):
+            na = adj[ip[x]:ip[x + 1]]
+            nb = adj[ip[y]:ip[y + 1]]
+            common = np.intersect1d(na, nb, assume_unique=True)
+            k = len(common)
+            if k == 0:
+                continue
+            o_v.append(int(vv[x])); o_c.append(k)
+            o_v.append(int(vv[y])); o_c.append(k)
+            o_v.extend(int(vv[w]) for w in common)
+            o_c.extend([1] * k)
+        t = pa.table({"v": pa.array(o_v, pa.int64()),
+                      "triangles": pa.array(o_c, pa.int64())})
+        g = t.group_by("v").aggregate([("triangles", "sum")])
+        return g.select(["v", "triangles_sum"]).rename_columns(["v", "triangles"])
+
+    return (oriented.map_batches(intersect, batch_format="pyarrow")
+            .groupby("v").aggregate(Sum("triangles", alias_name="triangles")))
 
 
 def total_triangles(per_vertex: rd.Dataset) -> int:

@@ -69,7 +69,7 @@ def ingest_increment(corpus_dir: str, state_dir: str, *,
         read_corpus(corpus_dir, columns=["repo", "path"])))
     new_ds = rd.read_parquet([os.path.join(frag_dir, f) for f in new])
     edges = dedup_edges(raw_resolved(new_ds, symbols_ref,
-                                     concurrency=concurrency))
+                                     concurrency=concurrency), symbols_ref)
 
     batch_id = len(man["batches"])
     batch_dir = os.path.join(state_dir, "edges", f"batch={batch_id}")

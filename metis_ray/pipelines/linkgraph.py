@@ -32,6 +32,22 @@ from metis_ray.stages.validate import ValidateAndChecksum
 
 EDGE_KEYS = ["src", "dst", "src_repo", "dst_repo"]
 
+_REPO_MAP_CACHE: dict = {}
+
+
+def _repo_map_cached(symbols_ref) -> dict:
+    """vertex id -> repo name, built once per worker process from the
+    broadcast symbol table (zero-copy plasma read)."""
+    key = symbols_ref.hex() if hasattr(symbols_ref, "hex") else id(symbols_ref)
+    m = _REPO_MAP_CACHE.get(key)
+    if m is None:
+        symbols: pa.Table = ray.get(symbols_ref)
+        m = dict(zip(symbols["dst"].to_numpy(zero_copy_only=False),
+                     symbols["dst_repo"].to_pylist()))
+        _REPO_MAP_CACHE.clear()
+        _REPO_MAP_CACHE[key] = m
+    return m
+
 
 def validated(corpus: rd.Dataset) -> rd.Dataset:
     """corpus + (sha256, quarantined) columns — one streaming pass."""
@@ -56,7 +72,7 @@ def files_table(corpus: rd.Dataset) -> rd.Dataset:
 
 def _local_distinct(batch: pa.Table) -> pa.Table:
     """Per-batch pre-dedup (combiner before the shuffle)."""
-    return batch.group_by(EDGE_KEYS).aggregate([]).rename_columns(EDGE_KEYS)
+    return batch.group_by(["src", "dst"]).aggregate([])
 
 
 def _default_concurrency() -> int:
@@ -90,20 +106,41 @@ def raw_resolved(corpus: rd.Dataset, symbols_ref, *, concurrency=None) -> rd.Dat
         concurrency=concurrency)
     return ex.map_batches(
         ResolveEdges, batch_format="pyarrow", zero_copy_batch=True,
-        fn_constructor_args=(symbols_ref,), concurrency=max(1, concurrency // 2))
+        fn_constructor_args=((symbols_ref,),),   # boxed: see ResolveEdges
+        concurrency=max(1, concurrency // 2))
 
 
-def dedup_edges(resolved: rd.Dataset) -> rd.Dataset:
+def dedup_edges(resolved: rd.Dataset, symbols_ref=None) -> rd.Dataset:
     """Exact dedup = hash-partition by (src,dst) + per-group count.
 
     Output: src, dst, src_repo, dst_repo, multiplicity. Pre-distinct per
     batch cuts shuffle volume (the reference dedups imports by exact name,
-    ``HDF5Helper.py:53-69``; here the key is the edge identity)."""
+    ``HDF5Helper.py:53-69``; here the key is the edge identity). The
+    shuffle is int-keyed only; repo name strings re-attach afterwards from
+    the broadcast vertex->repo map when ``symbols_ref`` is given."""
     kept = resolved.map_batches(
-        lambda t: t.filter(t["resolved"]).select(EDGE_KEYS),
+        lambda t: t.filter(t["resolved"]).select(["src", "dst"]),
         batch_format="pyarrow")
     pre = kept.map_batches(_local_distinct, batch_format="pyarrow")
-    return pre.groupby(EDGE_KEYS).aggregate(Count(alias_name="multiplicity"))
+    deduped = pre.groupby(["src", "dst"]).aggregate(
+        Count(alias_name="multiplicity"))
+    if symbols_ref is None:
+        return deduped
+
+    # stateless tasks (NOT another actor pool — a third pool would starve
+    # small clusters) with a per-worker-process cache of the vertex->repo map
+    def attach(batch: pa.Table) -> pa.Table:
+        rp = _repo_map_cached(symbols_ref)
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": batch["src"], "dst": batch["dst"],
+            "src_repo": pa.array([rp[x] for x in s], pa.string()),
+            "dst_repo": pa.array([rp[x] for x in d], pa.string()),
+            "multiplicity": batch["multiplicity"],
+        })
+
+    return deduped.map_batches(attach, batch_format="pyarrow")
 
 
 def repo_edges(edges_file: rd.Dataset) -> rd.Dataset:
@@ -180,7 +217,7 @@ def ingest(corpus_dir: str, *, concurrency=None, collect_stats: bool = False) ->
     symbols_ref = ray.put(build_symbol_table(
         read_corpus(corpus_dir, columns=["repo", "path"])))
     resolved = raw_resolved(corpus, symbols_ref, concurrency=concurrency)
-    edges = dedup_edges(resolved)
+    edges = dedup_edges(resolved, symbols_ref)
     redges = repo_edges(edges)
 
     stats: dict = {}

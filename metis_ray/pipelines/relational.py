@@ -90,9 +90,9 @@ def q3_top_orders(sf_dir: str, *, segment: str = "BUILDING",
                     columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     co = orders.join(cust.rename_columns({"c_custkey": "o_custkey"}),
-                     join_type="inner", num_partitions=8, on=("o_custkey",))
+                     join_type="inner", num_partitions=max(2, min(8, int(ray.cluster_resources().get("CPU", 8)) - 2)), on=("o_custkey",))
     col = li.join(co.rename_columns({"o_orderkey": "l_orderkey"}),
-                  join_type="inner", num_partitions=8, on=("l_orderkey",))
+                  join_type="inner", num_partitions=max(2, min(8, int(ray.cluster_resources().get("CPU", 8)) - 2)), on=("l_orderkey",))
 
     def rev(batch: pa.Table) -> pa.Table:
         r = pc.multiply(batch["l_extendedprice"],

@@ -74,7 +74,15 @@ class ResolveEdges:
     """
 
     def __init__(self, symbols_ref) -> None:
-        symbols: pa.Table = ray.get(symbols_ref)
+        # the ref arrives BOXED in a tuple: a bare ObjectRef constructor arg
+        # makes Ray keep restart-capable pool actors alive after the dataset
+        # completes (ray issue #53727) — the leaked actors pin their CPU
+        # reservations and starve every later shuffle into deadlock
+        if isinstance(symbols_ref, tuple):
+            symbols_ref = symbols_ref[0]
+        symbols: pa.Table = (ray.get(symbols_ref)
+                             if isinstance(symbols_ref, ray.ObjectRef)
+                             else symbols_ref)
         mods = symbols["module"].to_pylist()
         dsts = symbols["dst"].to_numpy(zero_copy_only=False)
         repos = symbols["dst_repo"].to_pylist()
@@ -85,11 +93,9 @@ class ResolveEdges:
         mods = batch["module"].to_pylist()
         langs = batch["lang"].to_pylist()
         srcs = batch["src"].to_numpy(zero_copy_only=False)
-        srepos = batch["src_repo"].to_pylist()
 
         n = len(mods)
         o_dst = np.zeros(n, dtype=np.int64)
-        o_drepo: list[str | None] = [None] * n
         resolved = np.zeros(n, dtype=bool)
         for i, (src, lang, mod) in enumerate(zip(srcs, langs, mods)):
             hit = table.get(mod)
@@ -97,17 +103,17 @@ class ResolveEdges:
                 hit = table.get(mod.rsplit(".", 1)[0])
             if hit is None:
                 continue
-            dst, drepo = hit
+            dst, _ = hit
             if dst == src:      # self-edge: dropped (M9 row-filter analogue)
                 continue
             o_dst[i] = dst
-            o_drepo[i] = drepo
             resolved[i] = True
 
+        # repos are NOT carried here: the dedup shuffle stays (src, dst)
+        # int-keyed; repo names re-attach after dedup from the broadcast
+        # vertex->repo map (strings never enter the wide shuffle)
         return pa.table({
             "src": pa.array(srcs, pa.int64()),
             "dst": pa.array(o_dst, pa.int64()),
-            "src_repo": pa.array(srepos, pa.string()),
-            "dst_repo": pa.array(o_drepo, pa.string()),
             "resolved": pa.array(resolved),
         })

@@ -151,13 +151,13 @@ def test_label_propagation_matches_oracle(und_graph, golden, vertex_ids):
 
 
 def test_triangles_match_networkx(ingested, nxg):
-    per_vertex = triangle_counts(ingested.edges_file, num_partitions=4)
+    per_vertex = triangle_counts(ingested.edges_file)
     tbl = per_vertex.to_pandas()
     got = dict(zip(tbl["v"], tbl["triangles"]))
     want = nx.triangles(nxg.to_undirected())
     for v, t in want.items():
         assert got.get(v, 0) == t, v
-    assert total_triangles(triangle_counts(ingested.edges_file, num_partitions=4)) \
+    assert total_triangles(triangle_counts(ingested.edges_file)) \
         == sum(want.values()) // 3
 
 
@@ -204,3 +204,13 @@ def test_checkpoint_resume_identical(dir_graph, tmp_path):
         r4.shutdown()
     a = np.array([again[v] for v in sorted(full)])
     np.testing.assert_allclose(a, w, atol=1e-7, rtol=0)
+
+
+def test_triangles_strategies_agree(ingested, nxg):
+    want = nx.triangles(nxg.to_undirected())
+    for strat in ("broadcast", "join"):
+        pv = triangle_counts(ingested.edges_file,
+                             strategy=strat).to_pandas()
+        got = dict(zip(pv["v"], pv["triangles"]))
+        for v, t in want.items():
+            assert got.get(v, 0) == t, (strat, v)
