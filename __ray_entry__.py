@@ -31,12 +31,13 @@ def _corpus_dir(sf_dir: str) -> str:
 
 
 def _graph_dir(sf_dir: str, directed: bool) -> str:
-    from metis_ray.corpus import scale_for_sf_dir
+    from metis_ray.corpus import _FORMAT_VERSION, scale_for_sf_dir
     from metis_ray.pipelines.linkgraph import build_linkgraph
     spec = scale_for_sf_dir(sf_dir)
     key = (spec.name, directed)
     if key not in _GRAPH_CACHE:
-        wd = f"/tmp/metis_ray_graphs/{spec.name}"
+        # fmt in the path: a regenerated corpus must not reuse stale graphs
+        wd = f"/tmp/metis_ray_graphs/{spec.name}_fmt{_FORMAT_VERSION}"
         _GRAPH_CACHE[key] = build_linkgraph(
             _corpus_dir(sf_dir), wd, P=4, directed=directed)
     return _GRAPH_CACHE[key]

@@ -92,22 +92,38 @@ def build_graph_dir(edges: rd.Dataset, vertices: rd.Dataset, out_dir: str,
 
     ``directed=False`` symmetrizes first (CC / label propagation).
     ``partition='range'`` (with ``id_bound`` = max vertex id + 1) range-
-    partitions a community-ordered id space — see ``pid_of``."""
-    os.makedirs(out_dir, exist_ok=True)
+    partitions a community-ordered id space — see ``pid_of``.
+
+    Idempotent + atomic: a directory with a complete ``graph_meta.json`` is
+    reused as-is; otherwise the layout is built in a ``.tmp`` sibling and
+    renamed into place. (Ray's ``write_parquet`` APPENDS part files into an
+    existing directory — rebuilding in place would silently duplicate every
+    edge and vertex.)"""
+    if os.path.exists(os.path.join(out_dir, "graph_meta.json")):
+        return out_dir
+    tmp = out_dir + ".tmp"
+    if os.path.exists(tmp):
+        import shutil
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
     e = edges.select_columns(["src", "dst"])
     if not directed:
         e = symmetrized(e)
     e = e.map_batches(_with_pid("src", P, partition, id_bound),
                       batch_format="pyarrow")
-    e.write_parquet(os.path.join(out_dir, "edges"), partition_cols=["pid"])
+    e.write_parquet(os.path.join(tmp, "edges"), partition_cols=["pid"])
 
     v = vertices.select_columns(["vertex_id"]).map_batches(
         _with_pid("vertex_id", P, partition, id_bound), batch_format="pyarrow")
-    v.write_parquet(os.path.join(out_dir, "vertices"), partition_cols=["pid"])
+    v.write_parquet(os.path.join(tmp, "vertices"), partition_cols=["pid"])
 
-    with open(os.path.join(out_dir, "graph_meta.json"), "w") as fh:
+    with open(os.path.join(tmp, "graph_meta.json"), "w") as fh:
         json.dump({"P": P, "directed": directed, "partition": partition,
                    "id_bound": id_bound}, fh)
+    if os.path.exists(out_dir):
+        import shutil
+        shutil.rmtree(out_dir)
+    os.replace(tmp, out_dir)
     return out_dir
 
 
