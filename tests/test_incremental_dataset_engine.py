@@ -86,3 +86,24 @@ def test_degree_histogram_reconciles(tiny_ingest):
     want = collections.Counter(indeg.values())
     got = dict(zip(hist["degree"], hist["n_vertices"]))
     assert got == dict(want)
+
+
+def test_dataset_engine_components_exact(tiny_ingest, tiny_corpus_dir):
+    import networkx as nx
+    from metis_ray.graph.dataset_engine import components_dataset
+
+    labels_ds, epochs = components_dataset(
+        tiny_ingest.edges_file, graph_vertices(tiny_ingest.files))
+    got = dict(zip(*[labels_ds.to_pandas()[c] for c in ("v", "label")]))
+
+    golden = pq.read_table(os.path.join(tiny_corpus_dir,
+                                        "golden_edges_file.parquet"))
+    g = nx.Graph()
+    g.add_nodes_from(got.keys())
+    g.add_edges_from(zip(golden["src"].to_pylist(), golden["dst"].to_pylist()))
+    want = {}
+    for comp in nx.connected_components(g):
+        rep = min(comp)
+        for v in comp:
+            want[v] = rep
+    assert got == want
