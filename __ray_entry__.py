@@ -252,7 +252,8 @@ def oracle_sql() -> dict[str, str]:
                                       ROWS UNBOUNDED PRECEDING) AS session_id
                 FROM g
             )
-            SELECT user_id, session_id, count(*) AS n_events,
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
             FROM s GROUP BY user_id, session_id
         """,

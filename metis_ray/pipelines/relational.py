@@ -104,9 +104,12 @@ def q3_top_orders(sf_dir: str, *, segment: str = "BUILDING",
     agg = (col.map_batches(rev, batch_format="pyarrow")
            .groupby(["o_orderkey", "o_orderdate"])
            .aggregate(Sum("revenue", alias_name="revenue")))
-    # the aggregate is small (one row per qualifying order): round BEFORE the
-    # final ordering so ties at the k-th row resolve exactly as the SQL twin
-    top = agg.to_pandas()
+    # top-k via distributed sort+limit — the aggregate is one row per
+    # qualifying order, unbounded at scale, so it must NOT be collected whole.
+    # A margin of candidate rows comes to the driver so the final ordering
+    # can use ROUNDED revenue (the SQL twin's tie semantics at the k-th row).
+    top = (agg.sort(["revenue", "o_orderkey"], descending=[True, False])
+           .limit(k + 50).to_pandas())
     top["revenue"] = top["revenue"].round(2)
     top = top.sort_values(["revenue", "o_orderkey"],
                           ascending=[False, True]).head(k).reset_index(drop=True)
@@ -114,37 +117,46 @@ def q3_top_orders(sf_dir: str, *, segment: str = "BUILDING",
 
 
 def revenue_per_nation(sf_dir: str) -> rd.Dataset:
-    """Multi-join via BROADCAST dimensions: customer->nation map and the
-    order->custkey map are small sides shipped once with ray.put; the
-    lineitem fact table streams and never shuffles. Output
-    (n_name, revenue)."""
+    """Fact-fact join + broadcast dims: lineitem joins orders with a
+    hash-partitioned ``Dataset.join`` on l_orderkey (both are fact tables —
+    neither side ever materializes on the driver); customer->nation and
+    nation->name are TRUE dimensions, broadcast once as sorted key arrays
+    and probed with ``np.searchsorted`` (vectorized, no per-row dict chain).
+    Output (n_name, revenue)."""
     cust = read_table(sf_dir, "customer",
                       columns=["c_custkey", "c_nationkey"]).to_pandas()
     nation = read_table(sf_dir, "nation",
                         columns=["n_nationkey", "n_name"]).to_pandas()
-    orders = read_table(sf_dir, "orders",
-                        columns=["o_orderkey", "o_custkey"]).to_pandas()
-    c2n = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
-    n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    o2c = dict(zip(orders["o_orderkey"], orders["o_custkey"]))
-    ref = ray.put((o2c, c2n, n2name))
+    ckeys = cust["c_custkey"].to_numpy(np.int64)
+    order_c = np.argsort(ckeys)
+    ckeys = ckeys[order_c]
+    cnation = cust["c_nationkey"].to_numpy(np.int64)[order_c]
+    nkeys = nation["n_nationkey"].to_numpy(np.int64)
+    order_n = np.argsort(nkeys)
+    nkeys = nkeys[order_n]
+    nnames = nation["n_name"].to_numpy()[order_n]
+    ref = ray.put((ckeys, cnation, nkeys, nnames))
 
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    nparts = max(2, min(8, int(ray.cluster_resources().get("CPU", 8)) - 2))
+    j = li.join(orders.rename_columns({"o_orderkey": "l_orderkey"}),
+                join_type="inner", num_partitions=nparts, on=("l_orderkey",))
 
     def stage(batch: pa.Table) -> pa.Table:
-        o2c_, c2n_, n2name_ = ray.get(ref)
-        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        ck, cn, nk, nm = ray.get(ref)
+        cust_keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
         price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = batch["l_discount"].to_numpy(zero_copy_only=False)
         rev = price * (1.0 - disc)
-        names = [n2name_[c2n_[o2c_[int(o)]]] for o in ok]
+        names = nm[np.searchsorted(nk, cn[np.searchsorted(ck, cust_keys)])]
         # per-batch partial aggregation before the tiny groupby
         df = pd.DataFrame({"n_name": names, "revenue": rev})
         g = df.groupby("n_name", as_index=False)["revenue"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = (li.map_batches(stage, batch_format="pyarrow")
+    agg = (j.map_batches(stage, batch_format="pyarrow")
            .groupby("n_name").aggregate(Sum("revenue", alias_name="revenue")))
     return _round2(agg, ["revenue"])
 
@@ -253,12 +265,14 @@ def events_sessionize(sf_dir: str, *, gap_minutes: int = 30) -> rd.Dataset:
         sid = brk.cumsum()
         out = pd.DataFrame({"user_id": g["user_id"], "session_id": sid,
                             "value": g["value"]})
-        r = out.groupby(["user_id", "session_id"], as_index=False).agg(
+        return out.groupby(["user_id", "session_id"], as_index=False).agg(
             n_events=("value", "size"), sum_value=("value", "sum"))
-        r["sum_value"] = r["sum_value"].round(2)
-        return r
 
-    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    # rounding happens in a FINAL Arrow pass (pc.round, like every green
+    # aggregate) — pandas .round inside map_groups is ULP-different from the
+    # oracle's round() on boundary values
+    grouped = ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return _round2(grouped, ["sum_value"])
 
 
 def orders_last_event(sf_dir: str) -> rd.Dataset:
@@ -295,18 +309,25 @@ def orders_last_event(sf_dir: str) -> rd.Dataset:
         events.map_batches(tag_events, batch_format="pyarrow"))
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "tag"], kind="mergesort")
-        out_key, out_ts, out_val = [], [], []
-        last_ts, last_val = -1, -1.0
-        for ts, tag, ok, val in zip(g["ts"], g["tag"], g["o_orderkey"], g["value"]):
-            if tag == 0:
-                last_ts, last_val = int(ts), float(val)
-            else:
-                out_key.append(int(ok))
-                out_ts.append(last_ts)
-                out_val.append(round(last_val, 2))
-        return pd.DataFrame({"o_orderkey": out_key,
-                             "last_event_ts": out_ts,
+        # vectorized as-of: per key, the order's match is the last event at
+        # or before its ts — np.searchsorted(right)-1 over ts-sorted events
+        tag = g["tag"].to_numpy()
+        ts = g["ts"].to_numpy(np.int64)
+        ev_ts = np.sort(ts[tag == 0])
+        ev_val = g["value"].to_numpy()[tag == 0][np.argsort(ts[tag == 0],
+                                                            kind="stable")]
+        o_ts = ts[tag == 1]
+        o_key = g["o_orderkey"].to_numpy(np.int64)[tag == 1]
+        if len(ev_ts) == 0:     # key has orders but no events: all sentinels
+            out_ts = np.full(len(o_ts), -1, np.int64)
+            out_val = np.full(len(o_ts), -1.0)
+        else:
+            idx = np.searchsorted(ev_ts, o_ts, side="right") - 1
+            hit = idx >= 0
+            out_ts = np.where(hit, ev_ts[np.maximum(idx, 0)], -1)
+            out_val = np.where(hit, np.round(ev_val[np.maximum(idx, 0)], 2), -1.0)
+        return pd.DataFrame({"o_orderkey": o_key,
+                             "last_event_ts": out_ts.astype(np.int64),
                              "last_event_value": out_val})
 
     return u.groupby("key").map_groups(merge, batch_format="pandas")
@@ -345,21 +366,28 @@ def events_last_order(sf_dir: str) -> rd.Dataset:
         events.map_batches(tag_events, batch_format="pyarrow"))
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        # at equal ts the order (tag 0) is processed first, so <= semantics
-        # hold; ties among orders at the same ts resolve to the larger
-        # o_orderkey (matches the SQL twin's ORDER BY ts DESC, o_orderkey
-        # DESC LIMIT 1 via stable sort)
-        g = g.sort_values(["ts", "tag", "rid"], kind="mergesort")
-        out_e, out_k, out_v = [], [], []
-        last_k, last_v = -1, -1.0
-        for tag, rid, val in zip(g["tag"], g["rid"], g["val"]):
-            if tag == 0:
-                last_k, last_v = int(rid), round(float(val), 2)
-            else:
-                out_e.append(int(rid))
-                out_k.append(last_k)
-                out_v.append(last_v)
-        return pd.DataFrame({"event_id": out_e, "last_order_key": out_k,
+        # vectorized as-of, <= semantics: orders sorted by (ts, o_orderkey)
+        # so searchsorted(right)-1 lands on the largest o_orderkey among
+        # equal-ts orders (the SQL twin's ORDER BY ts DESC, o_orderkey DESC
+        # LIMIT 1)
+        tag = g["tag"].to_numpy()
+        ts = g["ts"].to_numpy(np.int64)
+        rid = g["rid"].to_numpy(np.int64)
+        o_ts, o_key = ts[tag == 0], rid[tag == 0]
+        order = np.lexsort((o_key, o_ts))
+        o_ts, o_key = o_ts[order], o_key[order]
+        o_val = g["val"].to_numpy()[tag == 0][order]
+        e_ts, e_id = ts[tag == 1], rid[tag == 1]
+        if len(o_ts) == 0:      # key has events but no orders: all sentinels
+            out_k = np.full(len(e_ts), -1, np.int64)
+            out_v = np.full(len(e_ts), -1.0)
+        else:
+            idx = np.searchsorted(o_ts, e_ts, side="right") - 1
+            hit = idx >= 0
+            out_k = np.where(hit, o_key[np.maximum(idx, 0)], -1)
+            out_v = np.where(hit, np.round(o_val[np.maximum(idx, 0)], 2), -1.0)
+        return pd.DataFrame({"event_id": e_id,
+                             "last_order_key": out_k.astype(np.int64),
                              "last_order_total": out_v})
 
     return u.groupby("key").map_groups(merge, batch_format="pandas")

@@ -60,10 +60,15 @@ def ann_topk(sf_dir: str, *, k: int = 10, n_queries: int = 5) -> pd.DataFrame:
         o_q, o_n, o_s = [], [], []
         for qi in range(sims.shape[0]):
             row = sims[qi]
-            idx = np.argpartition(-row, kk - 1)[:kk]
-            o_q.extend([int(ids_q[qi])] * len(idx))
-            o_n.extend(int(v) for v in vids[idx])
-            o_s.extend(float(row[j]) for j in idx)
+            # prefilter with argpartition (O(B)), then order the 2k-candidate
+            # window by (-score, neighbor_id) so EXACT score ties at the k-th
+            # position keep the oracle's neighbor_id-ascending order instead
+            # of argpartition's arbitrary one
+            pre = np.argpartition(-row, min(2 * kk, len(row)) - 1)[:2 * kk]
+            pre = pre[np.lexsort((vids[pre], -row[pre]))][:kk]
+            o_q.extend([int(ids_q[qi])] * len(pre))
+            o_n.extend(int(v) for v in vids[pre])
+            o_s.extend(float(row[j]) for j in pre)
         return pa.table({"query_id": pa.array(o_q, pa.int64()),
                          "neighbor_id": pa.array(o_n, pa.int64()),
                          "score": pa.array(o_s, pa.float64())})

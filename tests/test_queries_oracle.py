@@ -33,4 +33,6 @@ def test_sql_parity(name, con):
     rdf = to_pandas(entrymod.queries()[name](SF))
     sdf = con.execute(entrymod.oracle_sql()[name]).fetchdf()
     verdict = compare(name, rdf, sdf)
-    assert verdict == "OK", verdict
+    # OK-INEXACT (allclose but not bit-equal floats) is tolerated here at
+    # sf0.001; tools/parity.py at sf0.01 is where exactness is chased
+    assert verdict.startswith("OK"), verdict

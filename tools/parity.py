@@ -48,18 +48,28 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
     if len(ray_df) != len(sql_df):
         return f"ROWS ray={len(ray_df)} sql={len(sql_df)}"
     a, b = canon(ray_df), canon(sql_df)
+    inexact = []
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
             if not np.allclose(av.astype(float), bv.astype(float), atol=1e-9, equal_nan=True):
                 bad = int((~np.isclose(av.astype(float), bv.astype(float), atol=1e-9)).sum())
                 return f"VALUES col={c} ({bad} mismatched)"
+            # the driver hashes values exactly: a close-but-not-bit-equal
+            # float column (or an int-vs-float dtype drift) is a latent
+            # driver hash mismatch — surface it
+            if (av.dtype != bv.dtype
+                    or not np.array_equal(av.astype(float), bv.astype(float),
+                                          equal_nan=True)):
+                inexact.append(c)
         else:
             if not (av.astype(str) == bv.astype(str)).all():
                 bad = int((av.astype(str) != bv.astype(str)).sum())
                 i = int(np.argmax(av.astype(str) != bv.astype(str)))
                 return (f"VALUES col={c} ({bad} mismatched; first ray={av[i]!r} "
                         f"sql={bv[i]!r})")
+    if inexact:
+        return f"OK-INEXACT cols={inexact}"
     return "OK"
 
 
@@ -104,8 +114,8 @@ def main() -> None:
             failures += 1
             continue
         verdict = compare(name, rdf, sdf)
-        status = "ok " if verdict == "OK" else "FAIL"
-        if verdict != "OK":
+        status = "ok " if verdict.startswith("OK") else "FAIL"
+        if not verdict.startswith("OK"):
             failures += 1
         print(f"{name:28s} {status} rows={len(rdf)} ({ray_s:.1f}s) {verdict if verdict != 'OK' else ''}")
     ray.shutdown()
