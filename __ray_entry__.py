@@ -173,7 +173,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    """DuckDB twins. Graph/corpus queries are oracled against the corpus
+    generator's GOLDEN parquet tables (known-by-construction edge sets;
+    NetworkX / LPA-spec outputs computed independently of the Ray engine at
+    generation time — ``metis_ray/corpus.py``). The golden paths depend on
+    the scale the driver compares at: sf0.01 by default, overridable via
+    METIS_RAY_ORACLE_SF for local runs at other scales."""
+    from metis_ray.corpus import corpus_dir_for_sf
+    oracle_sf = os.environ.get("METIS_RAY_ORACLE_SF", "/root/testdata/sf0.01")
+    g = corpus_dir_for_sf(oracle_sf)   # materializes the corpus if absent
     return {
+        "corpus_edges": f"""
+            SELECT src, dst, src_repo, dst_repo, multiplicity
+            FROM read_parquet('{g}/golden_edges_file.parquet')
+        """,
+        "corpus_repo_edges": f"""
+            SELECT src, dst, src_repo, dst_repo, multiplicity
+            FROM read_parquet('{g}/golden_edges_repo.parquet')
+        """,
+        "corpus_files": f"""
+            SELECT c.repo, c.path, c."commit", c.lang,
+                   sha256(c.content) AS sha256,
+                   f.quarantined, f.vertex_id
+            FROM read_parquet('{g}/corpus/*.parquet') c
+            JOIN read_parquet('{g}/golden_files.parquet') f
+              ON c.repo = f.repo AND c.path = f.path
+        """,
+        "degree_hist": f"""
+            SELECT degree, count(*) AS n_vertices FROM (
+                SELECT dst, count(*) AS degree
+                FROM read_parquet('{g}/golden_edges_file.parquet')
+                GROUP BY dst
+            ) GROUP BY degree
+        """,
+        "components": f"""
+            SELECT v, component FROM read_parquet('{g}/golden_components.parquet')
+        """,
+        "labelprop": f"""
+            SELECT v, label FROM read_parquet('{g}/golden_labels.parquet')
+        """,
+        "triangles": f"""
+            SELECT v, triangles FROM read_parquet('{g}/golden_triangles.parquet')
+        """,
+        "docs_token_pieces": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]'))
+                       AS n_pieces
+            FROM documents
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2)                              AS sum_qty,

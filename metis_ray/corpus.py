@@ -55,12 +55,14 @@ class CorpusSpec:
     n_isolated_repos: int = 3      # repos with no cross edges at all
     malformed_rows: int = 0        # extra quarantine-bait rows
     files_per_part: int = 25_000   # parquet part-file granularity
+    graph_goldens: bool = True     # emit components/labels/triangles goldens
 
 
 SCALES: dict[str, CorpusSpec] = {
     "tiny": CorpusSpec("tiny", n_files=240, n_repos=12, malformed_rows=6),
     "small": CorpusSpec("small", n_files=20_000, n_repos=300, malformed_rows=40),
-    "bench": CorpusSpec("bench", n_files=200_000, n_repos=2_000, malformed_rows=0),
+    "bench": CorpusSpec("bench", n_files=200_000, n_repos=2_000,
+                        malformed_rows=0, graph_goldens=False),
 }
 
 # driver sf dirs -> corpus scale (TESTDATA.md: smoke sf0.001, correctness
@@ -118,8 +120,12 @@ class GeneratedCorpus:
     spec: CorpusSpec
     corpus: pa.Table          # repo, path, commit, lang, content   (F1)
     modules: pa.Table         # module, repo, path                  (F2)
-    edges_file: pa.Table      # src, dst, src_repo, dst_repo, kind  (F3, deduped, no self)
-    edges_repo: pa.Table      # src_repo_id, dst_repo_id, src_repo, dst_repo
+    edges_file: pa.Table      # src, dst, src_repo, dst_repo, multiplicity (F3, deduped, no self)
+    edges_repo: pa.Table      # src, dst, src_repo, dst_repo, multiplicity
+    files: pa.Table           # repo, path, vertex_id, quarantined (all rows)
+    components: pa.Table | None = None   # v, component (min vid; NetworkX)
+    labels: pa.Table | None = None       # v, label (deterministic LPA spec)
+    triangles: pa.Table | None = None    # v, triangles > 0 (NetworkX)
     stats: dict = field(default_factory=dict)
 
 
@@ -272,23 +278,50 @@ def generate(spec: CorpusSpec) -> GeneratedCorpus:
     es = np.asarray(edge_src, dtype=np.int64)
     ed = np.asarray(edge_dst, dtype=np.int64)
     pair = np.stack([es, ed], axis=1)
-    pair = np.unique(pair, axis=0)
+    pair, mult = np.unique(pair, axis=0, return_counts=True)
     es, ed = pair[:, 0], pair[:, 1]
     edges_file = pa.table({
         "src": pa.array(vids[es], pa.int64()),
         "dst": pa.array(vids[ed], pa.int64()),
         "src_repo": pa.array([repo_names[r] for r in repo_of_arr[es]], pa.string()),
         "dst_repo": pa.array([repo_names[r] for r in repo_of_arr[ed]], pa.string()),
+        # exact duplicate-import count (one per resolving import statement)
+        "multiplicity": pa.array(mult.astype(np.int64), pa.int64()),
     })
     rs, rd = repo_of_arr[es], repo_of_arr[ed]
     keep = rs != rd
-    rpair = np.unique(np.stack([rs[keep], rd[keep]], axis=1), axis=0)
+    # repo multiplicity = number of DISTINCT file-level edges between the pair
+    rpair, rmult = np.unique(np.stack([rs[keep], rd[keep]], axis=1), axis=0,
+                             return_counts=True)
     edges_repo = pa.table({
         "src": pa.array(rids[rpair[:, 0]], pa.int64()),
         "dst": pa.array(rids[rpair[:, 1]], pa.int64()),
         "src_repo": pa.array([repo_names[i] for i in rpair[:, 0]], pa.string()),
         "dst_repo": pa.array([repo_names[i] for i in rpair[:, 1]], pa.string()),
+        "multiplicity": pa.array(rmult.astype(np.int64), pa.int64()),
     })
+
+    # ---- per-file golden table (vertex ids + quarantine verdicts) --------
+    all_vids = np.concatenate([
+        vids,
+        np.fromiter((hash64_one(f"{r}/{p}") for r, p in
+                     zip(repos_col[n_files:], paths[n_files:])),
+                    dtype=np.int64, count=len(repos_col) - n_files)])
+    quarantined = np.zeros(len(repos_col), dtype=bool)
+    quarantined[n_files:] = True    # every malformed row trips validation
+    files_tbl = pa.table({
+        "repo": pa.array(repos_col, pa.string()),
+        "path": pa.array(paths, pa.string()),
+        "vertex_id": pa.array(all_vids, pa.int64()),
+        "quarantined": pa.array(quarantined),
+    })
+
+    # ---- graph-algorithm goldens via independent oracles -----------------
+    components_tbl = labels_tbl = triangles_tbl = None
+    if spec.graph_goldens:
+        gsrc, gdst = vids[es], vids[ed]
+        components_tbl, triangles_tbl = _nx_goldens(vids, gsrc, gdst)
+        labels_tbl = _lpa_golden(vids, gsrc, gdst, max_iter=30)
 
     stats = {
         "n_files": n_files,
@@ -300,7 +333,76 @@ def generate(spec: CorpusSpec) -> GeneratedCorpus:
         "n_edges_repo": edges_repo.num_rows,
         "n_malformed_rows": mal_rows,
     }
-    return GeneratedCorpus(spec, corpus, modules, edges_file, edges_repo, stats)
+    return GeneratedCorpus(spec, corpus, modules, edges_file, edges_repo,
+                           files_tbl, components_tbl, labels_tbl,
+                           triangles_tbl, stats)
+
+
+# --------------------------------------------------------------------------
+# golden graph-algorithm outputs, via oracles INDEPENDENT of the Ray engine:
+# NetworkX for components/triangles (the same oracle tests/test_graph.py
+# trusts), and a direct dict/Counter transcription of the documented LPA
+# spec (graph/runner.py label_propagation docstring) for labels. These back
+# the driver's DuckDB twins (read_parquet over the golden files).
+# --------------------------------------------------------------------------
+
+def _nx_goldens(vids: np.ndarray, src: np.ndarray, dst: np.ndarray):
+    """(components, triangles) golden tables over the undirected view."""
+    import networkx as nx
+
+    g = nx.Graph()
+    g.add_nodes_from(int(v) for v in vids)
+    g.add_edges_from(zip(src.tolist(), dst.tolist()))
+    comp_of = {}
+    for comp in nx.connected_components(g):
+        rep = min(comp)
+        for v in comp:
+            comp_of[v] = rep
+    order = np.sort(vids)
+    components = pa.table({
+        "v": pa.array(order, pa.int64()),
+        "component": pa.array([comp_of[int(v)] for v in order], pa.int64()),
+    })
+    tri = nx.triangles(g)
+    tv = sorted(v for v, t in tri.items() if t > 0)
+    triangles = pa.table({
+        "v": pa.array(tv, pa.int64()),
+        "triangles": pa.array([tri[v] for v in tv], pa.int64()),
+    })
+    return components, triangles
+
+
+def _lpa_golden(vids: np.ndarray, src: np.ndarray, dst: np.ndarray,
+                max_iter: int = 30) -> pa.Table:
+    """Deterministic synchronous label propagation, per the engine's
+    documented spec: neighbor sets from the deduped undirected edges, each
+    round every vertex adopts the most frequent neighbor label (ties -> the
+    smallest label), isolated vertices keep theirs; fixpoint or max_iter."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for a, b in zip(src.tolist(), dst.tolist()):
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    verts = [int(v) for v in np.sort(vids)]
+    labels = {v: v for v in verts}
+    for _ in range(max_iter):
+        new = {}
+        for v in verts:
+            nb = adj[v]
+            if not nb:
+                new[v] = labels[v]
+                continue
+            cnt = Counter(labels[u] for u in nb)
+            new[v] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if new == labels:
+            break
+        labels = new
+    return pa.table({
+        "v": pa.array(verts, pa.int64()),
+        "label": pa.array([labels[v] for v in verts], pa.int64()),
+    })
 
 
 # --------------------------------------------------------------------------
@@ -315,7 +417,7 @@ CACHE_ROOT = os.environ.get("METIS_RAY_CORPUS_DIR", "/tmp/metis_ray_corpus")
 # regenerate — the "already imported => skip" check must also detect
 # format drift (the reference scaffolds exactly this with its disabled sha256
 # compare, HDF5Helper.py:58-68).
-_FORMAT_VERSION = 2
+_FORMAT_VERSION = 3
 
 
 def materialize_scale(scale: str | CorpusSpec, root: str = CACHE_ROOT) -> str:
@@ -351,6 +453,11 @@ def materialize_scale(scale: str | CorpusSpec, root: str = CACHE_ROOT) -> str:
     pq.write_table(gen.modules, os.path.join(tmp, "modules.parquet"))
     pq.write_table(gen.edges_file, os.path.join(tmp, "golden_edges_file.parquet"))
     pq.write_table(gen.edges_repo, os.path.join(tmp, "golden_edges_repo.parquet"))
+    pq.write_table(gen.files, os.path.join(tmp, "golden_files.parquet"))
+    for name, tbl in (("components", gen.components), ("labels", gen.labels),
+                      ("triangles", gen.triangles)):
+        if tbl is not None:
+            pq.write_table(tbl, os.path.join(tmp, f"golden_{name}.parquet"))
     with open(os.path.join(tmp, "manifest.json"), "w") as fh:
         json.dump({"seed": spec.seed, "fmt": _FORMAT_VERSION,
                    "n_files_requested": spec.n_files, **gen.stats}, fh, indent=1)

@@ -70,9 +70,16 @@ def files_table(corpus: rd.Dataset) -> rd.Dataset:
     return validated(corpus).map_batches(project, batch_format="pyarrow")
 
 
-def _local_distinct(batch: pa.Table) -> pa.Table:
-    """Per-batch pre-dedup (combiner before the shuffle)."""
-    return batch.group_by(["src", "dst"]).aggregate([])
+def _local_counts(batch: pa.Table) -> pa.Table:
+    """Per-batch partial duplicate counts (combiner before the shuffle).
+
+    Emitting (src, dst, n) partials instead of a plain distinct keeps
+    ``multiplicity`` the TRUE duplicate-import count — a pure function of the
+    data, identical at any parallelism — while still collapsing each block
+    before the all-to-all exchange."""
+    g = batch.group_by(["src", "dst"]).aggregate([([], "count_all")])
+    return g.select(["src", "dst", "count_all"]).rename_columns(
+        ["src", "dst", "n"])
 
 
 def _default_concurrency() -> int:
@@ -113,17 +120,20 @@ def raw_resolved(corpus: rd.Dataset, symbols_ref, *, concurrency=None) -> rd.Dat
 def dedup_edges(resolved: rd.Dataset, symbols_ref=None) -> rd.Dataset:
     """Exact dedup = hash-partition by (src,dst) + per-group count.
 
-    Output: src, dst, src_repo, dst_repo, multiplicity. Pre-distinct per
-    batch cuts shuffle volume (the reference dedups imports by exact name,
+    Output: src, dst, src_repo, dst_repo, multiplicity — multiplicity is the
+    exact number of resolved import statements mapping to the edge (the
+    duplicate-import count), computed as per-batch partial counts summed in
+    the shuffle so the value is parallelism-independent. Per-batch partials
+    cut shuffle volume (the reference dedups imports by exact name,
     ``HDF5Helper.py:53-69``; here the key is the edge identity). The
     shuffle is int-keyed only; repo name strings re-attach afterwards from
     the broadcast vertex->repo map when ``symbols_ref`` is given."""
     kept = resolved.map_batches(
         lambda t: t.filter(t["resolved"]).select(["src", "dst"]),
         batch_format="pyarrow")
-    pre = kept.map_batches(_local_distinct, batch_format="pyarrow")
+    pre = kept.map_batches(_local_counts, batch_format="pyarrow")
     deduped = pre.groupby(["src", "dst"]).aggregate(
-        Count(alias_name="multiplicity"))
+        Sum("n", alias_name="multiplicity"))
     if symbols_ref is None:
         return deduped
 
@@ -144,7 +154,11 @@ def dedup_edges(resolved: rd.Dataset, symbols_ref=None) -> rd.Dataset:
 
 
 def repo_edges(edges_file: rd.Dataset) -> rd.Dataset:
-    """repo->repo rollup: distinct cross-repo pairs with repo-id vertices."""
+    """repo->repo rollup: distinct cross-repo pairs with repo-id vertices.
+
+    ``multiplicity`` = number of distinct file-level edges between the repo
+    pair (edges_file is already one row per (src,dst)), computed as per-batch
+    partial counts + Sum so the value is parallelism-independent."""
 
     def project(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.invert(pc.equal(batch["src_repo"], batch["dst_repo"])))
@@ -156,10 +170,12 @@ def repo_edges(edges_file: rd.Dataset) -> rd.Dataset:
             "src_repo": pa.array(srepo, pa.string()),
             "dst_repo": pa.array(drepo, pa.string()),
         })
-        return out.group_by(EDGE_KEYS).aggregate([]).rename_columns(EDGE_KEYS)
+        g = out.group_by(EDGE_KEYS).aggregate([([], "count_all")])
+        return g.select(EDGE_KEYS + ["count_all"]).rename_columns(
+            EDGE_KEYS + ["n"])
 
     pre = edges_file.map_batches(project, batch_format="pyarrow")
-    return pre.groupby(EDGE_KEYS).aggregate(Count(alias_name="multiplicity"))
+    return pre.groupby(EDGE_KEYS).aggregate(Sum("n", alias_name="multiplicity"))
 
 
 def graph_vertices(files: rd.Dataset) -> rd.Dataset:

@@ -63,6 +63,32 @@ def test_quarantine_counts(result):
     assert result.stats["unresolved_or_self"] > 0  # ghost imports exist
 
 
-def test_multiplicity_positive(result):
-    m = result.edges_file.to_pandas()["multiplicity"]
-    assert (m >= 1).all()
+def test_multiplicity_matches_golden(tiny_corpus_dir, result):
+    """multiplicity = exact duplicate-import count, parallelism-independent
+    (golden counts come straight from the generator's pre-dedup pair list)."""
+    import os
+    golden = pq.read_table(os.path.join(tiny_corpus_dir,
+                                        "golden_edges_file.parquet"))
+    gold = {(s, d): m for s, d, m in zip(
+        golden["src"].to_numpy(zero_copy_only=False),
+        golden["dst"].to_numpy(zero_copy_only=False),
+        golden["multiplicity"].to_numpy(zero_copy_only=False))}
+    got = result.edges_file.to_pandas()
+    assert (got["multiplicity"] >= 1).all()
+    for s, d, m in zip(got["src"].astype("int64"), got["dst"].astype("int64"),
+                       got["multiplicity"]):
+        assert gold[(s, d)] == m, (s, d, gold[(s, d)], m)
+
+
+def test_repo_multiplicity_matches_golden(tiny_corpus_dir, result):
+    import os
+    golden = pq.read_table(os.path.join(tiny_corpus_dir,
+                                        "golden_edges_repo.parquet"))
+    gold = {(s, d): m for s, d, m in zip(
+        golden["src"].to_numpy(zero_copy_only=False),
+        golden["dst"].to_numpy(zero_copy_only=False),
+        golden["multiplicity"].to_numpy(zero_copy_only=False))}
+    got = result.edges_repo.to_pandas()
+    for s, d, m in zip(got["src"].astype("int64"), got["dst"].astype("int64"),
+                       got["multiplicity"]):
+        assert gold[(s, d)] == m, (s, d, gold[(s, d)], m)

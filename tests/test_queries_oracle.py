@@ -2,6 +2,8 @@
 and the SQL twins match the Ray results at sf0.001 (the full sf0.01 sweep is
 the driver's job; tools/parity.py runs it standalone)."""
 
+import os
+
 import duckdb
 import pytest
 
@@ -9,6 +11,7 @@ import __ray_entry__ as entrymod
 from tools.parity import TABLES, compare, to_pandas
 
 SF = "/root/testdata/sf0.001"
+os.environ["METIS_RAY_ORACLE_SF"] = SF   # golden-parquet oracles follow scale
 
 SQL_KEYS = sorted(entrymod.oracle_sql())
 

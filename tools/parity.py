@@ -85,6 +85,7 @@ def main() -> None:
     DataContext.get_current().enable_progress_bars = False
 
     import __ray_entry__ as entrymod
+    os.environ["METIS_RAY_ORACLE_SF"] = sf_dir   # golden paths follow scale
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
 
