@@ -124,6 +124,21 @@ def entry() -> Any:
     return top[["repo", "path", "rank"]].reset_index(drop=True)
 
 
+def _schema_guard(fn: Callable[[str], Any], cols: dict[str, str]) -> Callable[[str], Any]:
+    """Zero-row Ray datasets can come back schema-less; pin the expected
+    columns/dtypes so an empty result still hash-compares against its twin."""
+    def run(sf_dir: str):
+        import pandas as pd
+        import ray.data as rd
+        res = fn(sf_dir)
+        df = res.to_pandas() if isinstance(res, rd.Dataset) else res
+        if len(df) == 0:
+            df = pd.DataFrame({c: pd.Series([], dtype=t)
+                               for c, t in cols.items()})
+        return df
+    return run
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from metis_ray.pipelines import dedup, multimodal, relational, similarity, textstats
 
@@ -156,10 +171,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_union": relational.supplier_customer_nation_union,
         # --- training-data pipelines ---
         "docs_exact_dedup": dedup.exact_dedup,
-        "docs_minhash_dedup": dedup.minhash_dedup,
-        "docs_ngram_jaccard_dedup": dedup.ngram_jaccard_dedup,
-        "docs_simhash_dedup": dedup.simhash_dedup,
-        "emb_neardup": dedup.embedding_neardup,
+        "docs_minhash_dedup": _schema_guard(
+            dedup.minhash_dedup,
+            {"a": "int64", "b": "int64", "jaccard": "float64"}),
+        "docs_ngram_jaccard_dedup": _schema_guard(
+            dedup.ngram_jaccard_dedup,
+            {"a": "int64", "b": "int64", "jaccard": "float64"}),
+        "docs_simhash_dedup": _schema_guard(
+            dedup.simhash_dedup,
+            {"a": "int64", "b": "int64", "hamming": "int64"}),
+        "emb_neardup": _schema_guard(
+            dedup.embedding_neardup,
+            {"a": "int64", "b": "int64", "cosine": "float64"}),
         "ann_topk": similarity.ann_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "docs_token_count": textstats.token_counts,
@@ -170,6 +193,102 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_distribution": textstats.lang_distribution,
         "multimodal_features": multimodal.decode_features,
     }
+
+
+# ---------------------------------------------------------------------------
+# programmatic oracle-SQL builders (the lang-ID / quality / shingle kernels
+# re-expressed in DuckDB so the heuristic pipelines get real SQL twins)
+# ---------------------------------------------------------------------------
+
+def _lang_quality_core_sql() -> str:
+    """SQL transcription of metis_ray.functions.text lang_id/quality_score:
+    trigram-profile vote with earliest-language tie-break, and the
+    length/punct/stopword quality score (identical float op order)."""
+    from metis_ray.functions.text import STOPWORDS, _LANG_PROFILES
+    stoplist = "[" + ",".join(f"'{w}'" for w in sorted(STOPWORDS)) + "]"
+
+    def cnt(g: str) -> str:
+        esc = g.replace("'", "''")
+        return f"(len(t) - len(replace(t, '{esc}', ''))) // 3"
+
+    langs = sorted(_LANG_PROFILES)
+    hits = ",\n                 ".join(
+        f"({' + '.join(cnt(g) for g in _LANG_PROFILES[lang])}) AS h_{lang}"
+        for lang in langs)
+    case = ("CASE WHEN greatest(" + ",".join(f"h_{lang}" for lang in langs)
+            + ") <= 0 THEN 'und' ")
+    for lang in langs:
+        conds = " AND ".join(f"h_{lang} >= h_{m}" for m in langs if m != lang)
+        case += f"WHEN {conds} THEN '{lang}' "
+    case += "END"
+    return f"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '') AS toks,
+                 left(lower(text), 4000) AS t
+          FROM documents
+        ), feat AS (
+          SELECT doc_id, text, toks, len(toks) AS n,
+                 len(regexp_extract_all(text, '[^\\w\\s]')) AS punct,
+                 len(list_filter(toks,
+                     x -> list_contains({stoplist}, lower(x)))) AS stop,
+                 {hits}
+          FROM base
+        )
+        SELECT doc_id,
+               {case} AS lang_pred,
+               CASE WHEN n = 0 THEN 0.0 ELSE round(
+                 (CASE WHEN n < 10 THEN n / 10.0 ELSE 1.0 END)
+                 * (CASE WHEN NOT (2.0 <= list_sum(list_transform(toks, x -> len(x))) / (1.0 * n)
+                               AND list_sum(list_transform(toks, x -> len(x))) / (1.0 * n) <= 12.0)
+                         THEN 0.5 ELSE 1.0 END)
+                 * (CASE WHEN punct / (1.0 * greatest(1, len(text))) > 0.2 THEN 0.5 ELSE 1.0 END)
+                 * (CASE WHEN stop / (1.0 * n) < 0.01 THEN 0.8 ELSE 1.0 END), 6) END AS quality,
+               len(text) AS n_chars
+        FROM feat
+    """
+
+
+def _jaccard_pairs_sql(shingle_expr: str, threshold: float) -> str:
+    """Brute-force exact-Jaccard pair enumeration over per-doc shingle sets
+    (the completeness oracle for the LSH dedup pipelines: every pair at or
+    above threshold, a < b, jaccard of two empty sets defined as 1.0)."""
+    j = ("CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0 "
+         "ELSE len(list_intersect(a.s, b.s)) "
+         "/ (1.0 * len(list_distinct(a.s || b.s))) END")
+    return f"""
+        WITH sh AS ({shingle_expr})
+        SELECT a.doc_id AS a, b.doc_id AS b, round({j}, 6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE ({j}) >= {threshold}
+    """
+
+
+_WORD_SHINGLES_SQL = """
+          SELECT doc_id,
+                 list_distinct(CASE
+                   WHEN len(toks) = 0 THEN []::VARCHAR[]
+                   WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                   ELSE list_transform(generate_series(1, len(toks) - 2),
+                                       i -> array_to_string(toks[i:i+2], ' '))
+                 END) AS s
+          FROM (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> x <> '') AS toks
+                FROM documents)
+"""
+
+_CHAR_SHINGLES_SQL = """
+          SELECT doc_id,
+                 list_distinct(CASE
+                   WHEN len(t) = 0 THEN []::VARCHAR[]
+                   WHEN len(t) < 8 THEN [t]
+                   ELSE list_transform(generate_series(1, len(t) - 7),
+                                       i -> t[i:i+7])
+                 END) AS s
+          FROM (SELECT doc_id, lower(text) AS t FROM documents)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -356,6 +475,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_fingerprint": """
             SELECT doc_id, md5(text) AS md5 FROM documents
+        """,
+        "docs_lang_quality": _lang_quality_core_sql(),
+        "docs_lang_distribution": f"""
+            SELECT lang_pred, count(*) AS n_docs
+            FROM ({_lang_quality_core_sql()}) GROUP BY lang_pred
+        """,
+        # completeness oracles for the LSH dedup families: DuckDB enumerates
+        # EVERY pair at/above threshold by brute force, so a hash match also
+        # certifies LSH recall = 1.0 at this scale (the candidate generation
+        # missed nothing). SimHash has no SQL twin (needs blake2b in SQL).
+        "docs_minhash_dedup": _jaccard_pairs_sql(_WORD_SHINGLES_SQL, 0.6),
+        "docs_ngram_jaccard_dedup": _jaccard_pairs_sql(_CHAR_SHINGLES_SQL, 0.8),
+        "emb_neardup": """
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])),
+                         6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.95
         """,
         "ann_topk": """
             SELECT query_id, neighbor_id, rnk FROM (

@@ -66,6 +66,19 @@ def cmd_graph(args) -> int:
     return 0
 
 
+def cmd_watch(args) -> int:
+    """Arriving-input daemon (reference sinotify analogue): poll the corpus
+    dir, land new fragments idempotently, stop on sentinel/max-loops."""
+    ray = _ray_session(args.num_cpus)
+    from metis_ray.pipelines.incremental import watch
+    totals = watch(args.corpus, args.state, interval=args.interval,
+                   max_loops=args.max_loops,
+                   on_batch=lambda info: print(json.dumps(info)))
+    print(json.dumps({"watch": totals}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_bench_graph(args) -> int:
     ray = _ray_session(args.num_cpus)
     from metis_ray.benchgraph import bench_graph_dir
@@ -94,6 +107,13 @@ def main(argv=None) -> int:
     p2.add_argument("--ckpt", default=None)
     p2.add_argument("--resume", action="store_true")
     p2.set_defaults(fn=cmd_graph)
+
+    p4 = sub.add_parser("watch", help="poll a corpus dir, land new fragments")
+    p4.add_argument("--corpus", required=True)
+    p4.add_argument("--state", required=True)
+    p4.add_argument("--interval", type=float, default=1.0)
+    p4.add_argument("--max-loops", type=int, default=None)
+    p4.set_defaults(fn=cmd_watch)
 
     p3 = sub.add_parser("bench-graph", help="materialize a bench graph")
     p3.add_argument("--sf-dir", required=True)

@@ -64,6 +64,13 @@ class GraphRunner:
         meta = graph_meta(graph_dir)
         self.P = meta["P"]
         self.graph_dir = graph_dir
+        # P is fixed by the on-disk layout; on a cluster with fewer CPUs the
+        # reservation is shrunk (fractional num_cpus) instead of letting
+        # surplus actors pend forever — the constructor would otherwise hang
+        # in ray.get with no diagnostic
+        cpus = ray.cluster_resources().get("CPU", 1)
+        if self.P * num_cpus_per_shard > cpus:
+            num_cpus_per_shard = max(0.01, (cpus - 0.5) / self.P)
         self.shards = [
             CSRShardActor.options(num_cpus=num_cpus_per_shard).remote(
                 pid, self.P, graph_dir)
@@ -139,9 +146,15 @@ class GraphRunner:
                 # but payload objects from older epochs are consumed (and
                 # freed from the object store) before more are produced —
                 # unbounded submission floods plasma and forces spilling.
-                inflight.append(arefs)
+                inflight.append((epoch + 1, arefs))
                 if len(inflight) >= _ASYNC_WINDOW:
-                    ray.get(inflight.pop(0))
+                    ep_done, refs = inflight.pop(0)
+                    ray.get(refs)
+                    # fixed-iteration mode checkpoints too — ckpt_dir with
+                    # tol<=0 used to be silently ignored
+                    if ckpt_dir and ep_done % checkpoint_every == 0:
+                        self._checkpoint(ckpt_dir, ep_done, value_name,
+                                         0.0, stats)
                 continue
             deltas = ray.get(arefs)
             se_secs = time.perf_counter() - te
@@ -155,8 +168,10 @@ class GraphRunner:
             if delta_done(deltas):
                 stats.converged = True
                 break
-        for pending in inflight:
-            ray.get(pending)    # drain the pipeline
+        for ep_done, refs in inflight:
+            ray.get(refs)       # drain the pipeline
+            if ckpt_dir and ep_done % checkpoint_every == 0:
+                self._checkpoint(ckpt_dir, ep_done, value_name, 0.0, stats)
         stats.seconds = time.perf_counter() - t0
         done_epochs = stats.epochs - start_epoch
         if stats.seconds > 0 and done_epochs > 0:

@@ -14,9 +14,13 @@ first-class operator family for training-data curation:
                 cosine verification
 
 Scale shape: candidate generation is shuffle-only (`groupby` on bucket keys,
-fed by per-batch signature computation in actor pools); verification fetches
-only the candidate documents (a small side) and broadcasts them — never the
-corpus.  Each stage streams; nothing materializes the full table.
+fed by per-batch signature computation in actor pools); verification is
+DISTRIBUTED — the candidate-pair table joins the payload table twice
+(hash-partitioned ``Dataset.join`` on ``a`` then ``b``) and every batch
+scores its own pairs.  Nothing funnels through the driver: no candidate
+list, no broadcast shingle/vector dict, no full signature table.  Oversized
+LSH buckets are dropped AND counted (sentinel rows -> ``stats``), never
+silently truncated.
 """
 
 from __future__ import annotations
@@ -63,14 +67,19 @@ def _pairs_from_buckets(buckets: rd.Dataset, id_col: str = "doc_id",
                         max_bucket: int = 200) -> rd.Dataset:
     """bucket rows (bkey, id) -> distinct candidate pairs (a < b).
 
-    Buckets larger than ``max_bucket`` are dropped AND counted in a warning
-    column upstream of verification (degenerate buckets — e.g. empty docs —
-    would emit O(n^2) pairs; the cap is the skew guard). Emitted pairs are
-    deduped by a groupby."""
+    Buckets larger than ``max_bucket`` are dropped (degenerate buckets —
+    e.g. empty docs — would emit O(n^2) pairs; the cap is the skew guard)
+    and each one emits a SENTINEL row (a=-1, b=bkey) so the drop is
+    countable downstream (``_split_pairs``) instead of silent. Emitted
+    pairs are deduped by a groupby."""
 
     def to_pairs(group: pa.Table) -> pa.Table:
         ids = np.unique(group[id_col].to_numpy(zero_copy_only=False))
-        if len(ids) < 2 or len(ids) > max_bucket:
+        if len(ids) > max_bucket:
+            bkey = group["bkey"][0].as_py()
+            return pa.table({"a": pa.array([-1], pa.int64()),
+                             "b": pa.array([bkey], pa.int64())})
+        if len(ids) < 2:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64())})
         ii, jj = np.triu_indices(len(ids), k=1)
@@ -80,6 +89,81 @@ def _pairs_from_buckets(buckets: rd.Dataset, id_col: str = "doc_id",
     pairs = buckets.groupby("bkey").map_groups(to_pairs, batch_format="pyarrow")
     return (pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_n"))
             .drop_columns(["_n"]))
+
+
+def _split_pairs(pairs: rd.Dataset, stats: dict | None) -> rd.Dataset:
+    """Filter out dropped-bucket sentinels; when ``stats`` is given, count
+    them there (one extra pass over the materialized pair table — small by
+    construction: bucket sizes are capped)."""
+    if stats is not None:
+        pairs = pairs.materialize()
+        stats["dropped_buckets"] = pairs.map_batches(
+            lambda t: t.filter(pc.less(t["a"], pa.scalar(0))),
+            batch_format="pyarrow").count()
+    return pairs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["a"], pa.scalar(0))),
+        batch_format="pyarrow")
+
+
+def _join_parts() -> int:
+    """Join aggregator actors must fit the cluster (pending aggregators
+    deadlock, not queue)."""
+    return max(2, min(8, int(ray.cluster_resources().get("CPU", 8)) - 2))
+
+
+def _sig_stage(docs: rd.Dataset, cls, args: tuple, concurrency: int) -> rd.Dataset:
+    """Signature stage: actor pool on real clusters, stateless tasks on
+    tiny ones — a pool's reserved CPUs plus the downstream joins' aggregator
+    actors would starve each other below ~8 CPUs (reserve-deadlock, not
+    slowness)."""
+    if int(ray.cluster_resources().get("CPU", 8)) < 8:
+        return docs.map_batches(cls(*args), batch_format="pyarrow")
+    return docs.map_batches(cls, fn_constructor_args=args,
+                            batch_format="pyarrow", concurrency=concurrency)
+
+
+@ray.remote(num_cpus=0)
+def _block_rows(tbl: pa.Table) -> int:
+    return tbl.num_rows
+
+
+def _nonempty_blocks(ds: rd.Dataset) -> tuple[rd.Dataset | None, int]:
+    """(dataset with only nonempty blocks | None-if-empty, total rows).
+
+    Ray's join operator breaks on zero-row left-side blocks (the partition
+    builder comes up schema-less and the per-partition Acero join raises
+    "no match for FieldRef"), and ``map_batches`` does not rewrite empty
+    blocks — so joins are fed through this compaction. Blocks stay in the
+    object store; only per-block row counts (ints) come to the driver."""
+    refs = ds.materialize().to_arrow_refs()
+    sizes = ray.get([_block_rows.remote(r) for r in refs])
+    keep = [r for r, n in zip(refs, sizes) if n > 0]
+    if not keep:
+        return None, 0
+    return rd.from_arrow_refs(keep), sum(sizes)
+
+
+def _join_pair_payload(pairs: rd.Dataset, source: rd.Dataset, id_col: str,
+                       payload_col: str) -> rd.Dataset | None:
+    """(a, b) x (id, payload) -> (a, b, <payload>_a, <payload>_b) via two
+    hash-partitioned ``Dataset.join``s — the distributed verification shape:
+    the pair table never leaves the object store and each join ships only
+    the payloads of ids that actually appear in pairs on that side.
+    Returns None when there are no candidate pairs (callers emit their typed
+    empty result). Partition count scales with the candidate count so thin
+    pair tables don't scatter into empty join partitions."""
+    pairs, n_rows = _nonempty_blocks(pairs)
+    if pairs is None:
+        return None
+    src = source.select_columns([id_col, payload_col])
+    left = src.rename_columns({id_col: "a", payload_col: payload_col + "_a"})
+    right = src.rename_columns({id_col: "b", payload_col: payload_col + "_b"})
+    n = max(1, min(_join_parts(), n_rows // 50_000 + 1))
+    j = pairs.join(left, join_type="inner", num_partitions=n, on=("a",))
+    j, n_rows = _nonempty_blocks(j)   # joins can emit empty partitions too
+    if j is None:
+        return None
+    return j.join(right, join_type="inner", num_partitions=n, on=("b",))
 
 
 class _ShingleSigs:
@@ -117,67 +201,75 @@ class _ShingleSigs:
                          "doc_id": pa.array(o_id, pa.int64())})
 
 
+def _shingle_set(mode: str, text: str, k: int) -> set:
+    """Exact shingle-set semantics shared by signature generation and
+    verification (and transcribed in the DuckDB oracle): word mode = k-word
+    shingles; char mode = lowercased k-grams, the whole (short) string when
+    len < k, empty set for empty text."""
+    if mode == "word":
+        return set(word_shingles(text, k))
+    t = text.lower()
+    if not t:
+        return set()
+    if len(t) < k:
+        return {t}
+    return {t[i:i + k] for i in range(len(t) - k + 1)}
+
+
 def _verify_jaccard(pairs: rd.Dataset, sf_dir: str, mode: str, k: int,
                     threshold: float) -> rd.Dataset:
-    """Exact-Jaccard verification: fetch only candidate docs, broadcast their
-    shingle sets, score pairs in map_batches."""
-    pairs_tbl = pairs.materialize()
-    cand = pairs_tbl.to_pandas()
-    if len(cand) == 0:
+    """Exact-Jaccard verification, fully distributed: the pair table joins
+    ``documents`` on each side and every batch scores its own pairs (shingle
+    sets memoized per batch per doc)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    joined = _join_pair_payload(pairs, docs, "doc_id", "text")
+    if joined is None:
         return rd.from_arrow(pa.table({
             "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
             "jaccard": pa.array([], pa.float64())}))
-    need = set(cand["a"]) | set(cand["b"])
-    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def pick(batch: pa.Table) -> pa.Table:
-        m = pc.is_in(batch["doc_id"], value_set=pa.array(sorted(need), pa.int64()))
-        return batch.filter(m)
-
-    small = docs.map_batches(pick, batch_format="pyarrow").to_pandas()
-    sh = {}
-    for did, text in zip(small["doc_id"], small["text"]):
-        if mode == "word":
-            sh[did] = set(word_shingles(text, k))
-        else:
-            t = text.lower()
-            sh[did] = set(t[i:i + k] for i in range(max(1, len(t) - k + 1)))
-    ref = ray.put(sh)
 
     def score(batch: pa.Table) -> pa.Table:
-        s = ray.get(ref)
         a = batch["a"].to_numpy(zero_copy_only=False)
         b = batch["b"].to_numpy(zero_copy_only=False)
-        j = np.array([jaccard(s[x], s[y]) for x, y in zip(a, b)])
+        ta = batch["text_a"].to_pylist()
+        tb = batch["text_b"].to_pylist()
+        memo: dict[int, set] = {}
+
+        def sh(did: int, text: str) -> set:
+            s = memo.get(did)
+            if s is None:
+                s = memo[did] = _shingle_set(mode, text, k)
+            return s
+
+        j = np.array([jaccard(sh(int(x), tx), sh(int(y), ty))
+                      for x, y, tx, ty in zip(a, b, ta, tb)])
         t = pa.table({"a": batch["a"], "b": batch["b"],
                       "jaccard": pa.array(np.round(j, 6), pa.float64())})
         return t.filter(pc.greater_equal(t["jaccard"], pa.scalar(threshold)))
 
-    return pairs_tbl.map_batches(score, batch_format="pyarrow")
+    return joined.map_batches(score, batch_format="pyarrow")
 
 
 def minhash_dedup(sf_dir: str, *, num_perm: int = 64, bands: int = 16,
                   shingle_k: int = 3, threshold: float = 0.6,
-                  concurrency: int = 2) -> rd.Dataset:
+                  concurrency: int = 2, stats: dict | None = None) -> rd.Dataset:
     """Near-duplicate pairs by word-shingle MinHash-LSH: (a, b, jaccard)."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    buckets = docs.map_batches(
-        _ShingleSigs, fn_constructor_args=("word", num_perm, bands, shingle_k),
-        batch_format="pyarrow", concurrency=concurrency)
-    pairs = _pairs_from_buckets(buckets)
+    buckets = _sig_stage(docs, _ShingleSigs,
+                         ("word", num_perm, bands, shingle_k), concurrency)
+    pairs = _split_pairs(_pairs_from_buckets(buckets), stats)
     return _verify_jaccard(pairs, sf_dir, "word", shingle_k, threshold)
 
 
 def ngram_jaccard_dedup(sf_dir: str, *, num_perm: int = 64, bands: int = 16,
                         ngram_k: int = 8, threshold: float = 0.8,
-                        concurrency: int = 2) -> rd.Dataset:
+                        concurrency: int = 2, stats: dict | None = None) -> rd.Dataset:
     """Near-duplicate pairs by character-n-gram Jaccard through the same
     MinHash-LSH harness."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    buckets = docs.map_batches(
-        _ShingleSigs, fn_constructor_args=("char", num_perm, bands, ngram_k),
-        batch_format="pyarrow", concurrency=concurrency)
-    pairs = _pairs_from_buckets(buckets)
+    buckets = _sig_stage(docs, _ShingleSigs,
+                         ("char", num_perm, bands, ngram_k), concurrency)
+    pairs = _split_pairs(_pairs_from_buckets(buckets), stats)
     return _verify_jaccard(pairs, sf_dir, "char", ngram_k, threshold)
 
 
@@ -207,29 +299,41 @@ class _SimhashChunks:
                          "sig": pa.array(o_sig, pa.int64())})
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy>=2 kernel when present)."""
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x.astype(np.uint64)).astype(np.int64)
+    v = np.ascontiguousarray(x.astype(np.uint64)).view(np.uint8)
+    return np.unpackbits(v.reshape(len(x), 8), axis=1).sum(axis=1).astype(np.int64)
+
+
 def simhash_dedup(sf_dir: str, *, max_hamming: int = 3,
-                  concurrency: int = 2) -> rd.Dataset:
-    """Near-duplicate pairs by SimHash: (a, b, hamming <= max_hamming)."""
+                  concurrency: int = 2, stats: dict | None = None) -> rd.Dataset:
+    """Near-duplicate pairs by SimHash: (a, b, hamming <= max_hamming).
+    Verification joins the per-doc signature table (one int64 per doc,
+    distilled from the chunk rows by a groupby) onto each pair side — no
+    driver-side signature dict."""
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    rows = docs.map_batches(_SimhashChunks, batch_format="pyarrow",
-                            concurrency=concurrency)
-    sigs_tbl = rows.materialize()
-    pairs = _pairs_from_buckets(sigs_tbl)
-    # signature lookup (small: one int per doc) broadcast for verification
-    sp = sigs_tbl.to_pandas().drop_duplicates("doc_id")
-    ref = ray.put(dict(zip(sp["doc_id"], sp["sig"])))
+    rows = _sig_stage(docs, _SimhashChunks, (), concurrency).materialize()
+    pairs = _split_pairs(_pairs_from_buckets(rows), stats)
+    # one row per doc; sig is identical across a doc's chunk rows
+    sigs = rows.groupby("doc_id").aggregate(Min("sig", alias_name="sig"))
+    joined = _join_pair_payload(pairs, sigs, "doc_id", "sig")
+    if joined is None:
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64())}))
 
     def verify(batch: pa.Table) -> pa.Table:
-        s = ray.get(ref)
-        a = batch["a"].to_numpy(zero_copy_only=False)
-        b = batch["b"].to_numpy(zero_copy_only=False)
-        ham = np.array([bin(s[x] ^ s[y]).count("1") for x, y in zip(a, b)],
-                       dtype=np.int64)
+        sa = batch["sig_a"].to_numpy(zero_copy_only=False)
+        sb = batch["sig_b"].to_numpy(zero_copy_only=False)
+        ham = _popcount64(np.bitwise_xor(sa.astype(np.uint64),
+                                         sb.astype(np.uint64)))
         t = pa.table({"a": batch["a"], "b": batch["b"],
                       "hamming": pa.array(ham, pa.int64())})
         return t.filter(pc.less_equal(t["hamming"], pa.scalar(max_hamming)))
 
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -237,9 +341,13 @@ def simhash_dedup(sf_dir: str, *, max_hamming: int = 3,
 # ---------------------------------------------------------------------------
 
 def embedding_neardup(sf_dir: str, *, n_planes: int = 12, seed: int = 42,
-                      threshold: float = 0.95) -> rd.Dataset:
+                      threshold: float = 0.95,
+                      stats: dict | None = None) -> rd.Dataset:
     """Near-duplicate vector pairs: random-hyperplane LSH buckets -> exact
-    cosine verification. (a, b, cosine)."""
+    cosine verification. (a, b, cosine). Verification joins the vector table
+    onto each pair side (vectors serialized to binary — list columns don't
+    flow through hash joins); each batch computes a row-wise dot product of
+    its normalized pair vectors."""
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     first = emb.take_batch(1, batch_format="pandas")
     dim = len(first["embedding"][0])
@@ -257,35 +365,38 @@ def embedding_neardup(sf_dir: str, *, n_planes: int = 12, seed: int = 42,
         return pa.table({"bkey": pa.array(keys.astype(np.int64), pa.int64()),
                          "doc_id": pa.array(ids, pa.int64())})
 
-    pairs = _pairs_from_buckets(
-        emb.map_batches(bucketize, batch_format="pyarrow")).materialize()
-    cand = pairs.to_pandas()
-    if len(cand) == 0:
+    pairs = _split_pairs(_pairs_from_buckets(
+        emb.map_batches(bucketize, batch_format="pyarrow")), stats)
+
+    def to_binary(batch: pa.Table) -> pa.Table:
+        vb = [np.asarray(v, np.float64).tobytes()
+              for v in batch["embedding"].to_pylist()]
+        return pa.table({"vec_id": batch["vec_id"],
+                         "vb": pa.array(vb, pa.large_binary())})
+
+    vecs = emb.map_batches(to_binary, batch_format="pyarrow")
+    joined = _join_pair_payload(pairs, vecs, "vec_id", "vb")
+    if joined is None:
         return rd.from_arrow(pa.table({
             "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
             "cosine": pa.array([], pa.float64())}))
-    need = sorted(set(cand["a"]) | set(cand["b"]))
-
-    def pick(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch["vec_id"],
-                                     value_set=pa.array(need, pa.int64())))
-
-    small = emb.map_batches(pick, batch_format="pyarrow").to_pandas()
-    vecs = {i: np.asarray(v, np.float64)
-            for i, v in zip(small["vec_id"], small["embedding"])}
-    for v in vecs.values():
-        n = np.linalg.norm(v)
-        if n:
-            v /= n
-    vref = ray.put(vecs)
 
     def verify(batch: pa.Table) -> pa.Table:
-        vv = ray.get(vref)
-        a = batch["a"].to_numpy(zero_copy_only=False)
-        b = batch["b"].to_numpy(zero_copy_only=False)
-        cos = np.array([float(vv[x] @ vv[y]) for x, y in zip(a, b)])
+        if batch.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        va = np.vstack([np.frombuffer(b, np.float64)
+                        for b in batch["vb_a"].to_pylist()])
+        vb = np.vstack([np.frombuffer(b, np.float64)
+                        for b in batch["vb_b"].to_pylist()])
+        na = np.linalg.norm(va, axis=1)
+        nb = np.linalg.norm(vb, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        cos = np.einsum("ij,ij->i", va, vb) / (na * nb)
         t = pa.table({"a": batch["a"], "b": batch["b"],
                       "cosine": pa.array(np.round(cos, 6), pa.float64())})
         return t.filter(pc.greater_equal(t["cosine"], pa.scalar(threshold)))
 
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    return joined.map_batches(verify, batch_format="pyarrow")

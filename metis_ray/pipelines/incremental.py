@@ -60,8 +60,18 @@ def ingest_increment(corpus_dir: str, state_dir: str, *,
         frag_dir = corpus_dir
     frags = {f: os.path.getsize(os.path.join(frag_dir, f))
              for f in sorted(os.listdir(frag_dir)) if f.endswith(".parquet")}
-    new = [f for f, size in frags.items()
-           if man["fragments"].get(f) != size]
+    # fragments are IMMUTABLE units of arrival: a size change means the old
+    # batch's edges are already landed and cannot be retracted, so silently
+    # reprocessing would double-count — fail loudly instead (the reference
+    # likewise treats a re-imported name as "already there, skip", never as
+    # "merge two versions": HDF5Helper.py:53-69)
+    changed = [f for f, size in frags.items()
+               if f in man["fragments"] and man["fragments"][f] != size]
+    if changed:
+        raise ValueError(
+            f"fragments changed size after ingestion (immutable contract): "
+            f"{changed[:5]}{'...' if len(changed) > 5 else ''}")
+    new = [f for f in frags if f not in man["fragments"]]
     if not new:
         return {"new_fragments": 0, "new_edges": 0, "batch_dir": None}
 
@@ -92,6 +102,41 @@ def ingest_increment(corpus_dir: str, state_dir: str, *,
     os.replace(mp + ".tmp", mp)
     return {"new_fragments": len(new), "new_edges": n_edges,
             "batch_dir": batch_dir}
+
+
+def watch(corpus_dir: str, state_dir: str, *, interval: float = 1.0,
+          max_loops: int | None = None, stop_file: str | None = None,
+          concurrency=None, on_batch=None) -> dict:
+    """Arriving-input watcher (reference S2/S3: ``sinotify._main`` polls an
+    ingest dir and spawns a pipeline per new file, with an ``exit.exit``
+    sentinel to stop the daemon — ``/root/reference/Metis/sinotify.py:53-87``).
+
+    Polls ``corpus_dir`` every ``interval`` seconds and lands each new batch
+    of fragments through ``ingest_increment`` (idempotent, exactly-once).
+    Stops when ``stop_file`` appears (sentinel; removed on exit) or after
+    ``max_loops`` polls. ``on_batch(info)`` fires after each non-empty batch
+    (the reference's update_progress hook). Returns totals."""
+    import time
+
+    if stop_file is None:
+        stop_file = os.path.join(state_dir, "exit.exit")
+    totals = {"loops": 0, "batches": 0, "fragments": 0, "edges": 0}
+    while True:
+        if os.path.exists(stop_file):
+            os.remove(stop_file)
+            break
+        info = ingest_increment(corpus_dir, state_dir, concurrency=concurrency)
+        totals["loops"] += 1
+        if info["new_fragments"]:
+            totals["batches"] += 1
+            totals["fragments"] += info["new_fragments"]
+            totals["edges"] += info["new_edges"]
+            if on_batch is not None:
+                on_batch(info)
+        if max_loops is not None and totals["loops"] >= max_loops:
+            break
+        time.sleep(interval)
+    return totals
 
 
 def edges_so_far(state_dir: str) -> rd.Dataset:

@@ -91,11 +91,28 @@ def _default_concurrency() -> int:
     return max(1, (cpu - 2) // 2)
 
 
-def raw_resolved(corpus: rd.Dataset, symbols_ref, *, concurrency=None) -> rd.Dataset:
+def raw_resolved(corpus: rd.Dataset, symbols_ref, *, concurrency=None,
+                 strategy: str = "broadcast") -> rd.Dataset:
     """validate -> extract -> resolve; rows carry a ``resolved`` flag.
+
+    ``strategy='broadcast'`` (default): the symbol table ships once via
+    ``ray.put`` and is probed per batch — right whenever it fits one node.
+    ``strategy='join'``: hash-shuffle ``Dataset.join`` on module — the path
+    for symbol tables too big to broadcast; ``symbols_ref`` may then be a
+    symbol Dataset (``build_symbol_dataset``) or the usual ref/table.
 
     Extraction (regex scanning over content) dominates; resolution is a dict
     probe — its pool is half the size."""
+    if strategy == "join":
+        from metis_ray.stages.resolve import resolve_edges_join
+        ex = validated(corpus).map_batches(
+            EdgeExtractor(), batch_format="pyarrow", zero_copy_batch=True)
+        symbols_ds = symbols_ref
+        if not isinstance(symbols_ds, rd.Dataset):
+            tbl = (ray.get(symbols_ref)
+                   if isinstance(symbols_ref, ray.ObjectRef) else symbols_ref)
+            symbols_ds = rd.from_arrow(tbl)
+        return resolve_edges_join(ex, symbols_ds)
     cpu = int(ray.cluster_resources().get("CPU", 8))
     if cpu < 4:
         # tiny cluster: two actor pools + read tasks would starve each other
@@ -222,7 +239,8 @@ class IngestResult:
     stats: dict
 
 
-def ingest(corpus_dir: str, *, concurrency=None, collect_stats: bool = False) -> IngestResult:
+def ingest(corpus_dir: str, *, concurrency=None, collect_stats: bool = False,
+           resolve_strategy: str = "broadcast") -> IngestResult:
     """Build the full ingest DAG over a corpus directory (lazy Datasets).
 
     ``collect_stats=True`` additionally executes the counting aggregations
@@ -232,7 +250,8 @@ def ingest(corpus_dir: str, *, concurrency=None, collect_stats: bool = False) ->
     corpus = read_corpus(corpus_dir)
     symbols_ref = ray.put(build_symbol_table(
         read_corpus(corpus_dir, columns=["repo", "path"])))
-    resolved = raw_resolved(corpus, symbols_ref, concurrency=concurrency)
+    resolved = raw_resolved(corpus, symbols_ref, concurrency=concurrency,
+                            strategy=resolve_strategy)
     edges = dedup_edges(resolved, symbols_ref)
     redges = repo_edges(edges)
 

@@ -33,13 +33,34 @@ from metis_ray.functions.hashing import hash64
 from metis_ray.stages.extract import module_key_for_path
 
 
-def build_symbol_table(corpus) -> pa.Table:
-    """(module, dst, dst_repo) for every corpus file.
+class VertexIdCollision(RuntimeError):
+    """Two distinct files hashed to the same 63-bit vertex id.
 
-    ``corpus`` is a Dataset with at least (repo, path) — column-pruned read.
-    The result is ~#files rows of short strings (tiny next to content), built
-    with one streaming pass.
-    """
+    63-bit content-derived ids birthday-collide around ~3e9 keys
+    (``functions/hashing.py`` documents the envelope); past that scale the
+    id contract must widen to 128 bits — two int64 columns ``(vertex_hi,
+    vertex_lo)`` from a blake2b(digest_size=16) split, carried together
+    through every shuffle key. The guard below makes the failure loud at
+    build time instead of silently merging two files' edges."""
+
+
+def check_id_collisions(symbols: pa.Table) -> None:
+    """Fail fast if any vertex id is claimed by more than one module key."""
+    if symbols.num_rows == 0:
+        return
+    g = symbols.group_by("dst").aggregate([("module", "count_distinct")])
+    worst = pc.max(g["module_count_distinct"]).as_py() or 0
+    if worst > 1:
+        n = pc.sum(pc.greater(g["module_count_distinct"], 1)).as_py()
+        raise VertexIdCollision(
+            f"{n} vertex id(s) map to multiple modules — 63-bit id space "
+            "exhausted for this corpus; switch to 128-bit ids "
+            "(see functions/hashing.py)")
+
+
+def build_symbol_dataset(corpus):
+    """The symbol table as a lazy Dataset (module, dst, dst_repo) — the
+    shuffle-join resolution side for symbol tables too big to broadcast."""
 
     def to_symbols(batch: pa.Table) -> pa.Table:
         repos = batch["repo"].to_pylist()
@@ -52,15 +73,27 @@ def build_symbol_table(corpus) -> pa.Table:
             "dst_repo": pa.array(repos, pa.string()),
         })
 
+    return corpus.select_columns(["repo", "path"]).map_batches(
+        to_symbols, batch_format="pyarrow")
+
+
+def build_symbol_table(corpus) -> pa.Table:
+    """(module, dst, dst_repo) for every corpus file.
+
+    ``corpus`` is a Dataset with at least (repo, path) — column-pruned read.
+    The result is ~#files rows of short strings (tiny next to content), built
+    with one streaming pass. Raises ``VertexIdCollision`` if the 63-bit id
+    space collided (distinct modules sharing a vertex id)."""
     schema = pa.schema([("module", pa.string()), ("dst", pa.int64()),
                         ("dst_repo", pa.string())])
-    parts = corpus.select_columns(["repo", "path"]).map_batches(
-        to_symbols, batch_format="pyarrow").to_arrow_refs()
+    parts = build_symbol_dataset(corpus).to_arrow_refs()
     tables = [t for t in (ray.get(r) for r in parts)
               if t.num_rows > 0 and t.column_names]  # zero-row blocks can be schema-less
     if not tables:
         return schema.empty_table()
-    return pa.concat_tables(tables)
+    tbl = pa.concat_tables(tables)
+    check_id_collisions(tbl)
+    return tbl
 
 
 class ResolveEdges:
@@ -117,3 +150,70 @@ class ResolveEdges:
             "dst": pa.array(o_dst, pa.int64()),
             "resolved": pa.array(resolved),
         })
+
+
+def resolve_edges_join(extracted, symbols_ds, *,
+                       num_partitions: int | None = None):
+    """Shuffle-join resolution (``strategy='join'``): the 10^12-file path
+    where the symbol table does not fit one node.
+
+    Same semantics as ``ResolveEdges`` — exact-module left join, then the
+    python parent-module fallback as a second left join over only the rows
+    the first pass missed, self-edges dropped — expressed as two
+    hash-partitioned ``Dataset.join``s on ``module``. Output schema matches
+    the broadcast path exactly: (src, dst, resolved). Assumes module keys
+    are unique in the symbol table (true by construction: one key per
+    (repo, path)); duplicate keys would multiply edges here and collapse
+    arbitrarily in the broadcast dict."""
+    import ray as _ray
+    import ray.data as rd
+    if num_partitions is None:
+        num_partitions = max(2, min(8, int(
+            _ray.cluster_resources().get("CPU", 8)) - 2))
+    sym = symbols_ds.select_columns(["module", "dst"])
+    ext = extracted.select_columns(["src", "lang", "module"])
+    j1 = ext.join(sym, join_type="left_outer",
+                  num_partitions=num_partitions, on=("module",))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # fill nulls ARROW-side: int64-with-nulls round-trips through numpy
+        # as float64 and silently corrupts 63-bit ids past 2^53
+        dst = pc.fill_null(pc.cast(batch["dst"], pa.int64()),
+                           0).to_numpy(zero_copy_only=False)
+        src = batch["src"].to_numpy(zero_copy_only=False)
+        hit = pc.is_valid(batch["dst"]).to_numpy(zero_copy_only=False)
+        ok = hit & (dst != src)
+        return pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(np.where(ok, dst, 0), pa.int64()),
+            "resolved": pa.array(ok),
+        })
+
+    def needs_fallback(batch: pa.Table) -> pa.Table:
+        miss = pc.and_(pc.invert(pc.is_valid(batch["dst"])),
+                       pc.and_(pc.equal(batch["lang"], pa.scalar("python")),
+                               pc.match_substring(batch["module"], ".")))
+        t = batch.filter(miss)
+        parents = [m.rsplit(".", 1)[0] for m in t["module"].to_pylist()]
+        return pa.table({
+            "src": t["src"],
+            "lang": t["lang"],
+            "module": pa.array(parents, pa.string()),
+        })
+
+    def no_fallback(batch: pa.Table) -> pa.Table:
+        miss = pc.and_(pc.invert(pc.is_valid(batch["dst"])),
+                       pc.invert(pc.and_(
+                           pc.equal(batch["lang"], pa.scalar("python")),
+                           pc.match_substring(batch["module"], "."))))
+        keep = pc.or_(pc.is_valid(batch["dst"]), miss)
+        return batch.filter(keep)
+
+    j1 = j1.materialize()   # consumed twice (hits+hard-misses, fallback rows)
+    first = j1.map_batches(no_fallback, batch_format="pyarrow").map_batches(
+        finish, batch_format="pyarrow")
+    retry = j1.map_batches(needs_fallback, batch_format="pyarrow")
+    j2 = retry.join(sym, join_type="left_outer",
+                    num_partitions=num_partitions, on=("module",))
+    second = j2.map_batches(finish, batch_format="pyarrow")
+    return first.union(second)

@@ -214,3 +214,16 @@ def test_triangles_strategies_agree(ingested, nxg):
         got = dict(zip(pv["v"], pv["triangles"]))
         for v, t in want.items():
             assert got.get(v, 0) == t, (strat, v)
+
+
+def test_checkpoint_in_fixed_iteration_mode(dir_graph, tmp_path):
+    """tol<=0 (async bench mode) must still honor ckpt_dir — it used to
+    silently skip every checkpoint."""
+    ck = str(tmp_path / "ck_async")
+    r = GraphRunner(dir_graph)
+    try:
+        r.pagerank(alpha=0.85, tol=0.0, max_iter=4, ckpt_dir=ck,
+                   checkpoint_every=2)
+    finally:
+        r.shutdown()
+    assert GraphRunner.resume_epoch(ck) == 4

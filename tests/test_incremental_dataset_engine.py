@@ -107,3 +107,64 @@ def test_dataset_engine_components_exact(tiny_ingest, tiny_corpus_dir):
         for v in comp:
             want[v] = rep
     assert got == want
+
+
+def test_fragment_immutability_raises(tiny_corpus_dir, tmp_path):
+    """A size-changed fragment violates the exactly-once landing contract
+    and must fail loudly, not double-count."""
+    src = os.path.join(tiny_corpus_dir, "corpus")
+    frag = sorted(os.listdir(src))[0]
+    cd = str(tmp_path / "corpus_mut")
+    os.makedirs(os.path.join(cd, "corpus"))
+    state = str(tmp_path / "state_mut")
+    shutil.copy(os.path.join(src, frag), os.path.join(cd, "corpus", frag))
+    ingest_increment(cd, state)
+    with open(os.path.join(cd, "corpus", frag), "ab") as fh:
+        fh.write(b"x")   # grow the fragment after it was landed
+    with pytest.raises(ValueError, match="immutable"):
+        ingest_increment(cd, state)
+
+
+def test_watch_lands_arriving_fragments(tiny_corpus_dir, tmp_path):
+    """Watcher loop (reference sinotify analogue): fragments dropped into
+    the dir are landed without re-invocation; sentinel stops the loop;
+    re-running afterwards is a no-op."""
+    import threading
+
+    from metis_ray.pipelines.incremental import watch
+
+    src = os.path.join(tiny_corpus_dir, "corpus")
+    frags = sorted(os.listdir(src))
+    cd = str(tmp_path / "corpus_watch")
+    os.makedirs(os.path.join(cd, "corpus"))
+    state = str(tmp_path / "state_watch")
+    os.makedirs(state)
+
+    seen = []
+    stop = os.path.join(state, "exit.exit")
+
+    def feeder():
+        for f in frags:
+            # write-temp + rename so the watcher never sees a half-copied
+            # fragment (the immutability contract requires atomic arrival)
+            tmp = os.path.join(cd, "corpus", f + ".part")
+            shutil.copy(os.path.join(src, f), tmp)
+            os.rename(tmp, os.path.join(cd, "corpus", f))
+        # wait until the watcher has landed every fragment, then stop it
+        deadline = 60
+        import time
+        while deadline and sum(i["new_fragments"] for i in seen) < len(frags):
+            time.sleep(0.5)
+            deadline -= 0.5
+        open(stop, "w").close()
+
+    t = threading.Thread(target=feeder)
+    t.start()
+    totals = watch(cd, state, interval=0.2, on_batch=seen.append,
+                   max_loops=200)
+    t.join()
+    assert totals["fragments"] == len(frags)
+    assert totals["edges"] > 0
+    # idempotent afterwards
+    info = ingest_increment(cd, state)
+    assert info["new_fragments"] == 0

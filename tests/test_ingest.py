@@ -92,3 +92,36 @@ def test_repo_multiplicity_matches_golden(tiny_corpus_dir, result):
     for s, d, m in zip(got["src"].astype("int64"), got["dst"].astype("int64"),
                        got["multiplicity"]):
         assert gold[(s, d)] == m, (s, d, gold[(s, d)], m)
+
+
+def test_join_strategy_matches_broadcast(tiny_corpus_dir, result):
+    """The shuffle-join resolve path (symbol tables too big to broadcast)
+    produces the identical deduped edge set + multiplicities."""
+    from metis_ray.pipelines.linkgraph import ingest as _ingest
+    jres = _ingest(tiny_corpus_dir, resolve_strategy="join")
+    a = result.edges_file.to_pandas()
+    b = jres.edges_file.to_pandas()
+    key = lambda df: {(int(s), int(d)): int(m) for s, d, m in
+                      zip(df["src"], df["dst"], df["multiplicity"])}
+    assert key(a) == key(b)
+
+
+def test_vertex_id_collision_guard():
+    """A 63-bit id collision (one dst claimed by two modules) fails the
+    symbol-table build loudly; build_symbol_table runs this check on every
+    ingest."""
+    import pyarrow as pa
+
+    from metis_ray.stages.resolve import VertexIdCollision, check_id_collisions
+
+    bad = pa.table({"module": ["a.x", "b.y"], "dst": [7, 7],
+                    "dst_repo": ["r1", "r2"]})
+    with pytest.raises(VertexIdCollision):
+        check_id_collisions(bad)
+    ok = pa.table({"module": ["a.x", "b.y"], "dst": [7, 8],
+                   "dst_repo": ["r1", "r2"]})
+    check_id_collisions(ok)   # no raise
+    # same module key twice with the SAME id (ext-variant collapse) is fine
+    dup = pa.table({"module": ["a.x", "a.x"], "dst": [7, 7],
+                    "dst_repo": ["r1", "r1"]})
+    check_id_collisions(dup)
