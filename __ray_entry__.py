@@ -124,6 +124,29 @@ def entry() -> Any:
     return top[["repo", "path", "rank"]].reset_index(drop=True)
 
 
+def _q_multimodal_meta(sf_dir: str):
+    """Typed-metadata projection of the multimodal asset table (the part of
+    the decode pipeline a SQL twin CAN certify: payload sizing + struct
+    metadata; the blake2b feature vector stays rows-only)."""
+    import pyarrow as pa
+
+    from metis_ray.pipelines.multimodal import synthesize_binary_table
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "asset_id": batch["asset_id"],
+            "n_bytes": pa.array([len(p) for p in batch["payload"].to_pylist()],
+                                pa.int64()),
+            "width": pc.cast(pc.struct_field(batch["meta"], "width"), pa.int64()),
+            "height": pc.cast(pc.struct_field(batch["meta"], "height"), pa.int64()),
+            "format": pc.struct_field(batch["meta"], "format"),
+        })
+
+    return synthesize_binary_table(sf_dir).map_batches(
+        flatten, batch_format="pyarrow")
+
+
 def _schema_guard(fn: Callable[[str], Any], cols: dict[str, str]) -> Callable[[str], Any]:
     """Zero-row Ray datasets can come back schema-less; pin the expected
     columns/dtypes so an empty result still hash-compares against its twin."""
@@ -192,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_quality": textstats.lang_quality,
         "docs_lang_distribution": textstats.lang_distribution,
         "multimodal_features": multimodal.decode_features,
+        "multimodal_meta": _q_multimodal_meta,
     }
 
 
@@ -475,6 +499,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_fingerprint": """
             SELECT doc_id, md5(text) AS md5 FROM documents
+        """,
+        # transcribes functions/hashing.ngram_fingerprint: min rolling
+        # polynomial hash over char 8-grams. The twin assumes ASCII text of
+        # length >= 8 (holds for the driver's documents tables — verified;
+        # the Ray kernel additionally handles short/non-ASCII docs via a
+        # blake2b fallback SQL can't express).
+        "docs_rolling_fingerprint": """
+            SELECT doc_id,
+                   CAST(list_min(list_transform(generate_series(1, len(text) - 7),
+                     i -> list_reduce(
+                            list_transform(generate_series(0, 7),
+                                           j -> CAST(unicode(text[i+j:i+j]) AS HUGEINT)),
+                            (h, c) -> (h * 1000003 + c) % 2305843009213693952)))
+                        AS BIGINT) AS rolling_min
+            FROM documents
+        """,
+        "multimodal_meta": """
+            SELECT doc_id AS asset_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   (octet_length(encode(text)) % 64) + 1 AS width,
+                   (octet_length(encode(text)) % 48) + 1 AS height,
+                   'fake/raw' AS format
+            FROM documents
         """,
         "docs_lang_quality": _lang_quality_core_sql(),
         "docs_lang_distribution": f"""

@@ -30,7 +30,9 @@ def _ray_session(num_cpus: int | None):
 
 def cmd_ingest(args) -> int:
     ray = _ray_session(args.num_cpus)
-    from metis_ray.pipelines.linkgraph import ingest
+    from metis_ray.pipelines.linkgraph import backup_corpus, ingest
+    if args.backup:
+        backup_corpus(args.corpus, args.backup)
     res = ingest(args.corpus, collect_stats=True)
     res.edges_file.write_parquet(f"{args.out}/edges_file")
     res.edges_repo.write_parquet(f"{args.out}/edges_repo")
@@ -96,6 +98,8 @@ def main(argv=None) -> int:
     p1 = sub.add_parser("ingest", help="corpus -> files + edge tables")
     p1.add_argument("--corpus", required=True)
     p1.add_argument("--out", required=True)
+    p1.add_argument("--backup", default=None,
+                    help="also land the verbatim corpus (lossless raw backup)")
     p1.set_defaults(fn=cmd_ingest)
 
     p2 = sub.add_parser("graph", help="run a graph algorithm end-to-end")

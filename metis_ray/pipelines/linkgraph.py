@@ -170,6 +170,39 @@ def dedup_edges(resolved: rd.Dataset, symbols_ref=None) -> rd.Dataset:
     return deduped.map_batches(attach, batch_format="pyarrow")
 
 
+def backup_corpus(corpus_dir: str, out_dir: str) -> dict:
+    """Lossless raw backup: land the VERBATIM corpus rows (content included)
+    plus their sha256 next to the parsed tables — the reference's
+    ``/backup`` group contract ("without the loss of ANY information",
+    README.md:27-31; raw import at ``Metis/tools/HDF5Helper.py:71-80``).
+
+    Idempotent: an existing ``_MANIFEST.json`` short-circuits (the
+    "already imported => nothing to do" check, ``HDF5Helper.py:53-69``).
+    Streaming ``write_parquet`` with zstd — the analogue of the reference's
+    complevel=9 HDF5 — one file per input block, resumable layout."""
+    import json
+    import os
+    man_path = os.path.join(out_dir, "_MANIFEST.json")
+    if os.path.exists(man_path):
+        with open(man_path) as fh:
+            return json.load(fh)
+    tmp = out_dir + ".tmp"
+    if os.path.exists(tmp):
+        import shutil
+        shutil.rmtree(tmp)
+    ds = validated(read_corpus(corpus_dir))
+    ds.write_parquet(tmp, compression="zstd")
+    rows = rd.read_parquet(tmp).count()
+    info = {"rows": rows, "corpus_dir": corpus_dir}
+    with open(os.path.join(tmp, "_MANIFEST.json"), "w") as fh:
+        json.dump(info, fh)
+    if os.path.exists(out_dir):
+        import shutil
+        shutil.rmtree(out_dir)
+    os.replace(tmp, out_dir)
+    return info
+
+
 def repo_edges(edges_file: rd.Dataset) -> rd.Dataset:
     """repo->repo rollup: distinct cross-repo pairs with repo-id vertices.
 
@@ -252,20 +285,27 @@ def ingest(corpus_dir: str, *, concurrency=None, collect_stats: bool = False,
         read_corpus(corpus_dir, columns=["repo", "path"])))
     resolved = raw_resolved(corpus, symbols_ref, concurrency=concurrency,
                             strategy=resolve_strategy)
-    edges = dedup_edges(resolved, symbols_ref)
-    redges = repo_edges(edges)
+    files = files_table(corpus)
 
     stats: dict = {}
     if collect_stats:
+        # ONE extraction pass: the resolved statement table is materialized
+        # (narrow int/flag rows, content already projected away) and both
+        # the stats aggregate and the dedup shuffle read those blocks —
+        # previously the stats path re-ran the whole validate+extract+resolve
+        # chain a second time. Quarantine counts likewise come from the
+        # (content-free) files table instead of a second sha256 pass.
+        resolved = resolved.materialize()
+        files = files.materialize()
+
         def partials(batch: pa.Table) -> pa.Table:
             res = pc.sum(pc.cast(batch["resolved"], pa.int64())).as_py() or 0
             return pa.table({"stmts": pa.array([batch.num_rows], pa.int64()),
                              "resolved": pa.array([res], pa.int64())})
-        agg = (raw_resolved(corpus, symbols_ref, concurrency=concurrency)
-               .map_batches(partials, batch_format="pyarrow")
+        agg = (resolved.map_batches(partials, batch_format="pyarrow")
                .aggregate(Sum("stmts", alias_name="stmts"),
                           Sum("resolved", alias_name="resolved")))
-        q = validated(corpus).map_batches(
+        q = files.map_batches(
             lambda t: pa.table({
                 "rows": pa.array([t.num_rows], pa.int64()),
                 "quarantined": pa.array(
@@ -284,5 +324,7 @@ def ingest(corpus_dir: str, *, concurrency=None, collect_stats: bool = False,
             "unresolved_or_self": stmts - res,
         }
 
-    return IngestResult(files=files_table(corpus), edges_file=edges,
+    edges = dedup_edges(resolved, symbols_ref)
+    redges = repo_edges(edges)
+    return IngestResult(files=files, edges_file=edges,
                         edges_repo=redges, symbols_ref=symbols_ref, stats=stats)
