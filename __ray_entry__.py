@@ -191,6 +191,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_approx_users": relational.events_approx_users,
         "orders_status_counts": relational.orders_status_counts,
         "part_brand_stats": relational.part_brand_stats,
+        "part_top2_per_brand": relational.part_top2_per_brand,
+        "part_brand_median": relational.part_brand_median,
         "nation_union": relational.supplier_customer_nation_union,
         # --- training-data pipelines ---
         "docs_exact_dedup": dedup.exact_dedup,
@@ -479,6 +481,21 @@ def oracle_sql() -> dict[str, str]:
                    round(min(p_retailprice), 2) AS min_price,
                    round(max(p_retailprice), 2) AS max_price,
                    round(avg(p_retailprice), 2) AS avg_price
+            FROM part GROUP BY p_brand
+        """,
+        "part_top2_per_brand": """
+            SELECT p_brand, p_partkey, round(p_retailprice, 2) AS p_retailprice,
+                   rnk
+            FROM (
+                SELECT p_brand, p_partkey, p_retailprice,
+                       row_number() OVER (PARTITION BY p_brand
+                                          ORDER BY p_retailprice DESC,
+                                                   p_partkey) AS rnk
+                FROM part
+            ) WHERE rnk <= 2
+        """,
+        "part_brand_median": """
+            SELECT p_brand, round(median(p_retailprice), 2) AS median_price
             FROM part GROUP BY p_brand
         """,
         "nation_union": """

@@ -187,20 +187,19 @@ def distinct_segments(sf_dir: str) -> pd.DataFrame:
 
 
 def customers_without_orders(sf_dir: str) -> pd.DataFrame:
-    """Broadcast ANTI-join: the order customer-key set ships once; customers
-    filter against it inside map_batches (no shuffle). Output (c_custkey).
-    Returned as a typed DataFrame so an empty result keeps its schema
-    (zero-row Ray datasets can be schema-less)."""
-    okeys = read_table(sf_dir, "orders", columns=["o_custkey"]).unique("o_custkey")
-    ref = ray.put(pa.array(sorted(okeys), pa.int64()))
+    """Hash-shuffle ANTI-join (``left_anti``): customers with no order.
+    The shuffle shape — neither side is collected or broadcast, so it holds
+    when the distinct-customer set outgrows one node (the broadcast-set
+    variant caps there). Output (c_custkey), returned as a typed DataFrame
+    so an empty result keeps its schema (zero-row Ray datasets can be
+    schema-less)."""
     cust = read_table(sf_dir, "customer", columns=["c_custkey"])
-
-    def anti(batch: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        return batch.filter(pc.invert(pc.is_in(batch["c_custkey"],
-                                               value_set=keys)))
-
-    df = cust.map_batches(anti, batch_format="pyarrow").to_pandas()
+    okeys = read_table(sf_dir, "orders", columns=["o_custkey"]).rename_columns(
+        {"o_custkey": "c_custkey"})
+    nparts = max(2, min(8, int(ray.cluster_resources().get("CPU", 8)) - 2))
+    res = cust.join(okeys, join_type="left_anti", num_partitions=nparts,
+                    on=("c_custkey",))
+    df = res.to_pandas()
     if "c_custkey" not in df.columns:
         df = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
     return df
@@ -440,6 +439,39 @@ def part_brand_stats(sf_dir: str) -> rd.Dataset:
         Max("p_retailprice", alias_name="max_price"),
         Mean("p_retailprice", alias_name="avg_price"))
     return _round2(agg, ["min_price", "max_price", "avg_price"])
+
+
+def part_top2_per_brand(sf_dir: str, *, k: int = 2) -> rd.Dataset:
+    """Windowed top-k per group (ROW_NUMBER shape): the k most expensive
+    parts per brand, ties by partkey ascending. Hash-partition by brand,
+    per-group vectorized sort+head — no global sort, no driver collect.
+    (p_brand, p_partkey, p_retailprice, rnk)."""
+    part = read_table(sf_dir, "part",
+                      columns=["p_brand", "p_partkey", "p_retailprice"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["p_retailprice", "p_partkey"],
+                          ascending=[False, True]).head(k).copy()
+        g["p_retailprice"] = g["p_retailprice"].round(2)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return part.groupby("p_brand").map_groups(topk, batch_format="pandas")
+
+
+def part_brand_median(sf_dir: str) -> rd.Dataset:
+    """Grouped exact median (the holistic aggregate a combiner can't
+    pre-reduce — hash-partition by key, per-group exact computation).
+    (p_brand, median_price)."""
+    part = read_table(sf_dir, "part", columns=["p_brand", "p_retailprice"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "p_brand": [g["p_brand"].iloc[0]],
+            "median_price": [round(float(g["p_retailprice"].median()), 2)],
+        })
+
+    return part.groupby("p_brand").map_groups(med, batch_format="pandas")
 
 
 def supplier_customer_nation_union(sf_dir: str) -> rd.Dataset:
