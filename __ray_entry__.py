@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"a": "int64", "b": "int64", "cosine": "float64"}),
         "ann_topk": similarity.ann_topk,
         "ann_lsh_topk": similarity.ann_lsh_topk,
+        "ann_ivf_topk": similarity.ann_ivf_topk,
         "docs_token_count": textstats.token_counts,
         "docs_token_pieces": textstats.token_pieces,
         "docs_fingerprint": textstats.fingerprints,

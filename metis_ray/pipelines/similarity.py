@@ -9,6 +9,13 @@
   must share an LSH bucket with the query under at least one of ``n_tables``
   hash tables; candidates then re-ranked exactly.  Trades recall for a
   ~bucket-fraction of the matmul work — the 10^12-row path.
+* ``ann_ivf_topk`` — IVF-flat: a coarse k-means quantizer (trained once on
+  a deterministic sample) assigns every vector to a centroid list; a query
+  probes only its ``nprobe`` nearest lists and re-ranks exactly.  At true
+  scale the assignment is precomputed and the vector table is PARTITIONED
+  by centroid id (one parquet dir per list), so a query reads nprobe/n of
+  the data off storage — here assignment happens per batch against the
+  broadcast centroid matrix, which exercises the identical math.
 """
 
 from __future__ import annotations
@@ -126,6 +133,88 @@ def ann_lsh_topk(sf_dir: str, *, k: int = 10, n_queries: int = 5,
             o_q.extend([int(ids_q[qi])] * len(idx))
             o_n.extend(int(v) for v in vids[cand[idx]])
             o_s.extend(float(row[j]) for j in idx)
+        return pa.table({"query_id": pa.array(o_q, pa.int64()),
+                         "neighbor_id": pa.array(o_n, pa.int64()),
+                         "score": pa.array(o_s, pa.float64())})
+
+    partials = emb.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    if len(partials) == 0:
+        return pd.DataFrame({"query_id": [], "neighbor_id": [], "rnk": []})
+    partials.sort_values(["query_id", "score", "neighbor_id"],
+                         ascending=[True, False, True], inplace=True)
+    out = partials.groupby("query_id", sort=True).head(k).copy()
+    out["rnk"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "neighbor_id", "rnk"]].reset_index(drop=True)
+
+
+def _kmeans_lloyd(sample: np.ndarray, n_centroids: int, iters: int,
+                  seed: int) -> np.ndarray:
+    """Deterministic Lloyd iterations on a (normalized) sample — the coarse
+    quantizer trainer. Pure numpy; empty clusters re-seeded from the sample
+    deterministically."""
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)),
+                     replace=False)
+    cents = sample[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                cents[c] = m / (n if n else 1.0)
+            else:
+                cents[c] = sample[rng.randint(len(sample))]
+    return cents
+
+
+def ann_ivf_topk(sf_dir: str, *, k: int = 10, n_queries: int = 5,
+                 n_centroids: int = 16, nprobe: int = 4, iters: int = 8,
+                 sample_size: int = 2048, seed: int = 42) -> pd.DataFrame:
+    """IVF-flat top-k, same output schema as ``ann_topk``. Approximate:
+    recall measured against the exact result in tests. Work per batch is
+    one assignment matmul plus exact scoring of only the rows whose
+    centroid falls in some query's probe set."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    qids, qm = _query_matrix(sf_dir, n_queries)
+    qn = _normalize(qm)
+
+    # train the coarse quantizer on a deterministic sample (first rows by
+    # file order — at scale: a seeded read_parquet sample)
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    sample_tbl = next(pf.iter_batches(batch_size=sample_size,
+                                      columns=["embedding"]))
+    sample = _normalize(np.vstack([np.asarray(v, np.float64)
+                                   for v in sample_tbl["embedding"].to_pylist()]))
+    cents = _kmeans_lloyd(sample, n_centroids, iters, seed)
+
+    # each query probes its nprobe nearest lists
+    qprobe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]    # (Q, nprobe)
+    ref = ray.put((qids, qn, cents, qprobe))
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids_q, qmat, cc, probe = ray.get(ref)
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        mat = _normalize(np.vstack([np.asarray(v, np.float64)
+                                    for v in batch["embedding"].to_pylist()]))
+        assign = np.argmax(mat @ cc.T, axis=1)                  # (B,)
+        o_q, o_n, o_s = [], [], []
+        for qi in range(qmat.shape[0]):
+            cand = np.flatnonzero(np.isin(assign, probe[qi]))
+            if len(cand) == 0:
+                continue
+            row = mat[cand] @ qmat[qi]
+            kk = min(k, len(cand))
+            pre = np.argpartition(-row, min(2 * kk, len(row)) - 1)[:2 * kk]
+            pre = pre[np.lexsort((vids[cand[pre]], -row[pre]))][:kk]
+            o_q.extend([int(ids_q[qi])] * len(pre))
+            o_n.extend(int(v) for v in vids[cand[pre]])
+            o_s.extend(float(row[j]) for j in pre)
         return pa.table({"query_id": pa.array(o_q, pa.int64()),
                          "neighbor_id": pa.array(o_n, pa.int64()),
                          "score": pa.array(o_s, pa.float64())})

@@ -76,3 +76,25 @@ def test_multimodal_plumbing():
 def test_multimodal_real_decoder_is_gated():
     with pytest.raises(NotImplementedError):
         multimodal.DecodeAndFeaturize(decoder="real")
+
+
+def test_ann_ivf_recall():
+    """IVF-flat recall vs the exact result (the list-probing scale path);
+    nprobe=all must equal exact search exactly."""
+    exact = similarity.ann_topk(SF, k=10, n_queries=5)
+    want = {(q, n) for q, n in zip(exact["query_id"], exact["neighbor_id"])}
+
+    got = similarity.ann_ivf_topk(SF, k=10, n_queries=5,
+                                  n_centroids=16, nprobe=4)
+    hits = sum((q, n) in want
+               for q, n in zip(got["query_id"], got["neighbor_id"]))
+    assert hits / len(want) >= 0.5, f"IVF recall too low: {hits}/{len(want)}"
+    # every query must at least find itself
+    self_found = {q for q, n in zip(got["query_id"], got["neighbor_id"])
+                  if q == n}
+    assert self_found == set(exact["query_id"].unique())
+
+    # probing every list degenerates to exact search
+    full = similarity.ann_ivf_topk(SF, k=10, n_queries=5,
+                                   n_centroids=8, nprobe=8)
+    assert full.values.tolist() == exact.values.tolist()
