@@ -31,12 +31,21 @@ from metis_ray.sources.parquet import read_table
 
 
 def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
-    """First ``n_queries`` vectors by vec_id (deterministic)."""
-    import pyarrow.parquet as pq
-    import os
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                      columns=["vec_id", "embedding"])
-    df = t.to_pandas().sort_values("vec_id").head(n_queries)
+    """First ``n_queries`` vectors by vec_id (deterministic).
+
+    Distributed min-k: every batch keeps its ``n_queries`` lowest vec_ids
+    (a combiner), the driver merges only those tiny partials — the full
+    vector table never reaches the driver."""
+
+    def local_min(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        keep = np.argsort(ids)[:n_queries]
+        return batch.take(pa.array(np.sort(keep)))
+
+    partial = (read_table(sf_dir, "embeddings",
+                          columns=["vec_id", "embedding"])
+               .map_batches(local_min, batch_format="pyarrow").to_pandas())
+    df = partial.sort_values("vec_id").head(n_queries)
     q = np.vstack([np.asarray(v, np.float64) for v in df["embedding"]])
     return df["vec_id"].to_numpy(), q
 
