@@ -147,6 +147,25 @@ def _q_multimodal_meta(sf_dir: str):
         flatten, batch_format="pyarrow")
 
 
+def _q_multimodal_frames(sf_dir: str):
+    """frame_sample with the binary frame projected to hex for the compare
+    (DuckDB BLOBs fetch as unhashable bytearrays; the library keeps real
+    binary frames)."""
+    import pyarrow as pa
+
+    from metis_ray.pipelines.multimodal import frame_sample
+
+    def hexify(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "asset_id": batch["asset_id"],
+            "frame_idx": batch["frame_idx"],
+            "frame_hex": pa.array([f.hex() for f in batch["frame"].to_pylist()],
+                                  pa.string()),
+        })
+
+    return frame_sample(sf_dir).map_batches(hexify, batch_format="pyarrow")
+
+
 def _schema_guard(fn: Callable[[str], Any], cols: dict[str, str]) -> Callable[[str], Any]:
     """Zero-row Ray datasets can come back schema-less; pin the expected
     columns/dtypes so an empty result still hash-compares against its twin."""
@@ -184,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_segments": relational.distinct_segments,
         "customers_without_orders": relational.customers_without_orders,
         "events_hourly": relational.events_hourly,
+        "events_sliding": relational.events_sliding,
         "events_with_prev": relational.events_with_prev,
         "events_sessionize": relational.events_sessionize,
         "orders_last_event": relational.orders_last_event,
@@ -216,9 +236,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": textstats.fingerprints,
         "docs_rolling_fingerprint": textstats.rolling_fingerprints,
         "docs_lang_quality": textstats.lang_quality,
+        "docs_quality_filter": textstats.quality_filter,
         "docs_lang_distribution": textstats.lang_distribution,
         "multimodal_features": multimodal.decode_features,
         "multimodal_meta": _q_multimodal_meta,
+        "multimodal_frames": _q_multimodal_frames,
+        "multimodal_resize": multimodal.resize_assets,
     }
 
 
@@ -425,6 +448,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type, hour
         """,
+        "events_sliding": """
+            SELECT event_type, window_start_hour,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM (
+                SELECT event_type, value,
+                       (epoch_us(ts) // 3600000000) - i AS window_start_hour
+                FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i)
+            )
+            GROUP BY event_type, window_start_hour
+        """,
         "events_with_prev": """
             SELECT event_id, user_id,
                    round(coalesce(LAG(value) OVER (PARTITION BY user_id ORDER BY ts),
@@ -533,6 +566,20 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS rolling_min
             FROM documents
         """,
+        # frame sampling is byte-exact SQL: frames are 256-byte slices of
+        # the (ASCII) payload, every 4th emitted
+        "multimodal_frames": """
+            SELECT doc_id AS asset_id, f AS frame_idx,
+                   lower(hex(encode(substring(text, CAST(f * 256 + 1 AS BIGINT),
+                                              256)))) AS frame_hex
+            FROM documents
+            CROSS JOIN LATERAL (
+                SELECT unnest(generate_series(
+                    0,
+                    CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) - 1,
+                    4)) AS f
+            )
+        """,
         "multimodal_meta": """
             SELECT doc_id AS asset_id,
                    octet_length(encode(text)) AS n_bytes,
@@ -542,6 +589,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "docs_lang_quality": _lang_quality_core_sql(),
+        "docs_quality_filter": f"""
+            SELECT doc_id, lang_pred, quality
+            FROM ({_lang_quality_core_sql()})
+            WHERE quality >= 0.5 AND lang_pred = 'en'
+        """,
         "docs_lang_distribution": f"""
             SELECT lang_pred, count(*) AS n_docs
             FROM ({_lang_quality_core_sql()}) GROUP BY lang_pred

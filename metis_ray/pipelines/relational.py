@@ -225,6 +225,41 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
     return _round2(agg, ["sum_value"])
 
 
+def events_sliding(sf_dir: str, *, size_hours: int = 2,
+                   hop_hours: int = 1) -> rd.Dataset:
+    """HOPPING (sliding) window aggregate: windows of ``size_hours`` every
+    ``hop_hours``; each event fans out to the size/hop windows covering it
+    inside map_batches (the replication IS the window assignment — no
+    self-join), then one grouped aggregate.
+    (event_type, window_start_hour, n_events, sum_value)."""
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+    n_win = size_hours // hop_hours
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        hour = us // 3_600_000_000
+        base = (hour // hop_hours) * hop_hours
+        reps = np.repeat(np.arange(batch.num_rows), n_win)
+        offs = np.tile(np.arange(n_win, dtype=np.int64) * hop_hours,
+                       batch.num_rows)
+        starts = base[reps] - offs
+        # a window starting at s covers [s, s+size): keep rows where true
+        keep = (hour[reps] >= starts) & (hour[reps] < starts + size_hours)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": pa.array(et[reps][keep]),
+            "window_start_hour": pa.array(starts[keep], pa.int64()),
+            "value": pa.array(val[reps][keep], pa.float64()),
+        })
+
+    agg = (ev.map_batches(fanout, batch_format="pyarrow")
+           .groupby(["event_type", "window_start_hour"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value", alias_name="sum_value")))
+    return _round2(agg, ["sum_value"])
+
+
 def events_with_prev(sf_dir: str) -> rd.Dataset:
     """Per-key ordered LAG (as-of/window shape): for each event, the previous
     value of the same user by ts. Expressed as groupby(user).map_groups over

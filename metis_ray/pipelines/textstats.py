@@ -101,6 +101,26 @@ def lang_quality(sf_dir: str, concurrency: int = 2) -> rd.Dataset:
                             concurrency=concurrency)
 
 
+def quality_filter(sf_dir: str, *, min_quality: float = 0.5,
+                   lang: str | None = "en", concurrency: int = 2) -> rd.Dataset:
+    """Training-data curation filter (the C4/Gopher-style keep-set): docs
+    whose heuristic quality clears ``min_quality`` and (optionally) whose
+    predicted language matches. Composes the lang/quality stage with an
+    Arrow filter — one streaming pass, rows never widen.
+    (doc_id, lang_pred, quality)."""
+    import pyarrow.compute as pc
+
+    scored = lang_quality(sf_dir, concurrency)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.greater_equal(batch["quality"], pa.scalar(min_quality))
+        if lang is not None:
+            m = pc.and_(m, pc.equal(batch["lang_pred"], pa.scalar(lang)))
+        return batch.filter(m).select(["doc_id", "lang_pred", "quality"])
+
+    return scored.map_batches(keep, batch_format="pyarrow")
+
+
 def lang_distribution(sf_dir: str, concurrency: int = 2) -> rd.Dataset:
     """(lang_pred, n_docs): grouped rollup of predicted language."""
     from ray.data.aggregate import Count

@@ -98,3 +98,38 @@ def test_ann_ivf_recall():
     full = similarity.ann_ivf_topk(SF, k=10, n_queries=5,
                                    n_centroids=8, nprobe=8)
     assert full.values.tolist() == exact.values.tolist()
+
+
+def test_multimodal_resize_and_frames():
+    """Resize emits exactly width*height bytes per asset with updated meta;
+    frame sampling emits every 4th 256-byte slice, byte-identical to the
+    source payload; the real-codec path stays gated."""
+    from metis_ray.pipelines import multimodal
+
+    rs = multimodal.resize_assets(SF, width=16, height=12).to_pandas()
+    assert len(rs) == 500
+    assert all(len(p) == 16 * 12 for p in rs["payload"])
+    assert all(m["format"] == "fake/resized" and m["width"] == 16
+               and m["height"] == 12 for m in rs["meta"])
+
+    fr = multimodal.frame_sample(SF, every_n=4).to_pandas()
+    src = multimodal.synthesize_binary_table(SF).to_pandas()
+    payloads = dict(zip(src["asset_id"], src["payload"]))
+    assert (fr["frame_idx"] % 4 == 0).all()
+    for aid, idx, frame in zip(fr["asset_id"], fr["frame_idx"], fr["frame"]):
+        assert frame == payloads[aid][idx * 256:(idx + 1) * 256]
+    # every asset contributes at least frame 0
+    assert set(fr["asset_id"]) == set(src["asset_id"])
+
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        multimodal.Resize(8, 8, decoder="real")
+
+
+def test_quality_filter_consistent():
+    from metis_ray.pipelines import textstats
+
+    kept = textstats.quality_filter(SF, min_quality=0.5, lang="en").to_pandas()
+    full = textstats.lang_quality(SF).to_pandas()
+    want = full[(full["quality"] >= 0.5) & (full["lang_pred"] == "en")]
+    assert sorted(kept["doc_id"]) == sorted(want["doc_id"])
