@@ -243,7 +243,7 @@ class GraphRunner:
     def connected_components(self, *, max_iter: int = 200,
                              ckpt_dir: str | None = None,
                              checkpoint_every: int = 10,
-                             resume: bool = False) -> RunStats:
+                             resume: bool = False, on_epoch=None) -> RunStats:
         """Iterative min-label propagation over the symmetrized graph;
         fixpoint (0 changes) = exact connected components, component id =
         min vertex id in the component."""
@@ -262,13 +262,14 @@ class GraphRunner:
             apply_extra=lambda _: (),
             delta_done=lambda ch: sum(ch) == 0,
             max_iter=max_iter, value_name="label", ckpt_dir=ckpt_dir,
-            checkpoint_every=checkpoint_every, start_epoch=start, stats=stats)
+            checkpoint_every=checkpoint_every, start_epoch=start, stats=stats,
+            on_epoch=on_epoch)
         return stats
 
     def label_propagation(self, *, max_iter: int = 20,
                           ckpt_dir: str | None = None,
                           checkpoint_every: int = 5,
-                          resume: bool = False) -> RunStats:
+                          resume: bool = False, on_epoch=None) -> RunStats:
         """Deterministic synchronous label propagation over the symmetrized
         graph. Semantics (mirrored exactly by the test oracle): labels start
         as vertex ids; each round every vertex adopts the most frequent label
@@ -293,7 +294,8 @@ class GraphRunner:
             apply_extra=lambda _: (),
             delta_done=lambda ch: sum(ch) == 0,
             max_iter=max_iter, value_name="label", ckpt_dir=ckpt_dir,
-            checkpoint_every=checkpoint_every, start_epoch=start, stats=stats)
+            checkpoint_every=checkpoint_every, start_epoch=start, stats=stats,
+            on_epoch=on_epoch)
         return stats
 
     # ------------------------------------------------------------------
