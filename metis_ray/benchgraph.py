@@ -106,12 +106,16 @@ def bench_graph_dir(sf_dir: str, P: int, *, root: str = BENCH_ROOT) -> str:
     (built with the same Ray Data shuffle as the corpus graph; cached)."""
     import ray.data as rd
 
-    from metis_ray.graph.partition import build_graph_dir
+    from metis_ray.graph.partition import build_graph_dir, build_layouts, graph_meta
 
     V, E = bench_size_for_sf(sf_dir)
     src = synth_edge_dir(V, E)
     gdir = os.path.join(root, f"graph_v{V}_e{E}_P{P}_range")
     if os.path.exists(os.path.join(gdir, "graph_meta.json")):
+        m = graph_meta(gdir)
+        if not m.get("layout"):    # cached pre-layout dir: migrate in place
+            build_layouts(gdir, P, m.get("partition", "hash"),
+                          m.get("id_bound", 0))
         return gdir
     edges = rd.read_parquet(os.path.join(src, "edges"))
     verts = rd.read_parquet(os.path.join(src, "vertices"))

@@ -117,14 +117,38 @@ def build_graph_dir(edges: rd.Dataset, vertices: rd.Dataset, out_dir: str,
         _with_pid("vertex_id", P, partition, id_bound), batch_format="pyarrow")
     v.write_parquet(os.path.join(tmp, "vertices"), partition_cols=["pid"])
 
+    # Persist the per-shard target-major CSR layout NOW, with one Ray task
+    # per partition: shard-actor start becomes a column read instead of a
+    # per-actor lexsort over the partition's edges (which cost 17x the
+    # superstep compute at 320M edges, and again on every actor restart).
+    build_layouts(tmp, P, partition, id_bound)
+
     with open(os.path.join(tmp, "graph_meta.json"), "w") as fh:
         json.dump({"P": P, "directed": directed, "partition": partition,
-                   "id_bound": id_bound}, fh)
+                   "id_bound": id_bound, "layout": 1}, fh)
     if os.path.exists(out_dir):
         import shutil
         shutil.rmtree(out_dir)
     os.replace(tmp, out_dir)
     return out_dir
+
+
+def build_layouts(graph_dir: str, P: int, partition: str, id_bound: int,
+                  *, num_cpus: float = 1.0) -> None:
+    """Compute + persist every partition's CSR layout in parallel (skipping
+    partitions that already have a current one — idempotent, so pre-layout
+    graph dirs can be migrated in place)."""
+    import ray
+
+    from metis_ray.graph import shard as _shard
+
+    @ray.remote(num_cpus=num_cpus)
+    def _one(pid: int) -> int:
+        if _shard.load_layout(graph_dir, pid, P) is None:
+            _shard.build_layout(graph_dir, pid, P, partition, id_bound)
+        return pid
+
+    ray.get([_one.remote(pid) for pid in range(P)])
 
 
 def graph_meta(graph_dir: str) -> dict:

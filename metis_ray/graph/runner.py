@@ -55,15 +55,26 @@ class RunStats:
     seconds: float = 0.0
     lineage: list = field(default_factory=list)
     resumed_from: int | None = None
+    recoveries: int = 0
 
 
 class GraphRunner:
-    """Owns the shard actor fleet for one partitioned graph directory."""
+    """Owns the shard actor fleet for one partitioned graph directory.
 
-    def __init__(self, graph_dir: str, *, num_cpus_per_shard: float = 1.0) -> None:
+    Fault contract (the reference's ``Restart=always``,
+    ``Metis/systemd/metis.service:8-9``): shard actors are created with
+    ``max_restarts`` so Ray revives a dead shard with the same (pid, P,
+    graph_dir) args — ``__init__`` reloads the persisted layout, cheap.
+    The epoch loop catches the resulting actor errors, re-runs the one-time
+    position exchange, reloads the newest complete checkpoint on EVERY shard
+    (survivors may have advanced past it) and continues from there."""
+
+    def __init__(self, graph_dir: str, *, num_cpus_per_shard: float = 1.0,
+                 max_restarts: int = 4, max_recoveries: int = 3) -> None:
         meta = graph_meta(graph_dir)
         self.P = meta["P"]
         self.graph_dir = graph_dir
+        self.max_recoveries = max_recoveries
         # P is fixed by the on-disk layout; on a cluster with fewer CPUs the
         # reservation is shrunk (fractional num_cpus) instead of letting
         # surplus actors pend forever — the constructor would otherwise hang
@@ -72,7 +83,8 @@ class GraphRunner:
         if self.P * num_cpus_per_shard > cpus:
             num_cpus_per_shard = max(0.01, (cpus - 0.5) / self.P)
         self.shards = [
-            CSRShardActor.options(num_cpus=num_cpus_per_shard).remote(
+            CSRShardActor.options(num_cpus=num_cpus_per_shard,
+                                  max_restarts=max_restarts).remote(
                 pid, self.P, graph_dir)
             for pid in range(self.P)
         ]
@@ -107,12 +119,73 @@ class GraphRunner:
                         delta_done, max_iter: int, value_name: str,
                         ckpt_dir: str | None, checkpoint_every: int,
                         start_epoch: int, stats: RunStats,
-                        on_epoch=None) -> None:
+                        on_epoch=None, reinit=None) -> None:
+        """Retry shell around the epoch loop: a dead shard actor (Ray
+        restarts it per ``max_restarts``) surfaces as RayActorError — either
+        directly (a call on the dead actor) or wrapped in RayTaskError (a
+        peer's apply fetched the dead shard's payload ref). Recover and
+        continue; anything else propagates."""
+        t0 = time.perf_counter()
+        start = start_epoch
+        attempts = 0
+        while True:
+            try:
+                self._run_epochs(
+                    scatter=scatter, apply=apply, apply_extra=apply_extra,
+                    delta_done=delta_done, max_iter=max_iter,
+                    value_name=value_name, ckpt_dir=ckpt_dir,
+                    checkpoint_every=checkpoint_every, start_epoch=start,
+                    stats=stats, on_epoch=on_epoch)
+                break
+            except (ray.exceptions.RayActorError,
+                    ray.exceptions.RayTaskError) as e:
+                if (isinstance(e, ray.exceptions.RayTaskError)
+                        and not isinstance(getattr(e, "cause", None),
+                                           ray.exceptions.RayActorError)):
+                    raise               # a real task bug, not a dead actor
+                attempts += 1
+                if reinit is None or attempts > self.max_recoveries:
+                    raise
+                start = self._recover(ckpt_dir, value_name, reinit)
+                stats.recoveries = attempts
+        stats.seconds = time.perf_counter() - t0
+        done_epochs = stats.epochs - start_epoch
+        if stats.seconds > 0 and done_epochs > 0:
+            stats.supersteps_per_sec = done_epochs / stats.seconds
+            stats.edges_per_sec = done_epochs * self.m_total / stats.seconds
+        stats.total_edges = self.m_total
+        stats.total_vertices = self.n_total
+
+    def _recover(self, ckpt_dir: str | None, value_name: str, reinit) -> int:
+        """Rebuild after an actor death: wait for the restarted fleet (its
+        ``__init__`` reloads the persisted layout), redo the one-time
+        position exchange, then restore the newest complete checkpoint on
+        ALL shards — or re-init from epoch 0 when there is none. Returns the
+        epoch to continue from."""
+        ray.get([s.meta.remote() for s in self.shards])  # blocks on restart
+        self._exchange_positions()
+        # reinit first (restores algorithm config — e.g. payload dtype — on
+        # the restarted actor), then overlay checkpointed values if any.
+        reinit()
+        # only checkpoints written/loaded by THIS run count — a stale
+        # manifest from an earlier run in the same ckpt_dir could otherwise
+        # fast-forward the job past its actual progress
+        re = self._run_ckpt_epoch
+        if re is not None and ckpt_dir:
+            ray.get([s.load_checkpoint.remote(ckpt_dir, re, value_name)
+                     for s in self.shards])
+            return re
+        return 0
+
+    def _run_epochs(self, *, scatter: str, apply: str, apply_extra,
+                    delta_done, max_iter: int, value_name: str,
+                    ckpt_dir: str | None, checkpoint_every: int,
+                    start_epoch: int, stats: RunStats,
+                    on_epoch=None) -> None:
         shards = self.shards
         sync = delta_done is not None
         arefs: list = []
         inflight: list[list] = []   # bounded async window (see below)
-        t0 = time.perf_counter()
         for epoch in range(start_epoch, max_iter):
             te = time.perf_counter()
             # payload refs are routed to the target shards WITHOUT being
@@ -153,6 +226,14 @@ class GraphRunner:
                     # fixed-iteration mode checkpoints too — ckpt_dir with
                     # tol<=0 used to be silently ignored
                     if ckpt_dir and ep_done % checkpoint_every == 0:
+                        # barrier first: with a window > 1, later epochs'
+                        # apply tasks are already enqueued on the actors and
+                        # would advance state under the checkpoint — drain
+                        # them and label the checkpoint with the epoch the
+                        # actor state actually holds
+                        while inflight:
+                            ep_done, refs = inflight.pop(0)
+                            ray.get(refs)
                         self._checkpoint(ckpt_dir, ep_done, value_name,
                                          0.0, stats)
                 continue
@@ -172,13 +253,6 @@ class GraphRunner:
             ray.get(refs)       # drain the pipeline
             if ckpt_dir and ep_done % checkpoint_every == 0:
                 self._checkpoint(ckpt_dir, ep_done, value_name, 0.0, stats)
-        stats.seconds = time.perf_counter() - t0
-        done_epochs = stats.epochs - start_epoch
-        if stats.seconds > 0 and done_epochs > 0:
-            stats.supersteps_per_sec = done_epochs / stats.seconds
-            stats.edges_per_sec = done_epochs * self.m_total / stats.seconds
-        stats.total_edges = self.m_total
-        stats.total_vertices = self.n_total
 
     def _checkpoint(self, ckpt_dir: str, epoch: int, value_name: str,
                     se_secs: float, stats: RunStats) -> None:
@@ -193,6 +267,7 @@ class GraphRunner:
         with open(tmp, "w") as fh:
             json.dump(man, fh)
         os.replace(tmp, os.path.join(ckpt_dir, f"manifest-{epoch}.json"))
+        self._run_ckpt_epoch = epoch    # recovery floor: this run's newest
 
     @staticmethod
     def resume_epoch(ckpt_dir: str | None) -> int | None:
@@ -219,15 +294,20 @@ class GraphRunner:
         CSRShard.pagerank_scatter); accumulation is always float64."""
         stats = RunStats("pagerank")
         start = 0
+
+        def init() -> None:
+            ray.get([s.pagerank_init.remote(self.n_total, payload_dtype)
+                     for s in self.shards])
+
         re = self.resume_epoch(ckpt_dir) if resume else None
+        self._run_ckpt_epoch = re
         if re is not None:
             ray.get([s.load_checkpoint.remote(ckpt_dir, re, "rank")
                      for s in self.shards])
             start = re
             stats.resumed_from = re
         else:
-            ray.get([s.pagerank_init.remote(self.n_total, payload_dtype)
-                     for s in self.shards])
+            init()
         n = self.n_total
         self._superstep_loop(
             scatter="pagerank_scatter", apply="pagerank_apply",
@@ -237,7 +317,7 @@ class GraphRunner:
                         else (lambda deltas: sum(deltas) < n * tol)),
             max_iter=max_iter, value_name="rank", ckpt_dir=ckpt_dir,
             checkpoint_every=checkpoint_every, start_epoch=start, stats=stats,
-            on_epoch=on_epoch)
+            on_epoch=on_epoch, reinit=init)
         return stats
 
     def connected_components(self, *, max_iter: int = 200,
@@ -249,21 +329,26 @@ class GraphRunner:
         min vertex id in the component."""
         stats = RunStats("connected_components")
         start = 0
+
+        def init() -> None:
+            ray.get([s.labels_init.remote() for s in self.shards])
+
         re = self.resume_epoch(ckpt_dir) if resume else None
+        self._run_ckpt_epoch = re
         if re is not None:
             ray.get([s.load_checkpoint.remote(ckpt_dir, re, "label")
                      for s in self.shards])
             start = re
             stats.resumed_from = re
         else:
-            ray.get([s.labels_init.remote() for s in self.shards])
+            init()
         self._superstep_loop(
             scatter="minlabel_scatter", apply="minlabel_apply",
             apply_extra=lambda _: (),
             delta_done=lambda ch: sum(ch) == 0,
             max_iter=max_iter, value_name="label", ckpt_dir=ckpt_dir,
             checkpoint_every=checkpoint_every, start_epoch=start, stats=stats,
-            on_epoch=on_epoch)
+            on_epoch=on_epoch, reinit=init)
         return stats
 
     def label_propagation(self, *, max_iter: int = 20,
@@ -281,21 +366,26 @@ class GraphRunner:
         engine to be testable — SURVEY.md section 5.2.)"""
         stats = RunStats("label_propagation")
         start = 0
+
+        def init() -> None:
+            ray.get([s.labels_init.remote() for s in self.shards])
+
         re = self.resume_epoch(ckpt_dir) if resume else None
+        self._run_ckpt_epoch = re
         if re is not None:
             ray.get([s.load_checkpoint.remote(ckpt_dir, re, "label")
                      for s in self.shards])
             start = re
             stats.resumed_from = re
         else:
-            ray.get([s.labels_init.remote() for s in self.shards])
+            init()
         self._superstep_loop(
             scatter="lpa_scatter", apply="lpa_apply",
             apply_extra=lambda _: (),
             delta_done=lambda ch: sum(ch) == 0,
             max_iter=max_iter, value_name="label", ckpt_dir=ckpt_dir,
             checkpoint_every=checkpoint_every, start_epoch=start, stats=stats,
-            on_epoch=on_epoch)
+            on_epoch=on_epoch, reinit=init)
         return stats
 
     # ------------------------------------------------------------------

@@ -54,6 +54,128 @@ import ray
 
 _IDMAX = np.int64(np.iinfo(np.int64).max)
 
+# Bump when the layout array set / semantics change: a mismatching persisted
+# layout is recomputed and rewritten instead of misread.
+_LAYOUT_VERSION = 1
+
+
+def layout_path(graph_dir: str, pid: int) -> str:
+    return os.path.join(graph_dir, "layout", f"part-{pid:05d}.npz")
+
+
+def read_partition(graph_dir: str, pid: int):
+    """(sorted vertex ids, edge src, edge dst) for one partition — the raw
+    column read the persisted layout is derived from."""
+    vdir = os.path.join(graph_dir, "vertices", f"pid={pid}")
+    verts = np.sort(
+        pq.read_table(vdir, columns=["vertex_id"])["vertex_id"]
+        .to_numpy(zero_copy_only=False).astype(np.int64))
+    edir = os.path.join(graph_dir, "edges", f"pid={pid}")
+    if os.path.isdir(edir):
+        et = pq.read_table(edir, columns=["src", "dst"])
+        src = et["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = et["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    else:  # partition with vertices but no out-edges
+        src = np.empty(0, np.int64)
+        dst = np.empty(0, np.int64)
+    return verts, src, dst
+
+
+def compute_layout(pid: int, P: int, verts: np.ndarray, src: np.ndarray,
+                   dst: np.ndarray, mode: str, bound: int) -> dict:
+    """The static target-major edge layout as flat arrays (pure function of
+    the partitioned edges — computed ONCE at graph build time and persisted;
+    recomputing it per actor start made shard load 17x the superstep cost).
+
+    Keys: verts (sorted), row_sorted (per-edge source row, target-major
+    dst-sorted order), tstart (P+1 slice bounds per target), runs/uniq
+    (per-target run starts + unique dsts, concatenated) with roff (P+1
+    offsets into them), counts (out-degree per vertex)."""
+    from metis_ray.graph.partition import pid_of
+
+    n, m = len(verts), len(dst)
+    row = np.searchsorted(verts, src)
+    if m and not (verts[np.minimum(row, n - 1)] == src).all():
+        raise ValueError(f"shard {pid}: edge sources outside vertex set")
+    counts = (np.bincount(row, minlength=n) if m
+              else np.zeros(n, np.int64)).astype(np.int64)
+
+    dst_owner = pid_of(dst, P, mode, bound).astype(np.int32)
+    torder = np.lexsort((dst, dst_owner))
+    row_sorted = row[torder].astype(np.int64) if m else np.empty(0, np.int64)
+    dst_sorted = dst[torder]
+    tcounts = np.bincount(dst_owner, minlength=P) if m else np.zeros(P, np.int64)
+    tstart = np.zeros(P + 1, dtype=np.int64)
+    np.cumsum(tcounts, out=tstart[1:])
+
+    runs_parts: list[np.ndarray] = []
+    uniq_parts: list[np.ndarray] = []
+    roff = np.zeros(P + 1, dtype=np.int64)
+    for t in range(P):
+        s, e = int(tstart[t]), int(tstart[t + 1])
+        roff[t + 1] = roff[t]
+        if e == s:
+            continue
+        d = dst_sorted[s:e]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        runs_parts.append(starts)
+        uniq_parts.append(d[starts])
+        roff[t + 1] += len(starts)
+    return {
+        "verts": verts,
+        "row_sorted": row_sorted,
+        "tstart": tstart,
+        "runs": (np.concatenate(runs_parts) if runs_parts
+                 else np.empty(0, np.int64)),
+        "uniq": (np.concatenate(uniq_parts) if uniq_parts
+                 else np.empty(0, np.int64)),
+        "roff": roff,
+        "counts": counts,
+        "version": np.int64(_LAYOUT_VERSION),
+        "P": np.int64(P),
+    }
+
+
+def write_layout(graph_dir: str, pid: int, lay: dict) -> str:
+    """Atomic (tmp+rename) persisted layout — safe under concurrent
+    self-healing writers (last rename wins; content is identical)."""
+    d = os.path.join(graph_dir, "layout")
+    os.makedirs(d, exist_ok=True)
+    path = layout_path(graph_dir, pid)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as fh:
+        np.savez(fh, **lay)
+    os.replace(tmp, path)
+    return path
+
+
+def load_layout(graph_dir: str, pid: int, P: int) -> dict | None:
+    """Persisted layout if present and version/P-compatible, else None."""
+    path = layout_path(graph_dir, pid)
+    if not os.path.exists(path):
+        return None
+    try:
+        with np.load(path) as z:
+            if int(z["version"]) != _LAYOUT_VERSION or int(z["P"]) != P:
+                return None
+            return {k: z[k] for k in z.files}
+    except (OSError, ValueError, KeyError):
+        return None     # truncated/corrupt cache: recompute
+
+
+def build_layout(graph_dir: str, pid: int, P: int, mode: str,
+                 bound: int) -> dict:
+    """Read one partition, compute its layout, persist it. Used by the
+    graph-build tasks (partition.build_graph_dir) and as the shard's
+    self-healing fallback for pre-layout graph dirs."""
+    verts, src, dst = read_partition(graph_dir, pid)
+    lay = compute_layout(pid, P, verts, src, dst, mode, bound)
+    try:
+        write_layout(graph_dir, pid, lay)
+    except OSError:
+        pass            # read-only graph dir: serve from memory this run
+    return lay
+
 
 def _resolve(refs: list) -> list:
     """Resolve a mixed list of ObjectRefs/values with ONE batched ray.get —
@@ -79,55 +201,34 @@ class CSRShard:
         t0 = time.perf_counter()
         with open(os.path.join(graph_dir, "graph_meta.json")) as fh:
             gm = json.load(fh)
-        from metis_ray.graph.partition import pid_of
 
-        vdir = os.path.join(graph_dir, "vertices", f"pid={pid}")
-        self.verts = np.sort(
-            pq.read_table(vdir, columns=["vertex_id"])["vertex_id"]
-            .to_numpy(zero_copy_only=False).astype(np.int64))
+        # Persisted-layout fast path: load is a column read (the lexsort/
+        # run-finding already happened once at build time). Fallback for
+        # pre-layout dirs computes AND persists it, so the second actor
+        # start on the same dir is fast again (self-healing cache).
+        lay = load_layout(graph_dir, pid, P)
+        if lay is None:
+            lay = build_layout(graph_dir, pid, P,
+                               gm.get("partition", "hash"),
+                               gm.get("id_bound", 0))
+        self.verts = lay["verts"].astype(np.int64, copy=False)
         self.n = len(self.verts)
-
-        edir = os.path.join(graph_dir, "edges", f"pid={pid}")
-        if os.path.isdir(edir):
-            et = pq.read_table(edir, columns=["src", "dst"])
-            src = et["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-            dst = et["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-            del et
-        else:  # partition with vertices but no out-edges
-            src = np.empty(0, np.int64)
-            dst = np.empty(0, np.int64)
-        self.m = len(dst)
-
-        row = np.searchsorted(self.verts, src)
-        if len(row) and not (self.verts[np.minimum(row, self.n - 1)] == src).all():
-            raise ValueError(f"shard {pid}: edge sources outside vertex set")
-        counts = np.bincount(row, minlength=self.n) if self.m else np.zeros(self.n, np.int64)
-        self.outdeg = counts.astype(np.float64)
-
-        # ---- static target-major, destination-sorted edge layout ----
-        dst_owner = pid_of(dst, P, gm.get("partition", "hash"),
-                           gm.get("id_bound", 0)).astype(np.int32)
-        torder = np.lexsort((dst, dst_owner))
-        self._row_sorted = row[torder] if self.m else np.empty(0, np.int64)
-        dst_sorted = dst[torder]
-        del src, dst, row, torder
-        tcounts = np.bincount(dst_owner, minlength=P) if self.m else np.zeros(P, np.int64)
-        del dst_owner
-        self._tstart = np.zeros(P + 1, dtype=np.int64)
-        np.cumsum(tcounts, out=self._tstart[1:])
+        self._row_sorted = lay["row_sorted"].astype(np.int64, copy=False)
+        self.m = len(self._row_sorted)
+        self.outdeg = lay["counts"].astype(np.float64)
+        self._tstart = lay["tstart"].astype(np.int64, copy=False)
 
         # per-target: run starts (relative to slice) + unique destinations
+        # (views into the flat persisted arrays — no copies)
+        runs, uniq, roff = lay["runs"], lay["uniq"], lay["roff"]
         self._runs: list[np.ndarray | None] = [None] * P
         self._uniq_dst: list[np.ndarray | None] = [None] * P
         for t in range(P):
-            s, e = self._tslice(t)
+            s, e = int(roff[t]), int(roff[t + 1])
             if e == s:
                 continue
-            d = dst_sorted[s:e]
-            starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
-            self._runs[t] = starts
-            self._uniq_dst[t] = d[starts]
-        del dst_sorted
+            self._runs[t] = runs[s:e]
+            self._uniq_dst[t] = uniq[s:e]
 
         # filled by the one-time exchange
         self._out_pos: list[np.ndarray | None] = [None] * P  # my uniq dsts' pos in t

@@ -216,6 +216,62 @@ def test_triangles_strategies_agree(ingested, nxg):
             assert got.get(v, 0) == t, (strat, v)
 
 
+def test_shard_death_recovery(dir_graph, tmp_path):
+    """The reference's Restart=always contract (Metis/systemd/
+    metis.service:8-9): a shard actor killed mid-run is revived by Ray
+    (max_restarts), the runner reloads the newest complete checkpoint on
+    every shard and the job completes with identical answers."""
+    ck = str(tmp_path / "ck_fault")
+    r1 = GraphRunner(dir_graph)
+    try:
+        r1.pagerank(alpha=ALPHA, tol=TOL, max_iter=500)
+        want = _as_dict(r1.collect("rank"), "rank")
+    finally:
+        r1.shutdown()
+    w = np.array([want[v] for v in sorted(want)])
+
+    # with checkpoints: recovery resumes from the newest complete epoch
+    r2 = GraphRunner(dir_graph)
+    killed: list[int] = []
+
+    def kill_once(epoch, delta, secs):
+        if epoch == 3 and not killed:
+            ray.kill(r2.shards[1], no_restart=False)
+            killed.append(epoch)
+
+    try:
+        s = r2.pagerank(alpha=ALPHA, tol=TOL, max_iter=500, ckpt_dir=ck,
+                        checkpoint_every=2, on_epoch=kill_once)
+        assert killed, "kill hook never fired"
+        assert s.recoveries >= 1
+        assert s.converged
+        got = _as_dict(r2.collect("rank"), "rank")
+    finally:
+        r2.shutdown()
+    g = np.array([got[v] for v in sorted(want)])
+    np.testing.assert_allclose(g, w, atol=1e-7, rtol=0)
+
+    # without checkpoints: recovery re-initializes from epoch 0 and still
+    # converges to the same fixpoint
+    r3 = GraphRunner(dir_graph)
+    killed3: list[int] = []
+
+    def kill_once3(epoch, delta, secs):
+        if epoch == 2 and not killed3:
+            ray.kill(r3.shards[0], no_restart=False)
+            killed3.append(epoch)
+
+    try:
+        s3 = r3.pagerank(alpha=ALPHA, tol=TOL, max_iter=500,
+                         on_epoch=kill_once3)
+        assert killed3 and s3.recoveries >= 1 and s3.converged
+        got3 = _as_dict(r3.collect("rank"), "rank")
+    finally:
+        r3.shutdown()
+    g3 = np.array([got3[v] for v in sorted(want)])
+    np.testing.assert_allclose(g3, w, atol=1e-7, rtol=0)
+
+
 def test_checkpoint_in_fixed_iteration_mode(dir_graph, tmp_path):
     """tol<=0 (async bench mode) must still honor ckpt_dir — it used to
     silently skip every checkpoint."""
@@ -227,3 +283,22 @@ def test_checkpoint_in_fixed_iteration_mode(dir_graph, tmp_path):
     finally:
         r.shutdown()
     assert GraphRunner.resume_epoch(ck) == 4
+
+
+def test_layout_persisted_and_self_healing(dir_graph):
+    """build_graph_dir persists the per-shard CSR layout; a pre-layout dir
+    (layout/ removed) is migrated in place by the first shard start."""
+    import shutil
+
+    from metis_ray.graph.shard import load_layout
+
+    for pid in range(P):
+        assert load_layout(dir_graph, pid, P) is not None
+    shutil.rmtree(os.path.join(dir_graph, "layout"))
+    r = GraphRunner(dir_graph)
+    try:
+        r.pagerank(alpha=ALPHA, tol=TOL, max_iter=5)
+    finally:
+        r.shutdown()
+    for pid in range(P):
+        assert load_layout(dir_graph, pid, P) is not None
