@@ -112,7 +112,11 @@ def main(argv=None) -> int:
     p2.add_argument("--resume", action="store_true")
     p2.set_defaults(fn=cmd_graph)
 
-    p4 = sub.add_parser("watch", help="poll a corpus dir, land new fragments")
+    p4 = sub.add_parser(
+        "watch",
+        help="poll a corpus dir, land new fragments (a fragment is landed "
+             "once its size is stable across two polls; rename-into-place "
+             "arrival is still the recommended producer contract)")
     p4.add_argument("--corpus", required=True)
     p4.add_argument("--state", required=True)
     p4.add_argument("--interval", type=float, default=1.0)

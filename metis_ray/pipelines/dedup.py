@@ -243,9 +243,15 @@ def _verify_jaccard(pairs: rd.Dataset, sf_dir: str, mode: str, k: int,
 
         j = np.array([jaccard(sh(int(x), tx), sh(int(y), ty))
                       for x, y, tx, ty in zip(a, b, ta, tb)])
-        t = pa.table({"a": batch["a"], "b": batch["b"],
-                      "jaccard": pa.array(np.round(j, 6), pa.float64())})
-        return t.filter(pc.greater_equal(t["jaccard"], pa.scalar(threshold)))
+        # threshold on the RAW score, round only the emitted column — the
+        # DuckDB twins filter on the unrounded value (WHERE-on-raw /
+        # round-in-SELECT); thresholding post-round would pass pairs up to
+        # 5e-7 below the cut
+        keep = j >= threshold
+        return pa.table({
+            "a": batch["a"].filter(pa.array(keep)),
+            "b": batch["b"].filter(pa.array(keep)),
+            "jaccard": pa.array(np.round(j[keep], 6), pa.float64())})
 
     return joined.map_batches(score, batch_format="pyarrow")
 
@@ -395,8 +401,12 @@ def embedding_neardup(sf_dir: str, *, n_planes: int = 12, seed: int = 42,
         na[na == 0] = 1.0
         nb[nb == 0] = 1.0
         cos = np.einsum("ij,ij->i", va, vb) / (na * nb)
-        t = pa.table({"a": batch["a"], "b": batch["b"],
-                      "cosine": pa.array(np.round(cos, 6), pa.float64())})
-        return t.filter(pc.greater_equal(t["cosine"], pa.scalar(threshold)))
+        # threshold on the RAW cosine, round only the emitted column
+        # (matches the SQL twin's WHERE-on-raw / round-in-SELECT shape)
+        keep = cos >= threshold
+        return pa.table({
+            "a": batch["a"].filter(pa.array(keep)),
+            "b": batch["b"].filter(pa.array(keep)),
+            "cosine": pa.array(np.round(cos[keep], 6), pa.float64())})
 
     return joined.map_batches(verify, batch_format="pyarrow")

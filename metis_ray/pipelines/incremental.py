@@ -50,9 +50,16 @@ def _load_manifest(state_dir: str) -> dict:
 
 
 def ingest_increment(corpus_dir: str, state_dir: str, *,
-                     concurrency=None) -> dict:
+                     concurrency=None, pending_sizes: dict | None = None) -> dict:
     """Process fragments not yet in the manifest. Returns an info dict
-    {new_fragments, new_edges, batch_dir|None}."""
+    {new_fragments, new_edges, batch_dir|None}.
+
+    ``pending_sizes`` (used by ``watch``): a dict carried across polls; a
+    new fragment is landed only once its size is UNCHANGED since the
+    previous poll, so a file still being copied into the corpus dir is
+    deferred instead of being read truncated (and then tripping the
+    immutability check when it finishes growing). One-shot callers omit it —
+    they own the arrival contract (fragments must be renamed into place)."""
     os.makedirs(state_dir, exist_ok=True)
     man = _load_manifest(state_dir)
     frag_dir = os.path.join(corpus_dir, "corpus")
@@ -72,6 +79,24 @@ def ingest_increment(corpus_dir: str, state_dir: str, *,
             f"fragments changed size after ingestion (immutable contract): "
             f"{changed[:5]}{'...' if len(changed) > 5 else ''}")
     new = [f for f in frags if f not in man["fragments"]]
+    if pending_sizes is not None:
+        def complete(f: str) -> bool:
+            # a valid parquet file ends with the PAR1 magic — a fragment
+            # mid-copy (size momentarily stable because the producer paused)
+            # cannot pass this
+            p = os.path.join(frag_dir, f)
+            try:
+                with open(p, "rb") as fh:
+                    fh.seek(-4, os.SEEK_END)
+                    return fh.read(4) == b"PAR1"
+            except OSError:
+                return False
+
+        ready = [f for f in new
+                 if pending_sizes.get(f) == frags[f] and complete(f)]
+        for f in new:
+            pending_sizes[f] = frags[f]    # candidate for the NEXT poll
+        new = ready
     if not new:
         return {"new_fragments": 0, "new_edges": 0, "batch_dir": None}
 
@@ -121,11 +146,16 @@ def watch(corpus_dir: str, state_dir: str, *, interval: float = 1.0,
     if stop_file is None:
         stop_file = os.path.join(state_dir, "exit.exit")
     totals = {"loops": 0, "batches": 0, "fragments": 0, "edges": 0}
+    # size-stability gate: land a fragment only after two consecutive polls
+    # see it at the same size, so non-atomic producers (plain cp into the
+    # corpus dir) don't get read truncated mid-copy
+    pending: dict = {}
     while True:
         if os.path.exists(stop_file):
             os.remove(stop_file)
             break
-        info = ingest_increment(corpus_dir, state_dir, concurrency=concurrency)
+        info = ingest_increment(corpus_dir, state_dir, concurrency=concurrency,
+                                pending_sizes=pending)
         totals["loops"] += 1
         if info["new_fragments"]:
             totals["batches"] += 1

@@ -134,6 +134,28 @@ def raw_resolved(corpus: rd.Dataset, symbols_ref, *, concurrency=None,
         concurrency=max(1, concurrency // 2))
 
 
+def _attach_repos_join(deduped: rd.Dataset, symbols_ds: rd.Dataset) -> rd.Dataset:
+    """Repo-name re-attach for the shuffle-join path: two hash-partitioned
+    ``Dataset.join``s against the (vertex id -> repo) projection of the
+    symbol Dataset — the symbol table never funnels through the driver."""
+    from metis_ray.pipelines.dedup import _join_parts, _nonempty_blocks
+
+    vmap = symbols_ds.select_columns(["dst", "dst_repo"])
+    deduped, n_rows = _nonempty_blocks(deduped)
+    if deduped is None:
+        return rd.from_arrow(pa.schema(
+            [("src", pa.int64()), ("dst", pa.int64()),
+             ("src_repo", pa.string()), ("dst_repo", pa.string()),
+             ("multiplicity", pa.int64())]).empty_table())
+    n = max(2, min(_join_parts(), n_rows // 50_000 + 2))
+    j1 = deduped.join(vmap, join_type="inner", num_partitions=n, on=("dst",))
+    j1, _ = _nonempty_blocks(j1)   # joins can emit empty partitions
+    smap = vmap.rename_columns({"dst": "src", "dst_repo": "src_repo"})
+    j2 = j1.join(smap, join_type="inner", num_partitions=n, on=("src",))
+    return j2.select_columns(
+        ["src", "dst", "src_repo", "dst_repo", "multiplicity"])
+
+
 def dedup_edges(resolved: rd.Dataset, symbols_ref=None) -> rd.Dataset:
     """Exact dedup = hash-partition by (src,dst) + per-group count.
 
@@ -143,8 +165,10 @@ def dedup_edges(resolved: rd.Dataset, symbols_ref=None) -> rd.Dataset:
     the shuffle so the value is parallelism-independent. Per-batch partials
     cut shuffle volume (the reference dedups imports by exact name,
     ``HDF5Helper.py:53-69``; here the key is the edge identity). The
-    shuffle is int-keyed only; repo name strings re-attach afterwards from
-    the broadcast vertex->repo map when ``symbols_ref`` is given."""
+    shuffle is int-keyed only; repo name strings re-attach afterwards —
+    from the broadcast vertex->repo map when ``symbols_ref`` is a
+    table/ObjectRef, or via two hash-partitioned joins when it is a symbol
+    *Dataset* (the driver-clean ``strategy='join'`` path)."""
     kept = resolved.map_batches(
         lambda t: t.filter(t["resolved"]).select(["src", "dst"]),
         batch_format="pyarrow")
@@ -153,6 +177,8 @@ def dedup_edges(resolved: rd.Dataset, symbols_ref=None) -> rd.Dataset:
         Sum("n", alias_name="multiplicity"))
     if symbols_ref is None:
         return deduped
+    if isinstance(symbols_ref, rd.Dataset):
+        return _attach_repos_join(deduped, symbols_ref)
 
     # stateless tasks (NOT another actor pool — a third pool would starve
     # small clusters) with a per-worker-process cache of the vertex->repo map
@@ -281,9 +307,21 @@ def ingest(corpus_dir: str, *, concurrency=None, collect_stats: bool = False,
     tests/reporting only (F6 count-reconciliation oracle).
     """
     corpus = read_corpus(corpus_dir)
-    symbols_ref = ray.put(build_symbol_table(
-        read_corpus(corpus_dir, columns=["repo", "path"])))
-    resolved = raw_resolved(corpus, symbols_ref, concurrency=concurrency,
+    if resolve_strategy == "join":
+        # driver-clean scale path: the symbol table stays a Dataset end to
+        # end (resolution joins + repo re-attach joins); the driver never
+        # concatenates it. materialize() pins blocks in the OBJECT STORE
+        # (they are consumed by four joins), not on the driver.
+        from metis_ray.stages.resolve import (build_symbol_dataset,
+                                              check_id_collisions_ds)
+        symbols = build_symbol_dataset(
+            read_corpus(corpus_dir, columns=["repo", "path"])).materialize()
+        check_id_collisions_ds(symbols)
+        symbols_ref = None
+    else:
+        symbols = symbols_ref = ray.put(build_symbol_table(
+            read_corpus(corpus_dir, columns=["repo", "path"])))
+    resolved = raw_resolved(corpus, symbols, concurrency=concurrency,
                             strategy=resolve_strategy)
     files = files_table(corpus)
 
@@ -324,7 +362,7 @@ def ingest(corpus_dir: str, *, concurrency=None, collect_stats: bool = False,
             "unresolved_or_self": stmts - res,
         }
 
-    edges = dedup_edges(resolved, symbols_ref)
+    edges = dedup_edges(resolved, symbols)
     redges = repo_edges(edges)
     return IngestResult(files=files, edges_file=edges,
                         edges_repo=redges, symbols_ref=symbols_ref, stats=stats)

@@ -105,38 +105,30 @@ def q3_top_orders(sf_dir: str, *, segment: str = "BUILDING",
            .groupby(["o_orderkey", "o_orderdate"])
            .aggregate(Sum("revenue", alias_name="revenue")))
     # top-k via distributed sort+limit — the aggregate is one row per
-    # qualifying order, unbounded at scale, so it must NOT be collected whole.
-    # A margin of candidate rows comes to the driver so the final ordering
-    # can use ROUNDED revenue (the SQL twin's tie semantics at the k-th row).
-    top = (agg.sort(["revenue", "o_orderkey"], descending=[True, False])
-           .limit(k + 50).to_pandas())
-    top["revenue"] = top["revenue"].round(2)
-    top = top.sort_values(["revenue", "o_orderkey"],
-                          ascending=[False, True]).head(k).reset_index(drop=True)
+    # qualifying order, unbounded at scale, so it must NOT be collected
+    # whole. Revenue is rounded ARROW-side BEFORE the sort so the
+    # distributed ordering is exactly the SQL twin's (ORDER BY rounded
+    # revenue DESC, o_orderkey) — no tie-margin heuristic.
+    top = (_round2(agg, ["revenue"])
+           .sort(["revenue", "o_orderkey"], descending=[True, False])
+           .limit(k).to_pandas())
     return top[["o_orderkey", "o_orderdate", "revenue"]]
 
 
 def revenue_per_nation(sf_dir: str) -> rd.Dataset:
-    """Fact-fact join + broadcast dims: lineitem joins orders with a
-    hash-partitioned ``Dataset.join`` on l_orderkey (both are fact tables —
-    neither side ever materializes on the driver); customer->nation and
-    nation->name are TRUE dimensions, broadcast once as sorted key arrays
-    and probed with ``np.searchsorted`` (vectorized, no per-row dict chain).
-    Output (n_name, revenue)."""
-    cust = read_table(sf_dir, "customer",
-                      columns=["c_custkey", "c_nationkey"]).to_pandas()
+    """Fact-fact joins + one TRUE broadcast dim. lineitem joins orders, then
+    per-batch partial revenue per customer joins CUSTOMER — both as
+    hash-partitioned ``Dataset.join``s, because customer is fact-scale (it
+    grows linearly with SF and does not fit one node at 100 TB). Only the
+    25-row nation table is broadcast (``ray.put`` once, guarded
+    ``np.searchsorted`` probe per batch). Output (n_name, revenue)."""
     nation = read_table(sf_dir, "nation",
                         columns=["n_nationkey", "n_name"]).to_pandas()
-    ckeys = cust["c_custkey"].to_numpy(np.int64)
-    order_c = np.argsort(ckeys)
-    ckeys = ckeys[order_c]
-    cnation = cust["c_nationkey"].to_numpy(np.int64)[order_c]
     nkeys = nation["n_nationkey"].to_numpy(np.int64)
     order_n = np.argsort(nkeys)
-    nkeys = nkeys[order_n]
-    nnames = nation["n_name"].to_numpy()[order_n]
-    ref = ray.put((ckeys, cnation, nkeys, nnames))
+    nref = ray.put((nkeys[order_n], nation["n_name"].to_numpy()[order_n]))
 
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_extendedprice", "l_discount"])
@@ -144,19 +136,39 @@ def revenue_per_nation(sf_dir: str) -> rd.Dataset:
     j = li.join(orders.rename_columns({"o_orderkey": "l_orderkey"}),
                 join_type="inner", num_partitions=nparts, on=("l_orderkey",))
 
-    def stage(batch: pa.Table) -> pa.Table:
-        ck, cn, nk, nm = ray.get(ref)
-        cust_keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+    def per_cust(batch: pa.Table) -> pa.Table:
         price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = batch["l_discount"].to_numpy(zero_copy_only=False)
-        rev = price * (1.0 - disc)
-        names = nm[np.searchsorted(nk, cn[np.searchsorted(ck, cust_keys)])]
-        # per-batch partial aggregation before the tiny groupby
-        df = pd.DataFrame({"n_name": names, "revenue": rev})
+        df = pd.DataFrame({"o_custkey": batch["o_custkey"].to_numpy(
+            zero_copy_only=False), "revenue": price * (1.0 - disc)})
+        g = df.groupby("o_custkey", as_index=False)["revenue"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from metis_ray.pipelines.dedup import _nonempty_blocks
+    partial = j.map_batches(per_cust, batch_format="pyarrow")
+    partial, _ = _nonempty_blocks(partial)   # joins can emit empty blocks
+    if partial is None:
+        return rd.from_arrow(pa.schema([("n_name", pa.string()),
+                                        ("revenue", pa.float64())])
+                             .empty_table())
+    j2 = partial.join(cust.rename_columns({"c_custkey": "o_custkey"}),
+                      join_type="inner", num_partitions=nparts,
+                      on=("o_custkey",))
+
+    def stage(batch: pa.Table) -> pa.Table:
+        nk, nm = ray.get(nref)
+        cn = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(nk, cn)
+        idx = np.minimum(idx, len(nk) - 1)
+        if not (nk[idx] == cn).all():       # broken referential integrity
+            raise KeyError("c_nationkey not present in nation table")
+        df = pd.DataFrame({"n_name": nm[idx],
+                           "revenue": batch["revenue"].to_numpy(
+                               zero_copy_only=False)})
         g = df.groupby("n_name", as_index=False)["revenue"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    agg = (j.map_batches(stage, batch_format="pyarrow")
+    agg = (j2.map_batches(stage, batch_format="pyarrow")
            .groupby("n_name").aggregate(Sum("revenue", alias_name="revenue")))
     return _round2(agg, ["revenue"])
 
@@ -233,7 +245,10 @@ def events_sliding(sf_dir: str, *, size_hours: int = 2,
     self-join), then one grouped aggregate.
     (event_type, window_start_hour, n_events, sum_value)."""
     ev = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
-    n_win = size_hours // hop_hours
+    # ceil: when hop does not divide size (size=3, hop=2) the extra
+    # candidate window is still generated; the `keep` mask trims windows
+    # that don't actually cover the event
+    n_win = -(-size_hours // hop_hours)
 
     def fanout(batch: pa.Table) -> pa.Table:
         us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)

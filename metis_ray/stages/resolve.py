@@ -77,6 +77,30 @@ def build_symbol_dataset(corpus):
         to_symbols, batch_format="pyarrow")
 
 
+def check_id_collisions_ds(symbols_ds) -> None:
+    """Distributed collision guard for the shuffle-join path — the same
+    predicate as ``check_id_collisions`` (count of DISTINCT modules per
+    vertex id > 1) as two int-keyed shuffles; nothing but per-batch partial
+    counts reaches the driver."""
+    from ray.data.aggregate import Count, Sum
+
+    pairs = symbols_ds.groupby(["dst", "module"]).aggregate(
+        Count(alias_name="_c"))
+    perdst = pairs.groupby("dst").aggregate(Count(alias_name="modules"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        bad = pc.sum(pc.cast(pc.greater(t["modules"], 1), pa.int64())).as_py()
+        return pa.table({"bad": pa.array([bad or 0], pa.int64())})
+
+    bad = (perdst.map_batches(partial, batch_format="pyarrow")
+           .aggregate(Sum("bad", alias_name="bad")).get("bad") or 0)
+    if bad:
+        raise VertexIdCollision(
+            f"{bad} vertex id(s) map to multiple modules — 63-bit id space "
+            "exhausted for this corpus; switch to 128-bit ids "
+            "(see functions/hashing.py)")
+
+
 def build_symbol_table(corpus) -> pa.Table:
     """(module, dst, dst_repo) for every corpus file.
 
@@ -167,11 +191,20 @@ def resolve_edges_join(extracted, symbols_ds, *,
     arbitrarily in the broadcast dict."""
     import ray as _ray
     import ray.data as rd
+
+    from metis_ray.pipelines.dedup import _nonempty_blocks
     if num_partitions is None:
         num_partitions = max(2, min(8, int(
             _ray.cluster_resources().get("CPU", 8)) - 2))
     sym = symbols_ds.select_columns(["module", "dst"])
     ext = extracted.select_columns(["src", "lang", "module"])
+    # compact: zero-row left blocks (files with no imports) break
+    # Dataset.join (schema-less partition builder)
+    ext, n_ext = _nonempty_blocks(ext)
+    if ext is None:
+        return rd.from_arrow(pa.schema(
+            [("src", pa.int64()), ("dst", pa.int64()),
+             ("resolved", pa.bool_())]).empty_table())
     j1 = ext.join(sym, join_type="left_outer",
                   num_partitions=num_partitions, on=("module",))
 
@@ -213,6 +246,10 @@ def resolve_edges_join(extracted, symbols_ds, *,
     first = j1.map_batches(no_fallback, batch_format="pyarrow").map_batches(
         finish, batch_format="pyarrow")
     retry = j1.map_batches(needs_fallback, batch_format="pyarrow")
+    # most blocks carry no fallback rows — compact before the second join
+    retry, _ = _nonempty_blocks(retry)
+    if retry is None:
+        return first
     j2 = retry.join(sym, join_type="left_outer",
                     num_partitions=num_partitions, on=("module",))
     second = j2.map_batches(finish, batch_format="pyarrow")

@@ -168,3 +168,46 @@ def test_watch_lands_arriving_fragments(tiny_corpus_dir, tmp_path):
     # idempotent afterwards
     info = ingest_increment(cd, state)
     assert info["new_fragments"] == 0
+
+
+def test_watch_defers_growing_fragment(tiny_corpus_dir, tmp_path):
+    """Non-atomic arrival: a fragment still being copied (seen at a partial
+    size) is deferred by the size-stability gate, then landed once stable —
+    the watcher must neither crash nor read it truncated."""
+    import threading
+    import time
+
+    from metis_ray.pipelines.incremental import edges_so_far, watch
+
+    src = os.path.join(tiny_corpus_dir, "corpus")
+    frag = sorted(os.listdir(src))[0]
+    data = open(os.path.join(src, frag), "rb").read()
+    cd = str(tmp_path / "corpus_slow")
+    os.makedirs(os.path.join(cd, "corpus"))
+    state = str(tmp_path / "state_slow")
+    os.makedirs(state)
+    dst = os.path.join(cd, "corpus", frag)
+    stop = os.path.join(state, "exit.exit")
+
+    def feeder():
+        # plain non-atomic write: half now, rest after a few polls
+        with open(dst, "wb") as fh:
+            fh.write(data[: len(data) // 2])
+            fh.flush()
+            time.sleep(0.5)
+            fh.write(data[len(data) // 2:])
+        # wait for the watcher to land it, then stop
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            man = os.path.join(state, "ingested.json")
+            if os.path.exists(man) and frag in open(man).read():
+                break
+            time.sleep(0.2)
+        open(stop, "w").close()
+
+    t = threading.Thread(target=feeder)
+    t.start()
+    totals = watch(cd, state, interval=0.2, stop_file=stop)
+    t.join()
+    assert totals["fragments"] == 1
+    assert edges_so_far(state).count() >= 0   # batch readable, not truncated

@@ -152,3 +152,46 @@ def test_backup_lossless_roundtrip(tiny_corpus_dir, tmp_path):
         assert row["sha256"] == hashlib.sha256(c.encode()).hexdigest()
     # idempotent re-run short-circuits on the manifest
     assert backup_corpus(tiny_corpus_dir, out) == info
+
+
+def test_join_ingest_driver_clean(tiny_corpus_dir, result, monkeypatch):
+    """ingest(resolve_strategy='join') must never build the driver-side
+    symbol table (the whole point of the join strategy) and must match the
+    broadcast path bit-for-bit, repo names included."""
+    import metis_ray.pipelines.linkgraph as lg
+
+    def boom(*a, **k):
+        raise AssertionError("build_symbol_table called under strategy='join'")
+
+    monkeypatch.setattr(lg, "build_symbol_table", boom)
+    jres = lg.ingest(tiny_corpus_dir, resolve_strategy="join")
+    assert jres.symbols_ref is None
+    a = result.edges_file.to_pandas()
+    b = jres.edges_file.to_pandas()
+    key = lambda df: {(int(s), int(d)): (sr, dr, int(m)) for s, d, sr, dr, m in
+                      zip(df["src"], df["dst"], df["src_repo"],
+                          df["dst_repo"], df["multiplicity"])}
+    assert key(a) == key(b)
+    # repo rollup flows through the joined edges too
+    ra = result.edges_repo.to_pandas()
+    rb = jres.edges_repo.to_pandas()
+    assert key(ra) == key(rb)
+
+
+def test_join_ingest_collision_guard(tiny_corpus_dir):
+    """The distributed collision check matches the broadcast check's
+    predicate: duplicate (module, dst) PAIRS are tolerated, one dst claimed
+    by two distinct modules raises."""
+    import ray.data as rd
+
+    from metis_ray.stages.resolve import (VertexIdCollision,
+                                          check_id_collisions_ds)
+    import pyarrow as pa
+
+    bad = rd.from_arrow(pa.table(
+        {"module": ["a.x", "b.y"], "dst": [7, 7], "dst_repo": ["r1", "r2"]}))
+    with pytest.raises(VertexIdCollision):
+        check_id_collisions_ds(bad)
+    dup = rd.from_arrow(pa.table(
+        {"module": ["a.x", "a.x"], "dst": [7, 7], "dst_repo": ["r1", "r1"]}))
+    check_id_collisions_ds(dup)   # no raise
