@@ -64,9 +64,14 @@ def _run_graph(sf_dir: str, algo: str):
     runner = GraphRunner(_graph_dir(sf_dir, directed))
     try:
         if algo == "pagerank":
-            runner.pagerank(alpha=0.85, tol=1e-9, max_iter=500)
+            # FIXED 150 iterations in float64 (transport included): the
+            # golden (corpus._pagerank_golden) runs the identical count, so
+            # both sides sit ~1e-15 apart and the 6-dp rounding can't race a
+            # convergence threshold at a rounding boundary
+            runner.pagerank(alpha=0.85, tol=0.0, max_iter=150,
+                            payload_dtype="float64")
             out = runner.collect("rank").to_pandas()
-            out["rank"] = out["rank"].round(9)
+            out["rank"] = out["rank"].round(6)
         elif algo == "components":
             runner.connected_components(max_iter=500)
             out = runner.collect("label").to_pandas()
@@ -166,6 +171,53 @@ def _q_multimodal_frames(sf_dir: str):
     return frame_sample(sf_dir).map_batches(hexify, batch_format="pyarrow")
 
 
+def _q_multimodal_features(sf_dir: str):
+    """decode_features with meta flattened and the feature vector projected
+    back to its digest hex (feature = blake2b-16 bytes / 255, so the hex is
+    a lossless projection the golden parquet can hash-match)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from metis_ray.pipelines.multimodal import decode_features
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        feats = batch["feature"].to_pylist()
+        hexes = [np.rint(np.asarray(f, dtype=np.float64) * 255.0)
+                 .astype(np.uint8).tobytes().hex() for f in feats]
+        return pa.table({
+            "asset_id": batch["asset_id"],
+            "width": pc.cast(pc.struct_field(batch["meta"], "width"), pa.int64()),
+            "height": pc.cast(pc.struct_field(batch["meta"], "height"), pa.int64()),
+            "format": pc.struct_field(batch["meta"], "format"),
+            "feature_hex": pa.array(hexes, pa.string()),
+        })
+
+    return decode_features(sf_dir).map_batches(flatten, batch_format="pyarrow")
+
+
+def _q_multimodal_resize(sf_dir: str):
+    """resize_assets with meta flattened and the binary payload hex-projected
+    (DuckDB BLOBs fetch as unhashable bytearrays; the library keeps real
+    binary payloads)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from metis_ray.pipelines.multimodal import resize_assets
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "asset_id": batch["asset_id"],
+            "width": pc.cast(pc.struct_field(batch["meta"], "width"), pa.int64()),
+            "height": pc.cast(pc.struct_field(batch["meta"], "height"), pa.int64()),
+            "format": pc.struct_field(batch["meta"], "format"),
+            "payload_hex": pa.array(
+                [p.hex() for p in batch["payload"].to_pylist()], pa.string()),
+        })
+
+    return resize_assets(sf_dir).map_batches(flatten, batch_format="pyarrow")
+
+
 def _schema_guard(fn: Callable[[str], Any], cols: dict[str, str]) -> Callable[[str], Any]:
     """Zero-row Ray datasets can come back schema-less; pin the expected
     columns/dtypes so an empty result still hash-compares against its twin."""
@@ -238,10 +290,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_quality": textstats.lang_quality,
         "docs_quality_filter": textstats.quality_filter,
         "docs_lang_distribution": textstats.lang_distribution,
-        "multimodal_features": multimodal.decode_features,
+        "multimodal_features": _q_multimodal_features,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_frames": _q_multimodal_frames,
-        "multimodal_resize": multimodal.resize_assets,
+        "multimodal_resize": _q_multimodal_resize,
     }
 
 
@@ -349,8 +401,10 @@ def oracle_sql() -> dict[str, str]:
     the scale the driver compares at: sf0.01 by default, overridable via
     METIS_RAY_ORACLE_SF for local runs at other scales."""
     from metis_ray.corpus import corpus_dir_for_sf
+    from metis_ray.goldens import golden_dir_for_sf
     oracle_sf = os.environ.get("METIS_RAY_ORACLE_SF", "/root/testdata/sf0.01")
     g = corpus_dir_for_sf(oracle_sf)   # materializes the corpus if absent
+    d = golden_dir_for_sf(oracle_sf)   # documents-derived goldens (on demand)
     return {
         "corpus_edges": f"""
             SELECT src, dst, src_repo, dst_repo, multiplicity
@@ -383,6 +437,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "triangles": f"""
             SELECT v, triangles FROM read_parquet('{g}/golden_triangles.parquet')
+        """,
+        # fixed-150-iteration float64 power iteration on both sides (engine
+        # and corpus golden); 6-dp rounding >> 1e-15 float noise
+        "pagerank": f"""
+            SELECT v, rank FROM read_parquet('{g}/golden_pagerank.parquet')
+        """,
+        # brute-force ALL-PAIRS Hamming golden: a hash match certifies the
+        # pigeonhole chunk-bucket candidate generation missed nothing AND
+        # the distributed verification scored every candidate
+        "docs_simhash_dedup": f"""
+            SELECT a, b, hamming
+            FROM read_parquet('{d}/golden_simhash_pairs.parquet')
+        """,
+        "multimodal_features": f"""
+            SELECT asset_id, width, height, format, feature_hex
+            FROM read_parquet('{d}/golden_multimodal_features.parquet')
+        """,
+        "multimodal_resize": f"""
+            SELECT asset_id, width, height, format, payload_hex
+            FROM read_parquet('{d}/golden_multimodal_resize.parquet')
         """,
         "docs_token_pieces": """
             SELECT doc_id,

@@ -126,6 +126,7 @@ class GeneratedCorpus:
     components: pa.Table | None = None   # v, component (min vid; NetworkX)
     labels: pa.Table | None = None       # v, label (deterministic LPA spec)
     triangles: pa.Table | None = None    # v, triangles > 0 (NetworkX)
+    pageranks: pa.Table | None = None    # v, rank (fixed-150 power iteration)
     stats: dict = field(default_factory=dict)
 
 
@@ -317,11 +318,12 @@ def generate(spec: CorpusSpec) -> GeneratedCorpus:
     })
 
     # ---- graph-algorithm goldens via independent oracles -----------------
-    components_tbl = labels_tbl = triangles_tbl = None
+    components_tbl = labels_tbl = triangles_tbl = pagerank_tbl = None
     if spec.graph_goldens:
         gsrc, gdst = vids[es], vids[ed]
         components_tbl, triangles_tbl = _nx_goldens(vids, gsrc, gdst)
         labels_tbl = _lpa_golden(vids, gsrc, gdst, max_iter=30)
+        pagerank_tbl = _pagerank_golden(vids, gsrc, gdst)
 
     stats = {
         "n_files": n_files,
@@ -335,7 +337,7 @@ def generate(spec: CorpusSpec) -> GeneratedCorpus:
     }
     return GeneratedCorpus(spec, corpus, modules, edges_file, edges_repo,
                            files_tbl, components_tbl, labels_tbl,
-                           triangles_tbl, stats)
+                           triangles_tbl, pageranks=pagerank_tbl, stats=stats)
 
 
 # --------------------------------------------------------------------------
@@ -370,6 +372,31 @@ def _nx_goldens(vids: np.ndarray, src: np.ndarray, dst: np.ndarray):
         "triangles": pa.array([tri[v] for v in tv], pa.int64()),
     })
     return components, triangles
+
+
+def _pagerank_golden(vids: np.ndarray, src: np.ndarray, dst: np.ndarray, *,
+                     alpha: float = 0.85, n_iter: int = 150) -> pa.Table:
+    """PageRank golden: the NetworkX power-iteration formulation transcribed
+    straight-line in float64 numpy (x' = a*(inc + dangle/N) + (1-a)/N over
+    the deduped directed edges), run for a FIXED n_iter on both sides — a
+    fixed count (a^150 residual ~3e-11, far under the 1e-6 rounding
+    quantum) makes the engine/golden comparison deterministic to float
+    noise, with no convergence-threshold race at rounding boundaries."""
+    order = np.sort(vids)
+    n = len(order)
+    si = np.searchsorted(order, src)
+    di = np.searchsorted(order, dst)
+    outdeg = np.bincount(si, minlength=n).astype(np.float64)
+    safe = np.where(outdeg > 0, outdeg, 1.0)
+    dangling = outdeg == 0
+    x = np.full(n, 1.0 / n, dtype=np.float64)
+    for _ in range(n_iter):
+        contrib = x / safe
+        inc = np.bincount(di, weights=contrib[si], minlength=n)
+        base = (alpha * x[dangling].sum() + (1.0 - alpha)) / n
+        x = alpha * inc + base
+    return pa.table({"v": pa.array(order, pa.int64()),
+                     "rank": pa.array(np.round(x, 6), pa.float64())})
 
 
 def _lpa_golden(vids: np.ndarray, src: np.ndarray, dst: np.ndarray,
@@ -417,7 +444,7 @@ CACHE_ROOT = os.environ.get("METIS_RAY_CORPUS_DIR", "/tmp/metis_ray_corpus")
 # regenerate — the "already imported => skip" check must also detect
 # format drift (the reference scaffolds exactly this with its disabled sha256
 # compare, HDF5Helper.py:58-68).
-_FORMAT_VERSION = 3
+_FORMAT_VERSION = 4
 
 
 def materialize_scale(scale: str | CorpusSpec, root: str = CACHE_ROOT) -> str:
@@ -455,7 +482,7 @@ def materialize_scale(scale: str | CorpusSpec, root: str = CACHE_ROOT) -> str:
     pq.write_table(gen.edges_repo, os.path.join(tmp, "golden_edges_repo.parquet"))
     pq.write_table(gen.files, os.path.join(tmp, "golden_files.parquet"))
     for name, tbl in (("components", gen.components), ("labels", gen.labels),
-                      ("triangles", gen.triangles)):
+                      ("triangles", gen.triangles), ("pagerank", gen.pageranks)):
         if tbl is not None:
             pq.write_table(tbl, os.path.join(tmp, f"golden_{name}.parquet"))
     with open(os.path.join(tmp, "manifest.json"), "w") as fh:

@@ -1,0 +1,142 @@
+"""Golden-parquet oracles for the deterministic documents-derived pipelines.
+
+The graph family's oracles are emitted by the corpus GENERATOR
+(``metis_ray/corpus.py``); the pipelines here run over the driver's
+``documents.parquet`` instead, so their goldens are computed on demand —
+straight-line Python/numpy over the parquet file, no Ray, no shared engine
+code paths beyond the published kernel definitions — and cached under
+``/tmp``.  The driver's DuckDB twins then ``read_parquet`` the goldens
+(the components/labelprop pattern from round 2, VERDICT.md "Next round" #4):
+
+* ``golden_simhash_pairs``    — brute-force ALL-PAIRS Hamming over the
+  64-bit SimHash signatures: a hash match certifies the LSH chunk-bucket
+  candidate generation missed nothing (recall 1.0) AND the distributed
+  verification scored every pair.
+* ``golden_multimodal_features`` — blake2b-16 digest (hex) + the meta
+  arithmetic of the deterministic fake decode.
+* ``golden_multimodal_resize``   — the nearest-neighbor byte resample
+  transcribed in numpy (hex payload).
+
+Reference analogue: golden-by-construction fixtures, Metis/tests/
+test_gst_ok.py:94-95 (lossless compare against independently derived
+expectations).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# bump when any golden kernel below changes
+_GOLDEN_VERSION = 1
+
+GOLDEN_ROOT = os.environ.get("METIS_RAY_GOLDEN_DIR", "/tmp/metis_ray_goldens")
+
+
+def _simhash_pairs(doc_ids: np.ndarray, texts: list[str],
+                   max_hamming: int = 3) -> pa.Table:
+    """All pairs (a < b) with Hamming(simhash64) <= max_hamming, by brute
+    force over every pair — independent of any bucketing/LSH shortcut."""
+    from metis_ray.functions.text import simhash64
+
+    sigs = np.array([simhash64(t.lower().split()) for t in texts],
+                    dtype=np.uint64)
+    x = sigs[:, None] ^ sigs[None, :]
+    if hasattr(np, "bitwise_count"):
+        ham = np.bitwise_count(x).astype(np.int64)
+    else:
+        ham = np.unpackbits(x.view(np.uint8).reshape(len(sigs), len(sigs), 8),
+                            axis=2).sum(axis=2).astype(np.int64)
+    ii, jj = np.triu_indices(len(sigs), k=1)
+    keep = ham[ii, jj] <= max_hamming
+    a, b = doc_ids[ii[keep]], doc_ids[jj[keep]]
+    swap = a > b
+    a2 = np.where(swap, b, a)
+    b2 = np.where(swap, a, b)
+    return pa.table({"a": pa.array(a2, pa.int64()),
+                     "b": pa.array(b2, pa.int64()),
+                     "hamming": pa.array(ham[ii, jj][keep], pa.int64())})
+
+
+def _multimodal_features(doc_ids: np.ndarray, texts: list[str]) -> pa.Table:
+    """The deterministic fake decode, straight-line: payload = utf-8 text,
+    feature = blake2b-16 digest (hex), meta = the documented size arithmetic
+    (pipelines/multimodal.synthesize_binary_table)."""
+    payloads = [t.encode() for t in texts]
+    return pa.table({
+        "asset_id": pa.array(doc_ids, pa.int64()),
+        "width": pa.array([(len(p) % 64) + 1 for p in payloads], pa.int64()),
+        "height": pa.array([(len(p) % 48) + 1 for p in payloads], pa.int64()),
+        "format": pa.array(["fake/raw"] * len(payloads), pa.string()),
+        "feature_hex": pa.array(
+            [hashlib.blake2b(p, digest_size=16).hexdigest() for p in payloads],
+            pa.string()),
+    })
+
+
+def _multimodal_resize(doc_ids: np.ndarray, texts: list[str],
+                       width: int = 16, height: int = 12) -> pa.Table:
+    """Nearest-neighbor byte resample, transcribed in numpy: tile the
+    payload bytes into an (h0, w0) grid, sample rows/cols by integer index
+    arithmetic, emit the (height, width) result as hex."""
+    out_hex = []
+    ids = []
+    for did, t in zip(doc_ids, texts):
+        p = t.encode()
+        w0, h0 = (len(p) % 64) + 1, (len(p) % 48) + 1
+        reps = (w0 * h0) // max(1, len(p)) + 1
+        img = np.frombuffer((p * reps)[:w0 * h0], np.uint8).reshape(h0, w0)
+        yi = np.arange(height) * h0 // height
+        xi = np.arange(width) * w0 // width
+        out_hex.append(img[np.ix_(yi, xi)].tobytes().hex())
+        ids.append(int(did))
+    return pa.table({
+        "asset_id": pa.array(ids, pa.int64()),
+        "width": pa.array([width] * len(ids), pa.int64()),
+        "height": pa.array([height] * len(ids), pa.int64()),
+        "format": pa.array(["fake/resized"] * len(ids), pa.string()),
+        "payload_hex": pa.array(out_hex, pa.string()),
+    })
+
+
+def golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
+    """Materialize (once) the documents-derived goldens for one sf dir.
+    Idempotent by manifest (source path + mtime + version)."""
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    name = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(root, f"{name}_v{_GOLDEN_VERSION}")
+    man = os.path.join(out, "manifest.json")
+    src_sig = {"src": docs_path, "mtime": os.path.getmtime(docs_path),
+               "ver": _GOLDEN_VERSION}
+    if os.path.exists(man):
+        with open(man) as fh:
+            if json.load(fh) == src_sig:
+                return out
+
+    t = pq.read_table(docs_path, columns=["doc_id", "text"])
+    doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    texts = t["text"].to_pylist()
+
+    tmp = out + ".tmp"
+    if os.path.exists(tmp):
+        import shutil
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    pq.write_table(_simhash_pairs(doc_ids, texts),
+                   os.path.join(tmp, "golden_simhash_pairs.parquet"))
+    pq.write_table(_multimodal_features(doc_ids, texts),
+                   os.path.join(tmp, "golden_multimodal_features.parquet"))
+    pq.write_table(_multimodal_resize(doc_ids, texts),
+                   os.path.join(tmp, "golden_multimodal_resize.parquet"))
+    with open(os.path.join(tmp, "manifest.json"), "w") as fh:
+        json.dump(src_sig, fh)
+    if os.path.exists(out):
+        import shutil
+        shutil.rmtree(out)
+    os.replace(tmp, out)
+    return out
