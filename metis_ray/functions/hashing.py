@@ -117,3 +117,68 @@ def minhash_signature(tokens: list[str], num_perm: int = 64, seed: int = 42) -> 
     with np.errstate(over="ignore"):
         m = (base[:, None] * a[None, :] + b[None, :]) % np.uint64(p)
     return m.min(axis=0)
+
+
+def minhash_signatures(token_lists: list[list[str]], num_perm: int = 64,
+                       seed: int = 42, *,
+                       chunk_tokens: int = 4096) -> np.ndarray:
+    """Batched MinHash: (N, P) uint64 signature matrix for N token lists.
+
+    One ``hash64`` pass over the concatenated tokens of each chunk, one
+    broadcasted (a*x+b) mod p, per-doc segment-min via
+    ``np.minimum.reduceat`` — no per-document Python work beyond the token
+    lists themselves. Identical output to ``minhash_signature`` per row
+    (empty docs get the all-p sentinel). ``chunk_tokens`` bounds the
+    (T, P) temporary; keep it SMALL (default 4 Ki tokens -> ~2 MB): fresh
+    large numpy allocations page-fault at ~0.5 GB/s on virtualized hosts,
+    so cache-resident allocator-reused temporaries beat one big matrix by
+    >10x (measured)."""
+    p = (1 << 61) - 1
+    a, b = _minhash_perms(num_perm, seed)
+    n = len(token_lists)
+    counts = np.fromiter((len(t) for t in token_lists), np.int64, n)
+    out = np.full((n, num_perm), p, dtype=np.uint64)
+    lo = 0
+    while lo < n:
+        hi = lo + 1
+        tot = int(counts[lo])
+        while hi < n and tot + counts[hi] <= chunk_tokens:
+            tot += int(counts[hi])
+            hi += 1
+        c = counts[lo:hi]
+        nz = c > 0
+        if nz.any():
+            flat = [tok for toks in token_lists[lo:hi] for tok in toks]
+            base = hash64(flat).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                m = (base[:, None] * a[None, :] + b[None, :]) % np.uint64(p)
+            # zero-width segments share their successor's start, so taking
+            # only nonzero starts yields exactly each doc's token span
+            starts = np.concatenate(([0], np.cumsum(c)[:-1]))[nz]
+            out[lo:hi][nz] = np.minimum.reduceat(m, starts, axis=0)
+        lo = hi
+    return out
+
+
+def band_keys(sigs: np.ndarray, bands: int, seed: int = 42) -> np.ndarray:
+    """(N, bands) int64 LSH bucket keys from an (N, P) signature matrix:
+    per-band-salted polynomial fold of the band's rows + splitmix64
+    finalizer, fully vectorized (the rows-per-band loop is 2-8 iterations).
+    Equal band values always collide; cross-band/cross-value collisions are
+    ~2^-63 (and harmless: verification rescoring filters them)."""
+    n, num_perm = sigs.shape
+    rows = num_perm // bands
+    x = sigs.reshape(n, bands, rows)
+    rng = np.random.RandomState(seed + 1)
+    salt = rng.randint(0, (1 << 62), size=bands,
+                       dtype=np.int64).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        acc = np.broadcast_to(salt, (n, bands)).copy()
+        for r in range(rows):
+            acc = (acc ^ x[:, :, r]) * np.uint64(0x9E3779B97F4A7C15)
+        acc ^= acc >> np.uint64(30)
+        acc *= np.uint64(0xBF58476D1CE4E5B9)
+        acc ^= acc >> np.uint64(27)
+        acc *= np.uint64(0x94D049BB133111EB)
+        acc ^= acc >> np.uint64(31)
+    return (acc & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)

@@ -158,48 +158,82 @@ def triangle_counts(edges: rd.Dataset, *, num_partitions: int | None = None,
 
 
 def _triangles_broadcast(canon: rd.Dataset) -> rd.Dataset:
-    """Broadcast-adjacency strategy: degree-orient locally, broadcast the
-    CSR-shaped oriented adjacency, intersect per batch."""
+    """Broadcast-adjacency strategy. Degrees and the oriented adjacency are
+    built DISTRIBUTED (the same groupbys the join strategy uses); the driver
+    only repacks the per-u adjacency rows into flat CSR arrays and
+    ``ray.put``s them once — it never concatenates the edge table, and the
+    per-u neighbor sorts happen inside the groupby workers."""
     import ray
 
-    parts = [t for t in (ray.get(r) for r in canon.to_arrow_refs())
-             if t.num_rows]
-    tbl = pa.concat_tables(parts) if parts else pa.table(
-        {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
-    a = tbl["src"].to_numpy(zero_copy_only=False)
-    b = tbl["dst"].to_numpy(zero_copy_only=False)
-    verts, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
-    ai, bi = inv[:len(a)], inv[len(a):]
-    deg = np.bincount(ai, minlength=len(verts)) + np.bincount(bi, minlength=len(verts))
-    # orient low (deg, id) -> high, in compact index space
-    fwd = (deg[ai] < deg[bi]) | ((deg[ai] == deg[bi]) & (ai < bi))
-    u = np.where(fwd, ai, bi)
-    v = np.where(fwd, bi, ai)
-    order = np.lexsort((v, u))
-    u, v = u[order], v[order]
-    indptr = np.zeros(len(verts) + 1, dtype=np.int64)
-    np.cumsum(np.bincount(u, minlength=len(verts)), out=indptr[1:])
-    ref = ray.put((verts, indptr, v))
+    # degree table, distributed -> packed (verts_sorted, deg) for probing
+    vs_, ds_ = [], []
+    for r in _degrees(canon).to_arrow_refs():
+        t = ray.get(r)
+        if t.num_rows:
+            vs_.append(t["v"].to_numpy(zero_copy_only=False))
+            ds_.append(t["deg"].to_numpy(zero_copy_only=False))
+    verts = np.concatenate(vs_) if vs_ else np.array([], np.int64)
+    degv = np.concatenate(ds_) if ds_ else np.array([], np.int64)
+    order = np.argsort(verts, kind="stable")
+    verts, degv = verts[order], degv[order]
+    deg_ref = ray.put((verts, degv))
 
-    oriented = rd.from_arrow(pa.table({
-        "u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64())}))
+    def orient(batch: pa.Table) -> pa.Table:
+        vv, dd = ray.get(deg_ref)
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        dsv = dd[np.searchsorted(vv, s)]
+        ddv = dd[np.searchsorted(vv, d)]
+        fwd = (dsv < ddv) | ((dsv == ddv) & (s < d))
+        return pa.table({"u": pa.array(np.where(fwd, s, d), pa.int64()),
+                         "v": pa.array(np.where(fwd, d, s), pa.int64())})
+
+    oriented = canon.map_batches(orient, batch_format="pyarrow").materialize()
+
+    # oriented adjacency via the shared distributed groupby; the driver sees
+    # one (u, packed-int64-bytes) row per vertex and only flattens to CSR
+    us_, blobs = [], []
+    for r in _adjacency(oriented).to_arrow_refs():
+        t = ray.get(r)
+        if t.num_rows:
+            us_.append(t["u"].to_numpy(zero_copy_only=False))
+            blobs.extend(t["neigh"].to_pylist())
+    if us_:
+        u_all = np.concatenate(us_)
+        order = np.argsort(u_all, kind="stable")
+        u_sorted = u_all[order]
+        lens = np.fromiter((len(blobs[i]) for i in order), np.int64,
+                           len(blobs)) // 8
+        indptr = np.zeros(len(u_sorted) + 1, dtype=np.int64)
+        np.cumsum(lens, out=indptr[1:])
+        adj = np.frombuffer(b"".join(blobs[i] for i in order), np.int64)
+    else:
+        u_sorted = np.array([], np.int64)
+        indptr = np.zeros(1, np.int64)
+        adj = np.array([], np.int64)
+    ref = ray.put((u_sorted, indptr, adj))
 
     def intersect(batch: pa.Table) -> pa.Table:
-        vv, ip, adj = ray.get(ref)
+        uu, ip, aj = ray.get(ref)
         us = batch["u"].to_numpy(zero_copy_only=False)
         vs = batch["v"].to_numpy(zero_copy_only=False)
+        # u always has out-edges; v may be absent from the oriented index
+        xi = np.searchsorted(uu, us)
+        yi = np.searchsorted(uu, vs)
+        y_ok = (yi < len(uu)) & (uu[np.minimum(yi, len(uu) - 1)] == vs)
         o_v: list[int] = []
         o_c: list[int] = []
-        for x, y in zip(us, vs):
-            na = adj[ip[x]:ip[x + 1]]
-            nb = adj[ip[y]:ip[y + 1]]
-            common = np.intersect1d(na, nb, assume_unique=True)
+        for u, v, x, y, ok in zip(us, vs, xi, yi, y_ok):
+            if not ok:
+                continue
+            common = np.intersect1d(aj[ip[x]:ip[x + 1]], aj[ip[y]:ip[y + 1]],
+                                    assume_unique=True)
             k = len(common)
             if k == 0:
                 continue
-            o_v.append(int(vv[x])); o_c.append(k)
-            o_v.append(int(vv[y])); o_c.append(k)
-            o_v.extend(int(vv[w]) for w in common)
+            o_v.append(int(u)); o_c.append(k)
+            o_v.append(int(v)); o_c.append(k)
+            o_v.extend(int(w) for w in common)
             o_c.extend([1] * k)
         t = pa.table({"v": pa.array(o_v, pa.int64()),
                       "triangles": pa.array(o_c, pa.int64())})

@@ -33,7 +33,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Min
 
-from metis_ray.functions.hashing import hash64, minhash_signature, sha256_hex
+from metis_ray.functions.hashing import band_keys, minhash_signatures, sha256_hex
 from metis_ray.functions.text import jaccard, simhash64, word_shingles
 from metis_ray.sources.parquet import read_table
 
@@ -188,17 +188,17 @@ class _ShingleSigs:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         texts = batch["text"].to_pylist()
-        o_key: list[int] = []
-        o_id: list[int] = []
-        for did, text in zip(ids, texts):
-            sig = minhash_signature(self._shingles(text), self.num_perm)
-            for b in range(self.bands):
-                band = sig[b * self.rows:(b + 1) * self.rows]
-                bkey = hash64([f"{b}:" + band.tobytes().hex()])[0]
-                o_key.append(int(bkey))
-                o_id.append(int(did))
-        return pa.table({"bkey": pa.array(o_key, pa.int64()),
-                         "doc_id": pa.array(o_id, pa.int64())})
+        # batched signature matrix + vectorized band keys: one hash64 pass
+        # over the batch's shingles, reduceat segment-mins, numpy-folded
+        # bucket keys — no per-doc/per-band Python hashing
+        sigs = minhash_signatures([self._shingles(t) for t in texts],
+                                  self.num_perm)
+        keys = band_keys(sigs, self.bands)
+        return pa.table({
+            "bkey": pa.array(keys.ravel(), pa.int64()),
+            "doc_id": pa.array(np.repeat(ids.astype(np.int64), self.bands),
+                               pa.int64()),
+        })
 
 
 def _shingle_set(mode: str, text: str, k: int) -> set:
