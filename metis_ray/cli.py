@@ -75,6 +75,7 @@ def cmd_watch(args) -> int:
     from metis_ray.pipelines.incremental import watch
     totals = watch(args.corpus, args.state, interval=args.interval,
                    max_loops=args.max_loops,
+                   resolve_strategy=args.resolve_strategy,
                    on_batch=lambda info: print(json.dumps(info)))
     print(json.dumps({"watch": totals}))
     ray.shutdown()
@@ -121,6 +122,10 @@ def main(argv=None) -> int:
     p4.add_argument("--state", required=True)
     p4.add_argument("--interval", type=float, default=1.0)
     p4.add_argument("--max-loops", type=int, default=None)
+    p4.add_argument("--resolve-strategy", choices=["broadcast", "join"],
+                    default="broadcast",
+                    help="'join' keeps the symbol table a Dataset end-to-end "
+                         "(for symbol tables beyond one node's memory)")
     p4.set_defaults(fn=cmd_watch)
 
     p3 = sub.add_parser("bench-graph", help="materialize a bench graph")

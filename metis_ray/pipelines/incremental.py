@@ -50,7 +50,8 @@ def _load_manifest(state_dir: str) -> dict:
 
 
 def ingest_increment(corpus_dir: str, state_dir: str, *,
-                     concurrency=None, pending_sizes: dict | None = None) -> dict:
+                     concurrency=None, pending_sizes: dict | None = None,
+                     resolve_strategy: str = "broadcast") -> dict:
     """Process fragments not yet in the manifest. Returns an info dict
     {new_fragments, new_edges, batch_dir|None}.
 
@@ -100,11 +101,23 @@ def ingest_increment(corpus_dir: str, state_dir: str, *,
     if not new:
         return {"new_fragments": 0, "new_edges": 0, "batch_dir": None}
 
-    symbols_ref = ray.put(build_symbol_table(
-        read_corpus(corpus_dir, columns=["repo", "path"])))
+    # the symbol table is global (imports may target any file ever seen):
+    # rebuilt from the full corpus each increment. strategy='join' keeps it
+    # a Dataset end-to-end (resolution + repo re-attach joins) — the
+    # driver-clean path for symbol tables beyond one node, same switch as
+    # linkgraph.ingest().
+    if resolve_strategy == "join":
+        from metis_ray.stages.resolve import (build_symbol_dataset,
+                                              check_id_collisions_ds)
+        symbols = build_symbol_dataset(
+            read_corpus(corpus_dir, columns=["repo", "path"])).materialize()
+        check_id_collisions_ds(symbols)
+    else:
+        symbols = ray.put(build_symbol_table(
+            read_corpus(corpus_dir, columns=["repo", "path"])))
     new_ds = rd.read_parquet([os.path.join(frag_dir, f) for f in new])
-    edges = dedup_edges(raw_resolved(new_ds, symbols_ref,
-                                     concurrency=concurrency), symbols_ref)
+    edges = dedup_edges(raw_resolved(new_ds, symbols, concurrency=concurrency,
+                                     strategy=resolve_strategy), symbols)
 
     batch_id = len(man["batches"])
     batch_dir = os.path.join(state_dir, "edges", f"batch={batch_id}")
@@ -131,7 +144,8 @@ def ingest_increment(corpus_dir: str, state_dir: str, *,
 
 def watch(corpus_dir: str, state_dir: str, *, interval: float = 1.0,
           max_loops: int | None = None, stop_file: str | None = None,
-          concurrency=None, on_batch=None) -> dict:
+          concurrency=None, on_batch=None,
+          resolve_strategy: str = "broadcast") -> dict:
     """Arriving-input watcher (reference S2/S3: ``sinotify._main`` polls an
     ingest dir and spawns a pipeline per new file, with an ``exit.exit``
     sentinel to stop the daemon — ``/root/reference/Metis/sinotify.py:53-87``).
@@ -155,7 +169,8 @@ def watch(corpus_dir: str, state_dir: str, *, interval: float = 1.0,
             os.remove(stop_file)
             break
         info = ingest_increment(corpus_dir, state_dir, concurrency=concurrency,
-                                pending_sizes=pending)
+                                pending_sizes=pending,
+                                resolve_strategy=resolve_strategy)
         totals["loops"] += 1
         if info["new_fragments"]:
             totals["batches"] += 1

@@ -453,23 +453,29 @@ def events_approx_users(sf_dir: str) -> pd.DataFrame:
     ev = read_table(sf_dir, "events", columns=["event_type", "user_id"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        rows = []
-        for et, g in df.groupby("event_type"):
-            reg = hll_add_values(hll_new(), g["user_id"].to_numpy())
-            rows.append({"event_type": et, "reg": reg.tobytes()})
-        out = pd.DataFrame(rows)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # Arrow-side group split: sort by type once, slice register runs
+        idx = pc.sort_indices(batch["event_type"])
+        et = batch["event_type"].take(idx).to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].take(idx).to_numpy(zero_copy_only=False)
+        cuts = np.flatnonzero(np.concatenate(([True], et[1:] != et[:-1])))
+        bounds = np.append(cuts, len(et))
+        types = [str(et[c]) for c in cuts]
+        regs = [hll_add_values(hll_new(), uid[lo:hi]).tobytes()
+                for lo, hi in zip(bounds[:-1], bounds[1:])]
+        return pa.table({"event_type": pa.array(types, pa.string()),
+                         "reg": pa.array(regs, pa.large_binary())})
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
+    def final(g: pa.Table) -> pa.Table:
         reg = hll_new()
-        for b in g["reg"]:
+        for b in g["reg"].to_pylist():
             reg = hll_merge(reg, np.frombuffer(b, dtype=np.uint8))
-        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
-                             "approx_users": [int(round(hll_estimate(reg)))]})
+        return pa.table({
+            "event_type": pa.array([g["event_type"][0].as_py()], pa.string()),
+            "approx_users": pa.array([int(round(hll_estimate(reg)))],
+                                     pa.int64())})
 
     return (ev.map_batches(partial, batch_format="pyarrow")
-            .groupby("event_type").map_groups(final, batch_format="pandas")
+            .groupby("event_type").map_groups(final, batch_format="pyarrow")
             .to_pandas().sort_values("event_type").reset_index(drop=True))
 
 

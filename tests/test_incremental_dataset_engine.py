@@ -42,6 +42,35 @@ def test_incremental_matches_batch(tiny_corpus_dir, tmp_path):
     assert set(zip(inc["src"], inc["dst"])) == set(zip(batch["src"], batch["dst"]))
 
 
+def test_incremental_join_strategy_matches_broadcast(tiny_corpus_dir, tmp_path):
+    """resolve_strategy='join' through the incremental path (symbol table
+    stays a Dataset, no driver build_symbol_table) lands the identical
+    edge set + multiplicities as the default broadcast path."""
+    src = os.path.join(tiny_corpus_dir, "corpus")
+    frags = sorted(os.listdir(src))
+    cd = str(tmp_path / "corpus_j")
+    os.makedirs(os.path.join(cd, "corpus"))
+    state_b = str(tmp_path / "state_b")
+    state_j = str(tmp_path / "state_j")
+
+    shutil.copy(os.path.join(src, frags[0]), os.path.join(cd, "corpus", frags[0]))
+    ingest_increment(cd, state_b)
+    ingest_increment(cd, state_j, resolve_strategy="join")
+    for f in frags[1:]:
+        shutil.copy(os.path.join(src, f), os.path.join(cd, "corpus", f))
+    ingest_increment(cd, state_b)
+    ingest_increment(cd, state_j, resolve_strategy="join")
+
+    key = lambda df: {(int(s), int(d)): int(m) for s, d, m in
+                      zip(df["src"], df["dst"], df["multiplicity"])}
+    b = edges_so_far(state_b).to_pandas()
+    j = edges_so_far(state_j).to_pandas()
+    assert key(b) == key(j)
+    # repo names attach identically through the join path
+    assert (set(zip(b["src"], b["src_repo"], b["dst_repo"]))
+            == set(zip(j["src"], j["src_repo"], j["dst_repo"])))
+
+
 @pytest.fixture(scope="module")
 def tiny_ingest(tiny_corpus_dir):
     return ingest(tiny_corpus_dir)
