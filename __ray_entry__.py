@@ -48,6 +48,32 @@ def _q_corpus_edges(sf_dir: str):
     return ingest(_corpus_dir(sf_dir)).edges_file
 
 
+def _q_corpus_edges_dense(sf_dir: str):
+    """Edge table under id_scheme='dense' (rank-of-128-bit-digest vertex
+    ids — the collision-free path past the 63-bit birthday bound), emitted
+    in KEY space so the golden can certify it: dense ids are joined back to
+    their "repo/path" keys through the assignment table (two hash-
+    partitioned joins; the table never visits the driver)."""
+    from metis_ray.pipelines.dedup import _nonempty_blocks
+    from metis_ray.pipelines.linkgraph import ingest
+    res = ingest(_corpus_dir(sf_dir), id_scheme="dense")
+    kmap = res.dense_ids.select_columns(["key", "dense_id"])
+    edges, _ = _nonempty_blocks(
+        res.edges_file.select_columns(["src", "dst", "multiplicity"]))
+    if edges is None:
+        import pyarrow as pa
+        return pa.schema([("src_key", pa.string()), ("dst_key", pa.string()),
+                          ("multiplicity", pa.int64())]).empty_table()
+    smap = kmap.map_batches(lambda t: t.rename_columns(["src_key", "src"]),
+                            batch_format="pyarrow")
+    j1 = edges.join(smap, join_type="inner", num_partitions=4, on=("src",))
+    j1, _ = _nonempty_blocks(j1)
+    dmap = kmap.map_batches(lambda t: t.rename_columns(["dst_key", "dst"]),
+                            batch_format="pyarrow")
+    j2 = j1.join(dmap, join_type="inner", num_partitions=4, on=("dst",))
+    return j2.select_columns(["src_key", "dst_key", "multiplicity"])
+
+
 def _q_corpus_repo_edges(sf_dir: str):
     from metis_ray.pipelines.linkgraph import ingest
     return ingest(_corpus_dir(sf_dir)).edges_repo
@@ -234,11 +260,13 @@ def _schema_guard(fn: Callable[[str], Any], cols: dict[str, str]) -> Callable[[s
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from metis_ray.pipelines import dedup, multimodal, relational, similarity, textstats
+    from metis_ray.pipelines import (dedup, multimodal, relational, scan,
+                                     similarity, textstats)
 
     return {
         # --- link-graph engine (rows-only; oracles in tests/) ---
         "corpus_edges": _q_corpus_edges,
+        "corpus_edges_dense": _q_corpus_edges_dense,
         "corpus_repo_edges": _q_corpus_repo_edges,
         "corpus_files": _q_corpus_files,
         "pagerank": _q_pagerank,
@@ -284,6 +312,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "docs_token_count": textstats.token_counts,
+        "docs_cum_tokens": scan.cum_tokens,
+        "docs_pack_bins": scan.pack_bins,
         "docs_token_pieces": textstats.token_pieces,
         "docs_fingerprint": textstats.fingerprints,
         "docs_rolling_fingerprint": textstats.rolling_fingerprints,
@@ -409,6 +439,16 @@ def oracle_sql() -> dict[str, str]:
         "corpus_edges": f"""
             SELECT src, dst, src_repo, dst_repo, multiplicity
             FROM read_parquet('{g}/golden_edges_file.parquet')
+        """,
+        "corpus_edges_dense": f"""
+            SELECT fs.repo || '/' || fs.path AS src_key,
+                   fd.repo || '/' || fd.path AS dst_key,
+                   e.multiplicity
+            FROM read_parquet('{g}/golden_edges_file.parquet') e
+            JOIN read_parquet('{g}/golden_files.parquet') fs
+              ON fs.vertex_id = e.src
+            JOIN read_parquet('{g}/golden_files.parquet') fd
+              ON fd.vertex_id = e.dst
         """,
         "corpus_repo_edges": f"""
             SELECT src, dst, src_repo, dst_repo, multiplicity
@@ -621,6 +661,37 @@ def oracle_sql() -> dict[str, str]:
                         ELSE length(regexp_split_to_array(trim(text), '\\s+'))
                    END AS n_tokens
             FROM documents
+        """,
+        "docs_cum_tokens": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM documents)
+            SELECT doc_id, n_tokens,
+                   CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_tokens
+            FROM t
+        """,
+        "docs_pack_bins": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM documents),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS cum_tokens
+                FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST(FLOOR((cum_tokens - n_tokens) / 4096.0) AS BIGINT)
+                       AS bin_id
+            FROM c
         """,
         "docs_fingerprint": """
             SELECT doc_id, md5(text) AS md5 FROM documents

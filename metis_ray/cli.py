@@ -33,7 +33,11 @@ def cmd_ingest(args) -> int:
     from metis_ray.pipelines.linkgraph import backup_corpus, ingest
     if args.backup:
         backup_corpus(args.corpus, args.backup)
-    res = ingest(args.corpus, collect_stats=True)
+    res = ingest(args.corpus, collect_stats=True,
+                 resolve_strategy=args.resolve_strategy,
+                 id_scheme=args.id_scheme)
+    if res.dense_ids is not None:
+        res.dense_ids.write_parquet(f"{args.out}/dense_ids")
     res.edges_file.write_parquet(f"{args.out}/edges_file")
     res.edges_repo.write_parquet(f"{args.out}/edges_repo")
     res.files.write_parquet(f"{args.out}/files")
@@ -101,6 +105,12 @@ def main(argv=None) -> int:
     p1.add_argument("--out", required=True)
     p1.add_argument("--backup", default=None,
                     help="also land the verbatim corpus (lossless raw backup)")
+    p1.add_argument("--resolve-strategy", choices=["broadcast", "join"],
+                    default="broadcast")
+    p1.add_argument("--id-scheme", choices=["hash", "dense"], default="hash",
+                    help="'dense' = rank-of-128-bit-digest vertex ids "
+                         "(collision-free past the 63-bit birthday bound; "
+                         "implies join resolution)")
     p1.set_defaults(fn=cmd_ingest)
 
     p2 = sub.add_parser("graph", help="run a graph algorithm end-to-end")

@@ -50,6 +50,28 @@ def hash64(values) -> np.ndarray:
     return out
 
 
+def hash128(values) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit stable hash of strings -> two int64 arrays (hi, lo).
+
+    blake2b(digest_size=16) split into two 8-byte halves, each offset into
+    signed int64 so that sorting by (hi, lo) equals sorting by the raw
+    16-byte digest (unsigned byte order). 128-bit keys birthday-collide
+    around ~2^64 values — effectively never — which is what makes the
+    dense-id assignment pass (``stages/resolve.build_dense_ids``) safe at
+    the 10^12-file scale where 63-bit ids exhaust."""
+    b2 = hashlib.blake2b
+    fb = int.from_bytes
+    n = len(values)
+    hi = np.empty(n, np.int64)
+    lo = np.empty(n, np.int64)
+    off = 1 << 63
+    for i, v in enumerate(values):
+        d = b2(v.encode() if isinstance(v, str) else v, digest_size=16).digest()
+        hi[i] = fb(d[:8], "big") - off
+        lo[i] = fb(d[8:], "big") - off
+    return hi, lo
+
+
 def hash64_one(value: str) -> int:
     return (int.from_bytes(hashlib.blake2b(value.encode(), digest_size=8).digest(),
                            "big") & _MASK63)

@@ -27,7 +27,8 @@ from ray.data.aggregate import Count, Sum
 from metis_ray.functions.hashing import hash64
 from metis_ray.sources.parquet import read_corpus
 from metis_ray.stages.extract import EdgeExtractor
-from metis_ray.stages.resolve import ResolveEdges, build_symbol_table
+from metis_ray.stages.resolve import (ResolveEdges, build_dense_ids,
+                                      build_symbol_table)
 from metis_ray.stages.validate import ValidateAndChecksum
 
 EDGE_KEYS = ["src", "dst", "src_repo", "dst_repo"]
@@ -68,6 +69,75 @@ def files_table(corpus: rd.Dataset) -> rd.Dataset:
             "vertex_id", pa.array(vid, pa.int64()))
 
     return validated(corpus).map_batches(project, batch_format="pyarrow")
+
+
+def files_table_dense(corpus: rd.Dataset, dense: rd.Dataset) -> rd.Dataset:
+    """``files_table`` under the dense-id scheme: ``vertex_id`` comes from
+    the assignment table (join on the file key) instead of hash64."""
+    from metis_ray.pipelines.dedup import _join_parts, _nonempty_blocks
+
+    def project(batch: pa.Table) -> pa.Table:
+        keys = [f"{r}/{p}" for r, p in
+                zip(batch["repo"].to_pylist(), batch["path"].to_pylist())]
+        return batch.drop_columns(["content"]).append_column(
+            "key", pa.array(keys, pa.string()))
+
+    f = validated(corpus).map_batches(project, batch_format="pyarrow")
+    f, n_rows = _nonempty_blocks(f)
+    if f is None:
+        return rd.from_arrow(pa.schema(
+            [("vertex_id", pa.int64())]).empty_table())
+    vmap = dense.select_columns(["key", "dense_id"]).map_batches(
+        lambda t: t.rename_columns(["key", "vertex_id"]),
+        batch_format="pyarrow")
+    n = max(2, min(_join_parts(), n_rows // 50_000 + 2))
+    j = f.join(vmap, join_type="inner", num_partitions=n, on=("key",))
+    return j.drop_columns(["key"])
+
+
+def raw_resolved_dense(corpus: rd.Dataset, dense: rd.Dataset, *,
+                       concurrency=None) -> rd.Dataset:
+    """validate -> extract -> dense resolution; output matches
+    ``raw_resolved`` (src, dst, resolved) with ids from the dense table.
+
+    Dense ids exist only in the assignment table, so BOTH endpoints join:
+    src via the file key string, dst via the module key (the standard
+    ``resolve_edges_join``). All shuffles are hash-partitioned Dataset
+    joins; nothing funnels through the driver."""
+    from metis_ray.pipelines.dedup import _join_parts, _nonempty_blocks
+    from metis_ray.stages.resolve import resolve_edges_join
+
+    cpu = int(ray.cluster_resources().get("CPU", 8))
+    if cpu < 4 or concurrency is None:
+        ex = validated(corpus).map_batches(
+            EdgeExtractor(), batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        ex = validated(corpus).map_batches(
+            EdgeExtractor, batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=concurrency)
+
+    def with_key(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            batch["src_repo"], batch["src_path"], "/")
+        return pa.table({"src_key": key, "lang": batch["lang"],
+                         "module": batch["module"]})
+
+    exk = ex.map_batches(with_key, batch_format="pyarrow")
+    exk, n_rows = _nonempty_blocks(exk)
+    if exk is None:
+        return rd.from_arrow(pa.schema(
+            [("src", pa.int64()), ("dst", pa.int64()),
+             ("resolved", pa.bool_())]).empty_table())
+    smap = dense.select_columns(["key", "dense_id"]).map_batches(
+        lambda t: t.rename_columns(["src_key", "src"]),
+        batch_format="pyarrow")
+    n = max(2, min(_join_parts(), n_rows // 50_000 + 2))
+    # inner join is exact: every extracted row's source file is in the
+    # corpus, hence in the assignment table
+    j = exk.join(smap, join_type="inner", num_partitions=n, on=("src_key",))
+    j = j.select_columns(["src", "lang", "module"])
+    from metis_ray.stages.resolve import dense_symbol_dataset
+    return resolve_edges_join(j, dense_symbol_dataset(dense))
 
 
 def _local_counts(batch: pa.Table) -> pa.Table:
@@ -289,6 +359,39 @@ def build_linkgraph(corpus_dir: str, workdir: str, P: int, *,
     return build_graph_dir(edges, verts, f"{workdir}/{sub}", P, directed=directed)
 
 
+def _ingest_stats(resolved: rd.Dataset, files: rd.Dataset) -> dict:
+    """Counting aggregations over MATERIALIZED resolved/files datasets
+    (rows, quarantined, import statements, unresolved) — the F6
+    count-reconciliation oracle; shared by both id schemes."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        res = pc.sum(pc.cast(batch["resolved"], pa.int64())).as_py() or 0
+        return pa.table({"stmts": pa.array([batch.num_rows], pa.int64()),
+                         "resolved": pa.array([res], pa.int64())})
+
+    agg = (resolved.map_batches(partials, batch_format="pyarrow")
+           .aggregate(Sum("stmts", alias_name="stmts"),
+                      Sum("resolved", alias_name="resolved")))
+    q = files.map_batches(
+        lambda t: pa.table({
+            "rows": pa.array([t.num_rows], pa.int64()),
+            "quarantined": pa.array(
+                [pc.sum(pc.cast(t["quarantined"], pa.int64())).as_py() or 0],
+                pa.int64())}),
+        batch_format="pyarrow").aggregate(
+            Sum("rows", alias_name="rows"),
+            Sum("quarantined", alias_name="quarantined"))
+    stmts = agg.get("stmts") or 0      # None when zero edge candidates
+    res = agg.get("resolved") or 0
+    return {
+        "rows": q.get("rows") or 0,
+        "quarantined": q.get("quarantined") or 0,
+        "import_stmts_emitted": stmts,
+        "resolved": res,
+        "unresolved_or_self": stmts - res,
+    }
+
+
 @dataclass
 class IngestResult:
     files: rd.Dataset        # repo, path, commit, lang, sha256, quarantined, vertex_id
@@ -296,17 +399,42 @@ class IngestResult:
     edges_repo: rd.Dataset   # src, dst, src_repo, dst_repo, multiplicity
     symbols_ref: "ray.ObjectRef"
     stats: dict
+    dense_ids: rd.Dataset | None = None   # (key, module, repo, dense_id)
+    #                                       when id_scheme='dense'
 
 
 def ingest(corpus_dir: str, *, concurrency=None, collect_stats: bool = False,
-           resolve_strategy: str = "broadcast") -> IngestResult:
+           resolve_strategy: str = "broadcast",
+           id_scheme: str = "hash") -> IngestResult:
     """Build the full ingest DAG over a corpus directory (lazy Datasets).
 
     ``collect_stats=True`` additionally executes the counting aggregations
     (rows, quarantined, import statements, unresolved) — extra passes, for
     tests/reporting only (F6 count-reconciliation oracle).
+
+    ``id_scheme='dense'``: vertex ids come from the dictionary-encoded
+    assignment pass (``resolve.build_dense_ids``) instead of 63-bit content
+    hashes — the collision-free path past the ~3e9-file birthday bound.
+    Implies shuffle-join resolution (dense ids are not recomputable from
+    the key alone); ``resolve_strategy`` is ignored.
     """
     corpus = read_corpus(corpus_dir)
+    if id_scheme == "dense":
+        from metis_ray.stages.resolve import dense_symbol_dataset
+        dense = build_dense_ids(
+            read_corpus(corpus_dir, columns=["repo", "path"])).materialize()
+        resolved = raw_resolved_dense(corpus, dense, concurrency=concurrency)
+        files = files_table_dense(corpus, dense)
+        symbols = dense_symbol_dataset(dense).materialize()
+        stats: dict = {}
+        if collect_stats:
+            resolved = resolved.materialize()
+            files = files.materialize()
+            stats = _ingest_stats(resolved, files)
+        edges = dedup_edges(resolved, symbols)
+        return IngestResult(files=files, edges_file=edges,
+                            edges_repo=repo_edges(edges), symbols_ref=None,
+                            stats=stats, dense_ids=dense)
     if resolve_strategy == "join":
         # driver-clean scale path: the symbol table stays a Dataset end to
         # end (resolution joins + repo re-attach joins); the driver never
@@ -325,7 +453,7 @@ def ingest(corpus_dir: str, *, concurrency=None, collect_stats: bool = False,
                             strategy=resolve_strategy)
     files = files_table(corpus)
 
-    stats: dict = {}
+    stats = {}
     if collect_stats:
         # ONE extraction pass: the resolved statement table is materialized
         # (narrow int/flag rows, content already projected away) and both
@@ -335,32 +463,7 @@ def ingest(corpus_dir: str, *, concurrency=None, collect_stats: bool = False,
         # (content-free) files table instead of a second sha256 pass.
         resolved = resolved.materialize()
         files = files.materialize()
-
-        def partials(batch: pa.Table) -> pa.Table:
-            res = pc.sum(pc.cast(batch["resolved"], pa.int64())).as_py() or 0
-            return pa.table({"stmts": pa.array([batch.num_rows], pa.int64()),
-                             "resolved": pa.array([res], pa.int64())})
-        agg = (resolved.map_batches(partials, batch_format="pyarrow")
-               .aggregate(Sum("stmts", alias_name="stmts"),
-                          Sum("resolved", alias_name="resolved")))
-        q = files.map_batches(
-            lambda t: pa.table({
-                "rows": pa.array([t.num_rows], pa.int64()),
-                "quarantined": pa.array(
-                    [pc.sum(pc.cast(t["quarantined"], pa.int64())).as_py() or 0],
-                    pa.int64())}),
-            batch_format="pyarrow").aggregate(
-                Sum("rows", alias_name="rows"),
-                Sum("quarantined", alias_name="quarantined"))
-        stmts = agg.get("stmts") or 0      # None when zero edge candidates
-        res = agg.get("resolved") or 0
-        stats = {
-            "rows": q.get("rows") or 0,
-            "quarantined": q.get("quarantined") or 0,
-            "import_stmts_emitted": stmts,
-            "resolved": res,
-            "unresolved_or_self": stmts - res,
-        }
+        stats = _ingest_stats(resolved, files)
 
     edges = dedup_edges(resolved, symbols)
     redges = repo_edges(edges)

@@ -254,3 +254,83 @@ def resolve_edges_join(extracted, symbols_ds, *,
                     num_partitions=num_partitions, on=("module",))
     second = j2.map_batches(finish, batch_format="pyarrow")
     return first.union(second)
+
+
+# ---------------------------------------------------------------------------
+# Dense-id assignment: the 128-bit scale path
+# ---------------------------------------------------------------------------
+
+@ray.remote(num_cpus=0.25)
+def _rank_rows(tbl: pa.Table) -> int:
+    return tbl.num_rows
+
+
+@ray.remote(num_cpus=0.25)
+def _attach_rank(tbl: pa.Table, offset: int) -> pa.Table:
+    rank = pa.array(offset + np.arange(tbl.num_rows, dtype=np.int64),
+                    pa.int64())
+    return tbl.drop_columns(["hi", "lo"]).append_column("dense_id", rank)
+
+
+def build_dense_ids(corpus, *, num_partitions: int | None = None):
+    """Dictionary-encoded vertex-id assignment: (key, module, repo,
+    dense_id) with dense_id = rank of the file's 128-bit content digest in
+    sorted order — consecutive ids in ``[0, n_files)``.
+
+    This is the documented migration path past the 63-bit hash-id birthday
+    bound (``functions/hashing.py``): ids stay int64 (the engine's safe
+    shuffle/CSR key type) but are collision-free BY CONSTRUCTION — ranks are
+    unique even in the astronomically unlikely event of a 128-bit digest
+    collision. The assignment is a pure function of the file SET (order-
+    and parallelism-independent): blake2b-128 of "repo/path", distributed
+    sort by the digest, global rank from per-block offsets. Only per-block
+    row counts (ints) visit the driver; rows never do.
+
+    Trade-off vs hash ids: resolution must JOIN on the key string for the
+    src side too (hash ids are recomputable anywhere, dense ids only exist
+    in this table), so the dense scheme always uses the shuffle-join
+    resolution strategy. The sort is one extra all-to-all over ~#files
+    short rows — tiny next to content extraction."""
+    import ray.data as rd
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        from metis_ray.functions.hashing import hash128
+        repos = batch["repo"].to_pylist()
+        paths = batch["path"].to_pylist()
+        keys = [f"{r}/{p}" for r, p in zip(repos, paths)]
+        mods = [module_key_for_path(r, p) for r, p in zip(repos, paths)]
+        hi, lo = hash128(keys)
+        return pa.table({
+            "key": pa.array(keys, pa.string()),
+            "module": pa.array(mods, pa.string()),
+            "repo": pa.array(repos, pa.string()),
+            "hi": pa.array(hi, pa.int64()),
+            "lo": pa.array(lo, pa.int64()),
+        })
+
+    ds = (corpus.select_columns(["repo", "path"])
+          .map_batches(keyed, batch_format="pyarrow")
+          .sort(["hi", "lo"]))
+    # Ray's sort emits range-partitioned blocks in global order, so block
+    # offsets ARE global ranks. to_arrow_refs keeps every row in the object
+    # store; the driver sees only the per-block counts.
+    refs = ds.to_arrow_refs()
+    counts = ray.get([_rank_rows.remote(r) for r in refs])
+    blocks, off = [], 0
+    for r, n in zip(refs, counts):
+        if n:
+            blocks.append(_attach_rank.remote(r, off))
+            off += n
+    if not blocks:
+        return rd.from_arrow(pa.schema(
+            [("key", pa.string()), ("module", pa.string()),
+             ("repo", pa.string()), ("dense_id", pa.int64())]).empty_table())
+    return rd.from_arrow_refs(blocks)
+
+
+def dense_symbol_dataset(dense):
+    """The (module, dst, dst_repo) symbol Dataset over dense ids — the
+    drop-in symbol side for ``resolve_edges_join`` / repo re-attach."""
+    return dense.select_columns(["module", "dense_id", "repo"]).map_batches(
+        lambda t: t.rename_columns(["module", "dst", "dst_repo"]),
+        batch_format="pyarrow")

@@ -106,6 +106,47 @@ def test_join_strategy_matches_broadcast(tiny_corpus_dir, result):
     assert key(a) == key(b)
 
 
+def test_dense_id_scheme_matches_hash(tiny_corpus_dir, result):
+    """id_scheme='dense' (rank of 128-bit digest — the collision-free path
+    past the 63-bit birthday bound) produces ids that are exactly
+    [0, n_files), a deterministic pure function of the file set, and an
+    edge table isomorphic to the hash-id ingest under the key mapping."""
+    from metis_ray.functions.hashing import hash64_one
+    from metis_ray.pipelines.linkgraph import ingest as _ingest
+
+    dres = _ingest(tiny_corpus_dir, id_scheme="dense")
+    dense = dres.dense_ids.to_pandas()
+    ids = np.sort(dense["dense_id"].to_numpy())
+    assert (ids == np.arange(len(dense))).all()     # dense, unique, 0-based
+
+    # edge sets isomorphic under key -> id mappings (incl. multiplicity)
+    to_hash = {int(i): hash64_one(k)
+               for k, i in zip(dense["key"], dense["dense_id"])}
+    d = dres.edges_file.to_pandas()
+    dmap = {(to_hash[int(s)], to_hash[int(t)]): int(m)
+            for s, t, m in zip(d["src"], d["dst"], d["multiplicity"])}
+    h = result.edges_file.to_pandas()
+    hmap = {(int(s), int(t)): int(m)
+            for s, t, m in zip(h["src"], h["dst"], h["multiplicity"])}
+    assert dmap == hmap
+    # repo re-attach went through the dense symbol join identically
+    assert (set(zip(d["src_repo"], d["dst_repo"]))
+            == set(zip(h["src_repo"], h["dst_repo"])))
+
+    # files table carries dense vertex ids consistent with the hash table
+    df = dres.files.to_pandas()
+    hf = result.files.to_pandas()
+    assert ({to_hash[int(v)] for v in df["vertex_id"]}
+            == {int(v) for v in hf["vertex_id"]})
+
+    # assignment is reproducible: a second independent run (fresh DAG,
+    # possibly different block layout) lands the identical key -> id map
+    dres2 = _ingest(tiny_corpus_dir, id_scheme="dense")
+    dense2 = dres2.dense_ids.to_pandas()
+    assert (dict(zip(dense["key"], dense["dense_id"]))
+            == dict(zip(dense2["key"], dense2["dense_id"])))
+
+
 def test_vertex_id_collision_guard():
     """A 63-bit id collision (one dst claimed by two modules) fails the
     symbol-table build loudly; build_symbol_table runs this check on every

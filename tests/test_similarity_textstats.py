@@ -133,3 +133,19 @@ def test_quality_filter_consistent():
     full = textstats.lang_quality(SF).to_pandas()
     want = full[(full["quality"] >= 0.5) & (full["lang_pred"] == "en")]
     assert sorted(kept["doc_id"]) == sorted(want["doc_id"])
+
+
+def test_distributed_scan_matches_sequential():
+    """Two-phase parallel prefix-scan == sequential cumsum; bin packing =
+    floor(exclusive_cumsum / budget) with contiguous 0-based bins."""
+    from metis_ray.pipelines.scan import cum_tokens, pack_bins
+
+    df = cum_tokens(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (df["cum_tokens"].to_numpy()
+            == np.cumsum(df["n_tokens"].to_numpy())).all()
+
+    pb = pack_bins(SF, budget=1000).to_pandas().sort_values("doc_id")
+    excl = df["cum_tokens"].to_numpy() - df["n_tokens"].to_numpy()
+    assert (pb["bin_id"].to_numpy() == excl // 1000).all()
+    bins = np.unique(pb["bin_id"].to_numpy())
+    assert bins[0] == 0 and (np.diff(bins) == 1).all()
