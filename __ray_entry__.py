@@ -317,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_pieces": textstats.token_pieces,
         "docs_fingerprint": textstats.fingerprints,
         "docs_rolling_fingerprint": textstats.rolling_fingerprints,
+        "docs_sample": textstats.sample_docs,
+        "docs_clean": textstats.clean_docs,
         "docs_lang_quality": textstats.lang_quality,
         "docs_quality_filter": textstats.quality_filter,
         "docs_lang_distribution": textstats.lang_distribution,
@@ -691,6 +693,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens,
                    CAST(FLOOR((cum_tokens - n_tokens) / 4096.0) AS BIGINT)
                        AS bin_id
+            FROM c
+        """,
+        "docs_sample": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '29'
+        """,
+        "docs_clean": """
+            WITH c AS (
+                SELECT doc_id,
+                       trim(regexp_replace(
+                            regexp_replace(text, '\\b(the|a)\\b', '', 'g'),
+                            '\\s+', ' ', 'g')) AS clean_text
+                FROM documents)
+            SELECT doc_id, clean_text,
+                   CASE WHEN clean_text = '' THEN 0
+                        ELSE length(regexp_split_to_array(clean_text, '\\s+'))
+                   END AS n_tokens_clean
             FROM c
         """,
         "docs_fingerprint": """

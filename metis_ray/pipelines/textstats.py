@@ -126,3 +126,52 @@ def lang_distribution(sf_dir: str, concurrency: int = 2) -> rd.Dataset:
     from ray.data.aggregate import Count
     return (lang_quality(sf_dir, concurrency)
             .groupby("lang_pred").aggregate(Count(alias_name="n_docs")))
+
+
+def sample_docs(sf_dir: str, *, prefix_lt: str = "29") -> rd.Dataset:
+    """Deterministic uniform document sample: keep docs whose
+    ``md5(str(doc_id))`` hex digest starts below ``prefix_lt``
+    (two hex chars => rate = int(prefix_lt,16)/256, default ~16%).
+
+    The reproducible-sampling primitive a training-data pipeline needs:
+    membership is a pure function of ``doc_id`` — stable across runs, scales
+    without coordination, and the same predicate runs verbatim in SQL
+    (``substr(md5(...),1,2) < ...``). Output: full metadata rows of the
+    sampled docs."""
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "lang", "source", "n_chars"])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = np.fromiter(
+            (hashlib.md5(str(i).encode()).hexdigest()[:2] < prefix_lt
+             for i in ids), dtype=bool, count=len(ids))
+        return batch.filter(pa.array(keep))
+
+    return docs.map_batches(stage, batch_format="pyarrow")
+
+
+_STOPWORDS = ("the", "a")
+
+
+def clean_docs(sf_dir: str) -> rd.Dataset:
+    """Boilerplate/stopword normalization (the text-cleaning stage of a
+    curation pipeline): drop stopwords (word-boundary regex), collapse
+    whitespace, trim. (doc_id, clean_text, n_tokens_clean) — the regexes
+    are RE2-compatible so the DuckDB twin runs them verbatim."""
+    import re
+    sw = re.compile(r"\b(" + "|".join(_STOPWORDS) + r")\b")
+    ws = re.compile(r"\s+")
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        clean = [ws.sub(" ", sw.sub("", t)).strip() for t in texts]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "clean_text": pa.array(clean, pa.string()),
+            "n_tokens_clean": pa.array(
+                [len(c.split()) if c else 0 for c in clean], pa.int64()),
+        })
+
+    return docs.map_batches(stage, batch_format="pyarrow")
