@@ -137,18 +137,29 @@ def build_layouts(graph_dir: str, P: int, partition: str, id_bound: int,
                   *, num_cpus: float = 1.0) -> None:
     """Compute + persist every partition's CSR layout in parallel (skipping
     partitions that already have a current one — idempotent, so pre-layout
-    graph dirs can be migrated in place)."""
+    graph dirs can be migrated in place). The presence check reads only the
+    npz header fields (version/P), not the arrays; a completed migration is
+    stamped into ``graph_meta.json`` so later callers skip this entirely."""
     import ray
 
     from metis_ray.graph import shard as _shard
 
     @ray.remote(num_cpus=num_cpus)
     def _one(pid: int) -> int:
-        if _shard.load_layout(graph_dir, pid, P) is None:
+        if not _shard.layout_current(graph_dir, pid, P):
             _shard.build_layout(graph_dir, pid, P, partition, id_bound)
         return pid
 
     ray.get([_one.remote(pid) for pid in range(P)])
+    meta_path = os.path.join(graph_dir, "graph_meta.json")
+    if os.path.exists(meta_path):       # in-place migration: stamp the meta
+        m = graph_meta(graph_dir)
+        if not m.get("layout"):
+            m["layout"] = 1
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(m, fh)
+            os.replace(tmp, meta_path)
 
 
 def graph_meta(graph_dir: str) -> dict:

@@ -149,6 +149,21 @@ def write_layout(graph_dir: str, pid: int, lay: dict) -> str:
     return path
 
 
+def layout_current(graph_dir: str, pid: int, P: int) -> bool:
+    """Cheap presence/compatibility probe: reads ONLY the npz header fields
+    (version, P) — npz members load lazily, so this never touches the array
+    data (load_layout's full read is ~the partition's edge bytes)."""
+    path = layout_path(graph_dir, pid)
+    if not os.path.exists(path):
+        return False
+    try:
+        with np.load(path) as z:
+            return (int(z["version"]) == _LAYOUT_VERSION
+                    and int(z["P"]) == P)
+    except (OSError, ValueError, KeyError):
+        return False
+
+
 def load_layout(graph_dir: str, pid: int, P: int) -> dict | None:
     """Persisted layout if present and version/P-compatible, else None."""
     path = layout_path(graph_dir, pid)
