@@ -199,3 +199,38 @@ def edges_so_far(state_dir: str) -> rd.Dataset:
     ds = rd.read_parquet(dirs)
     return (ds.groupby(["src", "dst", "src_repo", "dst_repo"])
             .aggregate(Sum("multiplicity", alias_name="multiplicity")))
+
+
+def build_incremental_graph(state_dir: str, workdir: str, P: int, *,
+                            directed: bool = True) -> str:
+    """Partitioned graph layout over everything landed so far — closes the
+    arriving-input loop (reference S3's spawn-pipeline-per-file ends in the
+    same analysis store as batch ingest, ``Metis/sinotify.py:82-87``):
+
+        watch()/ingest_increment() -> edges_so_far() -> graph dir
+
+    The union is globally deduped (per-increment multiplicities summed), so
+    the result is IDENTICAL to a batch build over the same corpus. The dir
+    name carries the manifest's batch count: a new increment lands into a
+    NEW graph dir (build_graph_dir is idempotent per dir and must not
+    append), while re-running without new data reuses the existing one."""
+    from metis_ray.graph.partition import build_graph_dir
+
+    man = _load_manifest(state_dir)
+    edges = edges_so_far(state_dir)
+
+    def rv(batch):
+        import numpy as np
+        import pyarrow as pa
+        ids = np.concatenate([batch["src"].to_numpy(zero_copy_only=False),
+                              batch["dst"].to_numpy(zero_copy_only=False)])
+        return pa.table({"vertex_id": pa.array(np.unique(ids), pa.int64())})
+
+    from ray.data.aggregate import Count
+    verts = (edges.map_batches(rv, batch_format="pyarrow")
+             .groupby("vertex_id").aggregate(Count(alias_name="_c"))
+             .drop_columns(["_c"]))
+    sub = (f"graph_incr_b{len(man['batches'])}_"
+           f"{'dir' if directed else 'und'}_P{P}")
+    return build_graph_dir(edges, verts, os.path.join(workdir, sub), P,
+                           directed=directed)

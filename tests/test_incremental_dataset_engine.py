@@ -240,3 +240,35 @@ def test_watch_defers_growing_fragment(tiny_corpus_dir, tmp_path):
     t.join()
     assert totals["fragments"] == 1
     assert edges_so_far(state).count() >= 0   # batch readable, not truncated
+
+
+def test_incremental_graph_matches_batch(tiny_corpus_dir, tmp_path):
+    """Graph built from incrementally-landed state == graph built by batch
+    ingest: identical PageRank output (the full watch -> land -> analyze
+    loop lands in the same store as batch, reference S3 contract)."""
+    from metis_ray.graph.runner import GraphRunner
+    from metis_ray.pipelines.incremental import build_incremental_graph
+    from metis_ray.pipelines.linkgraph import build_linkgraph
+
+    src = os.path.join(tiny_corpus_dir, "corpus")
+    frags = sorted(os.listdir(src))
+    cd = str(tmp_path / "corpus_g")
+    os.makedirs(os.path.join(cd, "corpus"))
+    state = str(tmp_path / "state_g")
+    # two increments
+    shutil.copy(os.path.join(src, frags[0]), os.path.join(cd, "corpus", frags[0]))
+    ingest_increment(cd, state)
+    for f in frags[1:]:
+        shutil.copy(os.path.join(src, f), os.path.join(cd, "corpus", f))
+    ingest_increment(cd, state)
+
+    gi = build_incremental_graph(state, str(tmp_path / "wd_i"), P=2)
+    gb = build_linkgraph(tiny_corpus_dir, str(tmp_path / "wd_b"), P=2)
+
+    def ranks(gdir):
+        r = GraphRunner(gdir)
+        r.pagerank(alpha=0.85, tol=1e-10, max_iter=60)
+        t = r.collect("rank").to_pandas().sort_values("v").reset_index(drop=True)
+        return dict(zip(t["v"], np.round(t["rank"], 9)))
+
+    assert ranks(gi) == ranks(gb)
