@@ -68,14 +68,19 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     time.sleep(10.0)
 
     n_supersteps = 10
+    # 5 windows (was 3): the host's noise episodes span minutes, and one
+    # driver capture whose 3 trials all land inside an episode records the
+    # noise, not the engine (round-2 postmortem). More spread-out short
+    # windows cost ~1 min and multiply the odds one of them is clean.
+    n_trials = int(os.environ.get("METIS_BENCH_TRIALS", "5"))
     trials = []
     stats = None
-    for i in range(3):
+    for i in range(n_trials):
         s = runner.pagerank(alpha=0.85, tol=0.0, max_iter=n_supersteps)
         trials.append(round(s.seconds, 3))
         if stats is None or s.seconds < stats.seconds:
             stats = s
-        if i < 2:
+        if i < n_trials - 1:
             time.sleep(12.0)
     timings["pagerank_supersteps"] = stats.seconds
     timings["pagerank_trials"] = trials
