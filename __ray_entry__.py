@@ -318,7 +318,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": textstats.fingerprints,
         "docs_rolling_fingerprint": textstats.rolling_fingerprints,
         "docs_sample": textstats.sample_docs,
+        "docs_stratified_sample": textstats.stratified_sample,
         "docs_clean": textstats.clean_docs,
+        "emb_kmeans": similarity.kmeans_clusters,
         "docs_lang_quality": textstats.lang_quality,
         "docs_quality_filter": textstats.quality_filter,
         "docs_lang_distribution": textstats.lang_distribution,
@@ -698,6 +700,15 @@ def oracle_sql() -> dict[str, str]:
         "docs_sample": """
             SELECT doc_id, lang, source, n_chars FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '29'
+        """,
+        "docs_stratified_sample": """
+            WITH r AS (
+                SELECT doc_id, source, n_chars,
+                       CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                            THEN '40' ELSE '10' END AS rate_lt
+                FROM documents)
+            SELECT doc_id, source, n_chars, rate_lt FROM r
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < rate_lt
         """,
         "docs_clean": """
             WITH c AS (

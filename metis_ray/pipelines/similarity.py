@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -236,3 +237,86 @@ def ann_ivf_topk(sf_dir: str, *, k: int = 10, n_queries: int = 5,
     out = partials.groupby("query_id", sort=True).head(k).copy()
     out["rnk"] = out.groupby("query_id").cumcount() + 1
     return out[["query_id", "neighbor_id", "rnk"]].reset_index(drop=True)
+
+
+def kmeans_clusters(sf_dir: str, *, k: int = 8, iters: int = 5):
+    """Distributed spherical k-means over the full embedding table —
+    the cluster-balanced curation primitive (cluster first, then sample /
+    dedup per cluster). (vec_id, cluster).
+
+    Deterministic: init = the vectors of the k smallest vec_ids
+    (distributed min-k, no full read), then ``iters`` Lloyd rounds. Each
+    round is ONE streaming pass: per-batch partial (cluster, vector sum,
+    count) rows — k rows per block, merged by a k-row groupby; only the k
+    centroids (k x d floats) visit the driver per round, never vectors.
+    Empty clusters keep their previous centroid. A single-process numpy
+    transcription of the same recurrence is the test oracle."""
+    from ray.data.aggregate import Sum
+
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    # ---- deterministic init: k smallest vec_ids' vectors ----
+    def local_min(batch: pa.Table) -> pa.Table:
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(vids)[:k]
+        return batch.take(pa.array(order, pa.int64()))
+
+    seed_tbl = pa.concat_tables(
+        [t for t in (ray.get(r) for r in
+                     emb.map_batches(local_min, batch_format="pyarrow")
+                     .to_arrow_refs())
+         if t.num_rows and t.column_names])
+    order = np.argsort(seed_tbl["vec_id"].to_numpy(zero_copy_only=False))[:k]
+    cents = _normalize(np.vstack([
+        np.asarray(seed_tbl["embedding"].to_pylist()[i], np.float64)
+        for i in order]))
+
+    d = cents.shape[1]
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cc = ray.get(ref)
+            mat = _normalize(np.vstack([np.asarray(v, np.float64) for v in
+                                        batch["embedding"].to_pylist()]))
+            assign = np.argmax(mat @ cc.T, axis=1)
+            rows_c, rows_s, rows_n = [], [], []
+            for c in np.unique(assign):
+                sel = mat[assign == c]
+                rows_c.append(int(c))
+                rows_s.append(sel.sum(axis=0).tobytes())
+                rows_n.append(len(sel))
+            return pa.table({"cluster": pa.array(rows_c, pa.int64()),
+                             "vsum": pa.array(rows_s, pa.large_binary()),
+                             "n": pa.array(rows_n, pa.int64())})
+
+        def merge(g: pa.Table) -> pa.Table:
+            s = np.zeros(d)
+            for b in g["vsum"].to_pylist():
+                s += np.frombuffer(b, np.float64)
+            return pa.table({
+                "cluster": pa.array([g["cluster"][0].as_py()], pa.int64()),
+                "vsum": pa.array([s.tobytes()], pa.large_binary()),
+                "n": pa.array([int(pc.sum(g["n"]).as_py())], pa.int64())})
+
+        merged = (emb.map_batches(partial, batch_format="pyarrow")
+                  .groupby("cluster").map_groups(merge, batch_format="pyarrow")
+                  .to_pandas())                         # k tiny rows
+        nxt = cents.copy()
+        for c, vs, n in zip(merged["cluster"], merged["vsum"], merged["n"]):
+            if n:
+                v = np.frombuffer(vs, np.float64)
+                nxt[int(c)] = v / np.linalg.norm(v)     # spherical update
+        cents = nxt
+
+    ref = ray.put(cents)
+
+    def assign_stage(batch: pa.Table) -> pa.Table:
+        cc = ray.get(ref)
+        mat = _normalize(np.vstack([np.asarray(v, np.float64) for v in
+                                    batch["embedding"].to_pylist()]))
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "cluster": pa.array(np.argmax(mat @ cc.T, axis=1), pa.int64())})
+
+    return emb.map_batches(assign_stage, batch_format="pyarrow")

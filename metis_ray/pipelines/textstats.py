@@ -175,3 +175,28 @@ def clean_docs(sf_dir: str) -> rd.Dataset:
         })
 
     return docs.map_batches(stage, batch_format="pyarrow")
+
+
+def stratified_sample(sf_dir: str, *, even_lt: str = "40",
+                      odd_lt: str = "10") -> rd.Dataset:
+    """Source-stratified deterministic sample — the mixture-weighting
+    primitive (up/down-weight corpora per source when composing a training
+    mix). Same md5-threshold membership as ``sample_docs`` but the rate is
+    chosen per ``source`` (here: even-indexed sources at
+    ``int(even_lt,16)/256``, odd at ``int(odd_lt,16)/256`` — the demo
+    policy the SQL twin mirrors; real deployments pass a rate table).
+    Output: sampled rows + the rate bucket that admitted them."""
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "source", "n_chars"])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        srcs = batch["source"].to_pylist()
+        lim = [even_lt if int(s[3:]) % 2 == 0 else odd_lt for s in srcs]
+        keep = np.fromiter(
+            (hashlib.md5(str(i).encode()).hexdigest()[:2] < l
+             for i, l in zip(ids, lim)), dtype=bool, count=len(ids))
+        t = batch.append_column("rate_lt", pa.array(lim, pa.string()))
+        return t.filter(pa.array(keep))
+
+    return docs.map_batches(stage, batch_format="pyarrow")

@@ -149,3 +149,29 @@ def test_distributed_scan_matches_sequential():
     assert (pb["bin_id"].to_numpy() == excl // 1000).all()
     bins = np.unique(pb["bin_id"].to_numpy())
     assert bins[0] == 0 and (np.diff(bins) == 1).all()
+
+
+def test_kmeans_matches_sequential_reference():
+    """Distributed spherical k-means == a single-process numpy transcription
+    of the same recurrence (same init, same update, same iteration count)."""
+    from metis_ray.pipelines.similarity import kmeans_clusters
+
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas().sort_values("vec_id")
+    mat = np.vstack([np.asarray(v, np.float64) for v in t["embedding"]])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = t["vec_id"].to_numpy()
+    k, iters = 8, 5
+    cents = mat[np.argsort(ids)[:k]].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(k):
+            sel = mat[assign == c]
+            if len(sel):
+                v = sel.sum(axis=0)
+                cents[c] = v / np.linalg.norm(v)
+    want = dict(zip(ids, np.argmax(mat @ cents.T, axis=1)))
+
+    got_df = kmeans_clusters(SF, k=k, iters=iters).to_pandas()
+    got = dict(zip(got_df["vec_id"], got_df["cluster"]))
+    assert got == want
+    assert len(set(got.values())) > 1     # nondegenerate clustering
