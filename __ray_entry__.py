@@ -54,7 +54,7 @@ def _q_corpus_edges_dense(sf_dir: str):
     in KEY space so the golden can certify it: dense ids are joined back to
     their "repo/path" keys through the assignment table (two hash-
     partitioned joins; the table never visits the driver)."""
-    from metis_ray.pipelines.dedup import _nonempty_blocks
+    from metis_ray.pipelines.dedup import _join_parts, _nonempty_blocks
     from metis_ray.pipelines.linkgraph import ingest
     res = ingest(_corpus_dir(sf_dir), id_scheme="dense")
     kmap = res.dense_ids.select_columns(["key", "dense_id"])
@@ -64,13 +64,14 @@ def _q_corpus_edges_dense(sf_dir: str):
         import pyarrow as pa
         return pa.schema([("src_key", pa.string()), ("dst_key", pa.string()),
                           ("multiplicity", pa.int64())]).empty_table()
+    n = _join_parts()   # cluster-sized: more partitions than CPUs deadlocks
     smap = kmap.map_batches(lambda t: t.rename_columns(["src_key", "src"]),
                             batch_format="pyarrow")
-    j1 = edges.join(smap, join_type="inner", num_partitions=4, on=("src",))
+    j1 = edges.join(smap, join_type="inner", num_partitions=n, on=("src",))
     j1, _ = _nonempty_blocks(j1)
     dmap = kmap.map_batches(lambda t: t.rename_columns(["dst_key", "dst"]),
                             batch_format="pyarrow")
-    j2 = j1.join(dmap, join_type="inner", num_partitions=4, on=("dst",))
+    j2 = j1.join(dmap, join_type="inner", num_partitions=n, on=("dst",))
     return j2.select_columns(["src_key", "dst_key", "multiplicity"])
 
 

@@ -46,21 +46,35 @@ def _simhash_pairs(doc_ids: np.ndarray, texts: list[str],
 
     sigs = np.array([simhash64(t.lower().split()) for t in texts],
                     dtype=np.uint64)
-    x = sigs[:, None] ^ sigs[None, :]
-    if hasattr(np, "bitwise_count"):
-        ham = np.bitwise_count(x).astype(np.int64)
-    else:
-        ham = np.unpackbits(x.view(np.uint8).reshape(len(sigs), len(sigs), 8),
-                            axis=2).sum(axis=2).astype(np.int64)
-    ii, jj = np.triu_indices(len(sigs), k=1)
-    keep = ham[ii, jj] <= max_hamming
-    a, b = doc_ids[ii[keep]], doc_ids[jj[keep]]
-    swap = a > b
-    a2 = np.where(swap, b, a)
-    b2 = np.where(swap, a, b)
-    return pa.table({"a": pa.array(a2, pa.int64()),
-                     "b": pa.array(b2, pa.int64()),
-                     "hamming": pa.array(ham[ii, jj][keep], pa.int64())})
+    n = len(sigs)
+    # row-block loop: the dense n x n xor matrix is O(n^2) bytes (and the
+    # numpy<2 unpackbits fallback 8x that) — 20+ GB when METIS_RAY_ORACLE_SF
+    # points at a larger scale. Blocks keep it O(block * n) with the same
+    # brute-force guarantee.
+    blk = max(1, min(n, (1 << 24) // max(n, 1)))   # ~128 MB of uint64 per block
+    o_a, o_b, o_h = [], [], []
+    for lo in range(0, n, blk):
+        hi = min(lo + blk, n)
+        x = sigs[lo:hi, None] ^ sigs[None, :]
+        if hasattr(np, "bitwise_count"):
+            ham = np.bitwise_count(x).astype(np.int64)
+        else:
+            ham = np.unpackbits(
+                x.view(np.uint8).reshape(hi - lo, n, 8),
+                axis=2).sum(axis=2).astype(np.int64)
+        ii, jj = np.nonzero(ham <= max_hamming)
+        keep = (ii + lo) < jj                      # strict upper triangle
+        ii, jj = ii[keep], jj[keep]
+        a, b = doc_ids[ii + lo], doc_ids[jj]
+        swap = a > b
+        o_a.append(np.where(swap, b, a))
+        o_b.append(np.where(swap, a, b))
+        o_h.append(ham[ii, jj])
+    cat = (lambda parts: np.concatenate(parts) if parts
+           else np.empty(0, np.int64))
+    return pa.table({"a": pa.array(cat(o_a), pa.int64()),
+                     "b": pa.array(cat(o_b), pa.int64()),
+                     "hamming": pa.array(cat(o_h), pa.int64())})
 
 
 def _multimodal_features(doc_ids: np.ndarray, texts: list[str]) -> pa.Table:

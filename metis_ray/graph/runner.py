@@ -128,6 +128,9 @@ class GraphRunner:
         t0 = time.perf_counter()
         start = start_epoch
         attempts = 0
+        executed = 0            # epochs actually run, across ALL attempts —
+        #                         wall time covers them too, so throughput
+        #                         divides by this, not the final pass alone
         while True:
             try:
                 self._run_epochs(
@@ -136,6 +139,7 @@ class GraphRunner:
                     value_name=value_name, ckpt_dir=ckpt_dir,
                     checkpoint_every=checkpoint_every, start_epoch=start,
                     stats=stats, on_epoch=on_epoch)
+                executed += max(0, stats.epochs - start)
                 break
             except (ray.exceptions.RayActorError,
                     ray.exceptions.RayTaskError) as e:
@@ -146,13 +150,13 @@ class GraphRunner:
                 attempts += 1
                 if reinit is None or attempts > self.max_recoveries:
                     raise
+                executed += max(0, stats.epochs - start)   # lost progress
                 start = self._recover(ckpt_dir, value_name, reinit)
                 stats.recoveries = attempts
         stats.seconds = time.perf_counter() - t0
-        done_epochs = stats.epochs - start_epoch
-        if stats.seconds > 0 and done_epochs > 0:
-            stats.supersteps_per_sec = done_epochs / stats.seconds
-            stats.edges_per_sec = done_epochs * self.m_total / stats.seconds
+        if stats.seconds > 0 and executed > 0:
+            stats.supersteps_per_sec = executed / stats.seconds
+            stats.edges_per_sec = executed * self.m_total / stats.seconds
         stats.total_edges = self.m_total
         stats.total_vertices = self.n_total
 

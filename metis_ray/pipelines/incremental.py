@@ -127,8 +127,41 @@ def ingest_increment(corpus_dir: str, state_dir: str, *,
     if os.path.exists(batch_dir):           # crash-leftover: overwrite
         shutil.rmtree(batch_dir)
     edges.write_parquet(tmp)
+    if not os.path.isdir(tmp):
+        # a batch with no resolvable imports produces a zero-row dataset and
+        # write_parquet then writes NOTHING (no dir) — land an explicit
+        # empty table so the batch dir always exists with the edge schema
+        # (edges_so_far unions every batch dir)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        os.makedirs(tmp)
+        pq.write_table(pa.schema(
+            [("src", pa.int64()), ("dst", pa.int64()),
+             ("src_repo", pa.string()), ("dst_repo", pa.string()),
+             ("multiplicity", pa.int64())]).empty_table(),
+            os.path.join(tmp, "part-00000.parquet"))
     n_edges = rd.read_parquet(tmp).count()
     os.replace(tmp, batch_dir)
+
+    # land the batch's VERTEX set too (every non-quarantined file, including
+    # zero-degree ones): edges alone under-count isolated vertices, which
+    # shifts PageRank's (1-alpha)/N base and drops singleton components in
+    # a graph built from this state (see build_incremental_graph)
+    from metis_ray.pipelines.linkgraph import files_table, graph_vertices
+    vdir = os.path.join(state_dir, "vertices", f"batch={batch_id}")
+    vtmp = vdir + ".tmp"
+    for p in (vtmp, vdir):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    graph_vertices(files_table(new_ds)).write_parquet(vtmp)
+    if not os.path.isdir(vtmp):            # all-quarantined batch
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        os.makedirs(vtmp)
+        pq.write_table(
+            pa.schema([("vertex_id", pa.int64())]).empty_table(),
+            os.path.join(vtmp, "part-00000.parquet"))
+    os.replace(vtmp, vdir)
 
     for f in new:
         man["fragments"][f] = frags[f]
@@ -190,13 +223,17 @@ def edges_so_far(state_dir: str) -> rd.Dataset:
     man = _load_manifest(state_dir)
     dirs = [os.path.join(state_dir, "edges", f"batch={b['batch']}")
             for b in man["batches"]]
-    if not dirs:
+    # pyarrow accepts ONE directory or a list of FILES, not a list of
+    # directories — expand each batch dir to its part files
+    paths = [os.path.join(d, f) for d in dirs
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if not paths:
         import pyarrow as pa
         return rd.from_arrow(pa.schema(
             [("src", pa.int64()), ("dst", pa.int64()),
              ("src_repo", pa.string()), ("dst_repo", pa.string()),
              ("multiplicity", pa.int64())]).empty_table())
-    ds = rd.read_parquet(dirs)
+    ds = rd.read_parquet(paths)
     return (ds.groupby(["src", "dst", "src_repo", "dst_repo"])
             .aggregate(Sum("multiplicity", alias_name="multiplicity")))
 
@@ -209,26 +246,39 @@ def build_incremental_graph(state_dir: str, workdir: str, P: int, *,
 
         watch()/ingest_increment() -> edges_so_far() -> graph dir
 
-    The union is globally deduped (per-increment multiplicities summed), so
-    the result is IDENTICAL to a batch build over the same corpus. The dir
-    name carries the manifest's batch count: a new increment lands into a
-    NEW graph dir (build_graph_dir is idempotent per dir and must not
-    append), while re-running without new data reuses the existing one."""
+    The union is globally deduped (per-increment multiplicities summed) and
+    the vertex set is the union of the per-batch landed vertex tables
+    (every non-quarantined file, so isolated files keep their PageRank
+    share and singleton components) — the result is IDENTICAL to a batch
+    build over the same corpus. The dir name carries the manifest's batch
+    count: a new increment lands into a NEW graph dir (build_graph_dir is
+    idempotent per dir and must not append), while re-running without new
+    data reuses the existing one."""
+    from ray.data.aggregate import Count
+
     from metis_ray.graph.partition import build_graph_dir
 
     man = _load_manifest(state_dir)
     edges = edges_so_far(state_dir)
-
+    # vertex set = landed per-batch vertex tables UNION edge endpoints —
+    # the union keeps batches landed by a pre-vertex-table version covered
+    # (their isolated files are still missed, but never their edges)
     def rv(batch):
         import numpy as np
         import pyarrow as pa
-        ids = np.concatenate([batch["src"].to_numpy(zero_copy_only=False),
-                              batch["dst"].to_numpy(zero_copy_only=False)])
+        ids = np.concatenate([
+            batch["src"].to_numpy(zero_copy_only=False),
+            batch["dst"].to_numpy(zero_copy_only=False)])
         return pa.table({"vertex_id": pa.array(np.unique(ids), pa.int64())})
 
-    from ray.data.aggregate import Count
-    verts = (edges.map_batches(rv, batch_format="pyarrow")
-             .groupby("vertex_id").aggregate(Count(alias_name="_c"))
+    verts = edges.map_batches(rv, batch_format="pyarrow")
+    vdirs = [os.path.join(state_dir, "vertices", f"batch={b['batch']}")
+             for b in man["batches"]]
+    vpaths = [os.path.join(d, f) for d in vdirs if os.path.isdir(d)
+              for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if vpaths:
+        verts = verts.union(rd.read_parquet(vpaths))
+    verts = (verts.groupby("vertex_id").aggregate(Count(alias_name="_c"))
              .drop_columns(["_c"]))
     sub = (f"graph_incr_b{len(man['batches'])}_"
            f"{'dir' if directed else 'und'}_P{P}")

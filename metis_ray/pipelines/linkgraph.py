@@ -85,8 +85,13 @@ def files_table_dense(corpus: rd.Dataset, dense: rd.Dataset) -> rd.Dataset:
     f = validated(corpus).map_batches(project, batch_format="pyarrow")
     f, n_rows = _nonempty_blocks(f)
     if f is None:
+        # schema must match the non-empty path (downstream stats/writers
+        # access quarantined etc.)
         return rd.from_arrow(pa.schema(
-            [("vertex_id", pa.int64())]).empty_table())
+            [("repo", pa.string()), ("path", pa.string()),
+             ("commit", pa.string()), ("lang", pa.string()),
+             ("sha256", pa.string()), ("quarantined", pa.bool_()),
+             ("vertex_id", pa.int64())]).empty_table())
     vmap = dense.select_columns(["key", "dense_id"]).map_batches(
         lambda t: t.rename_columns(["key", "vertex_id"]),
         batch_format="pyarrow")
@@ -108,10 +113,13 @@ def raw_resolved_dense(corpus: rd.Dataset, dense: rd.Dataset, *,
     from metis_ray.stages.resolve import resolve_edges_join
 
     cpu = int(ray.cluster_resources().get("CPU", 8))
-    if cpu < 4 or concurrency is None:
+    if cpu < 4:
+        # tiny cluster: an actor pool + read tasks starve each other
         ex = validated(corpus).map_batches(
             EdgeExtractor(), batch_format="pyarrow", zero_copy_batch=True)
     else:
+        if concurrency is None:
+            concurrency = _default_concurrency()
         ex = validated(corpus).map_batches(
             EdgeExtractor, batch_format="pyarrow", zero_copy_batch=True,
             concurrency=concurrency)

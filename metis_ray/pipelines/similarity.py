@@ -253,7 +253,10 @@ def kmeans_clusters(sf_dir: str, *, k: int = 8, iters: int = 5):
     transcription of the same recurrence is the test oracle."""
     from ray.data.aggregate import Sum
 
-    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # materialized once: every Lloyd round + the final assignment re-reads
+    # these blocks from the object store instead of re-scanning parquet
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding"]).materialize()
 
     # ---- deterministic init: k smallest vec_ids' vectors ----
     def local_min(batch: pa.Table) -> pa.Table:
@@ -267,9 +270,9 @@ def kmeans_clusters(sf_dir: str, *, k: int = 8, iters: int = 5):
                      .to_arrow_refs())
          if t.num_rows and t.column_names])
     order = np.argsort(seed_tbl["vec_id"].to_numpy(zero_copy_only=False))[:k]
-    cents = _normalize(np.vstack([
-        np.asarray(seed_tbl["embedding"].to_pylist()[i], np.float64)
-        for i in order]))
+    seed_vecs = seed_tbl["embedding"].to_pylist()
+    cents = _normalize(np.vstack([np.asarray(seed_vecs[i], np.float64)
+                                  for i in order]))
 
     d = cents.shape[1]
     for _ in range(iters):

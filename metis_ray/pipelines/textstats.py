@@ -160,8 +160,10 @@ def clean_docs(sf_dir: str) -> rd.Dataset:
     whitespace, trim. (doc_id, clean_text, n_tokens_clean) — the regexes
     are RE2-compatible so the DuckDB twin runs them verbatim."""
     import re
-    sw = re.compile(r"\b(" + "|".join(_STOPWORDS) + r")\b")
-    ws = re.compile(r"\s+")
+    # re.ASCII pins \b/\s to RE2's ASCII semantics so the DuckDB twin runs
+    # the same regex verbatim (unicode \b would diverge on e.g. 'theé')
+    sw = re.compile(r"\b(" + "|".join(_STOPWORDS) + r")\b", re.ASCII)
+    ws = re.compile(r"\s+", re.ASCII)
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def stage(batch: pa.Table) -> pa.Table:
@@ -177,22 +179,41 @@ def clean_docs(sf_dir: str) -> rd.Dataset:
     return docs.map_batches(stage, batch_format="pyarrow")
 
 
-def stratified_sample(sf_dir: str, *, even_lt: str = "40",
-                      odd_lt: str = "10") -> rd.Dataset:
+def stratified_sample(sf_dir: str, *, rates: dict[str, str] | None = None,
+                      even_lt: str = "40", odd_lt: str = "10",
+                      default_lt: str | None = None) -> rd.Dataset:
     """Source-stratified deterministic sample — the mixture-weighting
     primitive (up/down-weight corpora per source when composing a training
     mix). Same md5-threshold membership as ``sample_docs`` but the rate is
-    chosen per ``source`` (here: even-indexed sources at
-    ``int(even_lt,16)/256``, odd at ``int(odd_lt,16)/256`` — the demo
-    policy the SQL twin mirrors; real deployments pass a rate table).
-    Output: sampled rows + the rate bucket that admitted them."""
+    chosen per ``source``: pass ``rates`` (source -> 2-hex-char threshold;
+    unknown sources use ``default_lt``, or raise if it is None) or fall back
+    to the demo policy over the synthetic ``srcN`` names (even-indexed at
+    ``int(even_lt,16)/256``, odd at ``int(odd_lt,16)/256`` — what the SQL
+    twin mirrors). Output: sampled rows + the rate bucket that admitted
+    them."""
+    import re
     docs = read_table(sf_dir, "documents",
                       columns=["doc_id", "source", "n_chars"])
+    srcnum = re.compile(r"^src(\d+)$")
+
+    def rate_for(s: str) -> str:
+        if rates is not None:
+            r = rates.get(s, default_lt)
+            if r is None:
+                raise ValueError(f"no sampling rate for source {s!r} "
+                                 "(pass default_lt for a catch-all)")
+            return r
+        m = srcnum.match(s)
+        if m is None:
+            raise ValueError(
+                f"source {s!r} does not match the demo 'srcN' policy — "
+                "pass an explicit rates= table")
+        return even_lt if int(m.group(1)) % 2 == 0 else odd_lt
 
     def stage(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         srcs = batch["source"].to_pylist()
-        lim = [even_lt if int(s[3:]) % 2 == 0 else odd_lt for s in srcs]
+        lim = [rate_for(s) for s in srcs]
         keep = np.fromiter(
             (hashlib.md5(str(i).encode()).hexdigest()[:2] < l
              for i, l in zip(ids, lim)), dtype=bool, count=len(ids))

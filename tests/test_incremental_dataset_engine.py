@@ -245,25 +245,44 @@ def test_watch_defers_growing_fragment(tiny_corpus_dir, tmp_path):
 def test_incremental_graph_matches_batch(tiny_corpus_dir, tmp_path):
     """Graph built from incrementally-landed state == graph built by batch
     ingest: identical PageRank output (the full watch -> land -> analyze
-    loop lands in the same store as batch, reference S3 contract)."""
+    loop lands in the same store as batch, reference S3 contract). The
+    corpus is extended with an ISOLATED file (no imports in or out) — a
+    vertex that edge endpoints alone would miss, shifting every PageRank
+    value via (1-alpha)/N."""
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    from metis_ray.functions.hashing import hash64_one
     from metis_ray.graph.runner import GraphRunner
     from metis_ray.pipelines.incremental import build_incremental_graph
     from metis_ray.pipelines.linkgraph import build_linkgraph
 
     src = os.path.join(tiny_corpus_dir, "corpus")
     frags = sorted(os.listdir(src))
-    cd = str(tmp_path / "corpus_g")
-    os.makedirs(os.path.join(cd, "corpus"))
+    # both corpora (batch + incremental) get the same extra fragment with
+    # one isolated python file
+    iso = pa.table({
+        "repo": ["iso_repo"], "path": ["iso_mod.py"], "commit": ["c0"],
+        "lang": ["python"], "content": pa.array(["x = 1\n"], pa.large_string()),
+    })
+    cd = str(tmp_path / "corpus_g")          # incremental staging copy
+    cb = str(tmp_path / "corpus_gb")         # batch copy
+    for d in (cd, cb):
+        os.makedirs(os.path.join(d, "corpus"))
+    for f in frags:
+        shutil.copy(os.path.join(src, f), os.path.join(cb, "corpus", f))
+    _pq.write_table(iso, os.path.join(cb, "corpus", "zz_iso.parquet"))
+
     state = str(tmp_path / "state_g")
-    # two increments
     shutil.copy(os.path.join(src, frags[0]), os.path.join(cd, "corpus", frags[0]))
-    ingest_increment(cd, state)
+    ingest_increment(cd, state)              # increment 1
     for f in frags[1:]:
         shutil.copy(os.path.join(src, f), os.path.join(cd, "corpus", f))
-    ingest_increment(cd, state)
+    _pq.write_table(iso, os.path.join(cd, "corpus", "zz_iso.parquet"))
+    ingest_increment(cd, state)              # increment 2 (incl. isolated)
 
     gi = build_incremental_graph(state, str(tmp_path / "wd_i"), P=2)
-    gb = build_linkgraph(tiny_corpus_dir, str(tmp_path / "wd_b"), P=2)
+    gb = build_linkgraph(cb, str(tmp_path / "wd_b"), P=2)
 
     def ranks(gdir):
         r = GraphRunner(gdir)
@@ -271,4 +290,6 @@ def test_incremental_graph_matches_batch(tiny_corpus_dir, tmp_path):
         t = r.collect("rank").to_pandas().sort_values("v").reset_index(drop=True)
         return dict(zip(t["v"], np.round(t["rank"], 9)))
 
-    assert ranks(gi) == ranks(gb)
+    ri, rb = ranks(gi), ranks(gb)
+    assert hash64_one("iso_repo/iso_mod.py") in ri   # the isolated vertex
+    assert ri == rb
