@@ -12,20 +12,27 @@ import pyarrow as pa
 import ray.data as rd
 
 from metis_ray.functions.hashing import ngram_fingerprint
-from metis_ray.functions.text import (bpe_ish_tokens, lang_id, quality_score,
-                                      ws_token_count)
+from metis_ray.functions.text import bpe_ish_tokens, lang_id, quality_score
 from metis_ray.sources.parquet import read_table
 
 
 def token_counts(sf_dir: str) -> rd.Dataset:
-    """(doc_id, n_tokens): whitespace token count (SQL-oracle-checkable)."""
+    """(doc_id, n_tokens): whitespace token count (SQL-oracle-checkable).
+
+    Pure Arrow kernels (trim -> split_whitespace -> list length, empty
+    strings masked to 0 — Arrow splits '' into ['']) — no per-row Python;
+    semantics identical to ``ws_token_count``."""
+    import pyarrow.compute as pc
+
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def stage(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
+        t = pc.utf8_trim_whitespace(batch["text"])
+        n = pc.list_value_length(pc.utf8_split_whitespace(t))
+        n = pc.if_else(pc.equal(t, ""), pa.scalar(0, n.type), n)
         return pa.table({
             "doc_id": batch["doc_id"],
-            "n_tokens": pa.array([ws_token_count(t) for t in texts], pa.int64()),
+            "n_tokens": pc.cast(n, pa.int64()),
         })
 
     return docs.map_batches(stage, batch_format="pyarrow")
