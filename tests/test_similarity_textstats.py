@@ -175,3 +175,21 @@ def test_kmeans_matches_sequential_reference():
     got = dict(zip(got_df["vec_id"], got_df["cluster"]))
     assert got == want
     assert len(set(got.values())) > 1     # nondegenerate clustering
+
+
+def test_distributed_cumsum_multiblock():
+    """The scan's rank/offset logic depends on Dataset.sort emitting blocks
+    in global order — force MANY blocks from shuffled input and compare to
+    the sequential cumsum."""
+    import pandas as pd
+    import ray.data as rd
+    from metis_ray.pipelines.scan import distributed_cumsum
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    df = pd.DataFrame({"k": rng.permutation(n), "v": rng.randint(0, 100, n)})
+    ds = rd.from_pandas(df).repartition(16)
+    out = (distributed_cumsum(ds, ["k"], "v", "cum").to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    want = df.sort_values("k").reset_index(drop=True)["v"].cumsum()
+    assert (out["cum"].to_numpy() == want.to_numpy()).all()
