@@ -26,6 +26,49 @@ import os
 import sys
 import time
 
+# Clean-host streaming-numpy reference, measured on an idle host (round 4,
+# 91% idle / load 0.03): 13.2-13.7 GB/s single-thread sum over a 256 MB
+# array. A measurement window is only spent when the live canary is within
+# CANARY_FACTOR of this reference — the automated version of the round-3
+# A/B methodology (the host has multi-minute 2-4x noisy-neighbor troughs).
+CANARY_REF_GBPS = float(os.environ.get("METIS_CANARY_REF_GBPS", "13.5"))
+CANARY_FACTOR = float(os.environ.get("METIS_CANARY_FACTOR", "1.3"))
+
+
+def noise_canary(seconds: float = 3.0) -> float:
+    """Host-noise probe: best streaming-sum bandwidth (GB/s) over `seconds`.
+
+    Single-threaded, allocation-free after warm-up — measures the host's
+    memory subsystem + scheduler availability, not this repo's code. On a
+    clean window it reads ~13.5 GB/s; inside a contention trough it drops
+    2-4x (round-3 postmortem, BASELINE.md)."""
+    import numpy as np
+    a = np.ones(32_000_000, dtype=np.float64)   # 256 MB: out of LLC
+    deadline = time.perf_counter() + seconds
+    best = 0.0
+    while time.perf_counter() < deadline:
+        t0 = time.perf_counter()
+        a.sum()
+        dt = time.perf_counter() - t0
+        best = max(best, a.nbytes / dt / 1e9)
+    return round(best, 2)
+
+
+def wait_for_clean_window(max_wait: float = 0.0) -> tuple[float, bool]:
+    """Probe until the canary clears CANARY_REF_GBPS/CANARY_FACTOR or
+    `max_wait` seconds elapse. Returns (last canary GB/s, gate_passed).
+    max_wait=0 probes once and never blocks (plain driver mode must not
+    stall the round); the scaling protocol passes a real budget."""
+    gate = CANARY_REF_GBPS / CANARY_FACTOR
+    t_end = time.perf_counter() + max_wait
+    while True:
+        g = noise_canary()
+        if g >= gate:
+            return g, True
+        if time.perf_counter() >= t_end:
+            return g, False
+        time.sleep(25)
+
 
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
@@ -156,10 +199,17 @@ def main() -> None:
         lo = int(os.environ.get("SCALE_LO", "2"))
         hi = int(os.environ.get("SCALE_HI", "8"))
         rounds = int(os.environ.get("SCALE_ROUNDS", "2"))
+        # Noise gate: before each measurement window, probe the host with the
+        # streaming-numpy canary and wait (bounded) for a clean window rather
+        # than spending the window inside a trough.
+        wait_budget = float(os.environ.get("METIS_CANARY_WAIT", "300"))
         best: dict[int, dict] = {}
+        canaries: dict[int, list] = {lo: [], hi: []}
         for i in range(rounds):
             for ncpu in (lo, hi):
+                gbps, clean = wait_for_clean_window(max_wait=wait_budget)
                 r = run_subprocess(sf_dir, ncpu, graph_only=True)
+                canaries[ncpu].append({"gbps": gbps, "clean": clean})
                 if (ncpu not in best
                         or r["supersteps_per_sec"] > best[ncpu]["supersteps_per_sec"]):
                     best[ncpu] = r
@@ -180,11 +230,19 @@ def main() -> None:
             "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
             "trials_lo": r_lo["queries"].get("pagerank_trials"),
             "trials_hi": r_hi["queries"].get("pagerank_trials"),
+            "canary_ref_gbps": CANARY_REF_GBPS,
+            "canary_lo": canaries[lo], "canary_hi": canaries[hi],
             "sf": r_lo["sf"],
         }))
         return
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-    print(json.dumps(run_bench(sf_dir, num_cpus)))
+    gbps, clean = wait_for_clean_window(
+        max_wait=float(os.environ.get("METIS_CANARY_WAIT", "0")))
+    result = run_bench(sf_dir, num_cpus)
+    result["canary_gbps"] = gbps
+    result["canary_clean"] = clean
+    result["canary_ref_gbps"] = CANARY_REF_GBPS
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
