@@ -247,6 +247,26 @@ def _q_multimodal_resize(sf_dir: str):
     return resize_assets(sf_dir).map_batches(flatten, batch_format="pyarrow")
 
 
+def _bucket_cap_guard(fn: Callable[..., Any]) -> Callable[[str], Any]:
+    """The LSH dedup pipelines drop buckets larger than the skew cap (and
+    count them); their ORACLES are brute-force all-pairs. A dropped bucket
+    would make the engine emit fewer pairs than the oracle — fail loudly at
+    query time instead of surfacing as an obscure hash mismatch
+    (ADVICE r3: the recall-1.0 certification only holds while no bucket
+    overflows)."""
+    def run(sf_dir: str):
+        stats: dict = {}
+        out = fn(sf_dir, stats=stats)
+        if stats.get("dropped_buckets"):
+            raise RuntimeError(
+                f"{fn.__name__}: {stats['dropped_buckets']} LSH bucket(s) "
+                "exceeded the skew cap at this scale — the brute-force "
+                "oracle would mismatch; raise max_bucket for the oracled run")
+        return out
+    run.__name__ = fn.__name__
+    return run
+
+
 def _schema_guard(fn: Callable[[str], Any], cols: dict[str, str]) -> Callable[[str], Any]:
     """Zero-row Ray datasets can come back schema-less; pin the expected
     columns/dtypes so an empty result still hash-compares against its twin."""
@@ -299,16 +319,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data pipelines ---
         "docs_exact_dedup": dedup.exact_dedup,
         "docs_minhash_dedup": _schema_guard(
-            dedup.minhash_dedup,
+            _bucket_cap_guard(dedup.minhash_dedup),
             {"a": "int64", "b": "int64", "jaccard": "float64"}),
         "docs_ngram_jaccard_dedup": _schema_guard(
-            dedup.ngram_jaccard_dedup,
+            _bucket_cap_guard(dedup.ngram_jaccard_dedup),
             {"a": "int64", "b": "int64", "jaccard": "float64"}),
         "docs_simhash_dedup": _schema_guard(
-            dedup.simhash_dedup,
+            _bucket_cap_guard(dedup.simhash_dedup),
             {"a": "int64", "b": "int64", "hamming": "int64"}),
         "emb_neardup": _schema_guard(
-            dedup.embedding_neardup,
+            _bucket_cap_guard(dedup.embedding_neardup),
             {"a": "int64", "b": "int64", "cosine": "float64"}),
         "ann_topk": similarity.ann_topk,
         "docs_token_count": textstats.token_counts,
@@ -509,6 +529,13 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_resize": f"""
             SELECT asset_id, width, height, format, payload_hex
             FROM read_parquet('{d}/golden_multimodal_resize.parquet')
+        """,
+        # sequential transcription of the deterministic k-means recurrence
+        # (same min-k init / spherical update / iteration count); generation
+        # asserts every assignment margin >> the distributed float-sum noise
+        "emb_kmeans": f"""
+            SELECT vec_id, cluster
+            FROM read_parquet('{d}/golden_kmeans.parquet')
         """,
         "docs_token_pieces": """
             SELECT doc_id,

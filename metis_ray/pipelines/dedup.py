@@ -362,10 +362,10 @@ def embedding_neardup(sf_dir: str, *, n_planes: int = 12, seed: int = 42,
     pref = ray.put(planes)
 
     def bucketize(batch: pa.Table) -> pa.Table:
+        from metis_ray.pipelines.similarity import _embedding_matrix
         pl = ray.get(pref)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        mat = np.vstack([np.asarray(v, np.float64)
-                         for v in batch["embedding"].to_pylist()])
+        mat = _embedding_matrix(batch["embedding"])
         bits = (mat @ pl) > 0
         keys = bits @ (1 << np.arange(pl.shape[1], dtype=np.int64))
         return pa.table({"bkey": pa.array(keys.astype(np.int64), pa.int64()),
@@ -375,8 +375,9 @@ def embedding_neardup(sf_dir: str, *, n_planes: int = 12, seed: int = 42,
         emb.map_batches(bucketize, batch_format="pyarrow")), stats)
 
     def to_binary(batch: pa.Table) -> pa.Table:
-        vb = [np.asarray(v, np.float64).tobytes()
-              for v in batch["embedding"].to_pylist()]
+        from metis_ray.pipelines.similarity import _embedding_matrix
+        mat = np.ascontiguousarray(_embedding_matrix(batch["embedding"]))
+        vb = [mat[i].tobytes() for i in range(mat.shape[0])]
         return pa.table({"vec_id": batch["vec_id"],
                          "vb": pa.array(vb, pa.large_binary())})
 

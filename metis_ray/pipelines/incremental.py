@@ -18,9 +18,13 @@ dangling batch dir that is ignored (not in the manifest) and overwritten on
 retry — the same exactly-once landing contract as the reference.
 
 The symbol table is global (imports may target any file ever seen), so it is
-rebuilt from the full corpus each increment — a (repo, path)-only pass,
-cheap next to content scanning.  Edge dedup is per-increment; readers that
-need global dedup apply the standard groupby over the union.
+rebuilt each increment from the explicit list of landed + ready fragments —
+a (repo, path)-only pass, cheap next to content scanning.  Statements that
+do not resolve yet are landed as a carry-forward retry queue and re-resolved
+against the refreshed symbol table every increment (retro-resolution), so
+OUT-OF-ORDER arrival — an importer landing before its target — converges to
+the batch-build edge set.  Edge dedup is per-increment; readers that need
+global dedup apply the standard groupby over the union.
 """
 
 from __future__ import annotations
@@ -39,6 +43,28 @@ from metis_ray.stages.resolve import build_symbol_table
 
 def _manifest_path(state_dir: str) -> str:
     return os.path.join(state_dir, "ingested.json")
+
+
+def _unresolved_so_far(state_dir: str, man: dict):
+    """The still-unresolved statements (src, lang, module) carried by the
+    LAST committed batch (each batch's unresolved dir is the full carry-
+    forward state, not a delta). None when empty/absent (states written by
+    a pre-retro-resolution version have no unresolved dirs — treated as
+    empty, backward compatible)."""
+    if not man["batches"]:
+        return None
+    last = man["batches"][-1]["batch"]
+    d = os.path.join(state_dir, "unresolved", f"batch={last}")
+    if not os.path.isdir(d):
+        return None
+    paths = [os.path.join(d, f) for f in sorted(os.listdir(d))
+             if f.endswith(".parquet")]
+    if not paths:
+        return None
+    ds = rd.read_parquet(paths)
+    if ds.count() == 0:
+        return None
+    return ds
 
 
 def _load_manifest(state_dir: str) -> dict:
@@ -102,22 +128,44 @@ def ingest_increment(corpus_dir: str, state_dir: str, *,
         return {"new_fragments": 0, "new_edges": 0, "batch_dir": None}
 
     # the symbol table is global (imports may target any file ever seen):
-    # rebuilt from the full corpus each increment. strategy='join' keeps it
-    # a Dataset end-to-end (resolution + repo re-attach joins) — the
-    # driver-clean path for symbol tables beyond one node, same switch as
-    # linkgraph.ingest().
+    # rebuilt each increment from the EXPLICIT list of landed + ready
+    # fragments — never by listing the whole dir, which would read a
+    # fragment still being copied in and crash on the truncation
+    # (ADVICE r3 medium). strategy='join' keeps it a Dataset end-to-end
+    # (resolution + repo re-attach joins) — the driver-clean path for
+    # symbol tables beyond one node, same switch as linkgraph.ingest().
+    known_paths = [os.path.join(frag_dir, f)
+                   for f in list(man["fragments"]) + new]
+    known_ds = rd.read_parquet(known_paths, columns=["repo", "path"])
     if resolve_strategy == "join":
         from metis_ray.stages.resolve import (build_symbol_dataset,
                                               check_id_collisions_ds)
-        symbols = build_symbol_dataset(
-            read_corpus(corpus_dir, columns=["repo", "path"])).materialize()
+        symbols = build_symbol_dataset(known_ds).materialize()
         check_id_collisions_ds(symbols)
     else:
-        symbols = ray.put(build_symbol_table(
-            read_corpus(corpus_dir, columns=["repo", "path"])))
+        symbols = ray.put(build_symbol_table(known_ds))
     new_ds = rd.read_parquet([os.path.join(frag_dir, f) for f in new])
-    edges = dedup_edges(raw_resolved(new_ds, symbols, concurrency=concurrency,
-                                     strategy=resolve_strategy), symbols)
+    resolved = raw_resolved(new_ds, symbols, concurrency=concurrency,
+                            strategy=resolve_strategy, keep_stmt=True)
+
+    # retro-resolution: statements landed UNRESOLVED by earlier increments
+    # are retried against the refreshed symbol table, so out-of-order
+    # arrival (importer before target) converges to the batch-build edge
+    # set. Newly-resolved retro statements join this batch's edges; the
+    # rest carry forward in the unresolved state (landed below).
+    prev_unres = _unresolved_so_far(state_dir, man)
+    if prev_unres is not None:
+        if resolve_strategy == "join":
+            from metis_ray.stages.resolve import resolve_edges_join
+            retro = resolve_edges_join(prev_unres, symbols, keep_stmt=True)
+        else:
+            from metis_ray.stages.resolve import ResolveEdges
+            retro = prev_unres.map_batches(
+                ResolveEdges(symbols, True), batch_format="pyarrow")
+        resolved = resolved.union(retro)
+
+    resolved = resolved.materialize()    # consumed by dedup AND unresolved
+    edges = dedup_edges(resolved, symbols)
 
     batch_id = len(man["batches"])
     batch_dir = os.path.join(state_dir, "edges", f"batch={batch_id}")
@@ -162,6 +210,30 @@ def ingest_increment(corpus_dir: str, state_dir: str, *,
             pa.schema([("vertex_id", pa.int64())]).empty_table(),
             os.path.join(vtmp, "part-00000.parquet"))
     os.replace(vtmp, vdir)
+
+    # land the carry-forward UNRESOLVED statement set (this batch's new
+    # unresolved + previous batches' retro rows that still missed) — the
+    # retry queue for the next increment. Same .tmp+rename landing as edges
+    # (a dangling dir not in the manifest is overwritten on retry).
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    udir = os.path.join(state_dir, "unresolved", f"batch={batch_id}")
+    utmp = udir + ".tmp"
+    for p in (utmp, udir):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    (resolved.map_batches(
+        lambda t: t.filter(pc.invert(t["resolved"]))
+                   .select(["src", "lang", "module"]),
+        batch_format="pyarrow").write_parquet(utmp))
+    if not os.path.isdir(utmp):            # nothing unresolved
+        os.makedirs(utmp)
+        pq.write_table(pa.schema(
+            [("src", pa.int64()), ("lang", pa.string()),
+             ("module", pa.string())]).empty_table(),
+            os.path.join(utmp, "part-00000.parquet"))
+    os.replace(utmp, udir)
 
     for f in new:
         man["fragments"][f] = frags[f]
@@ -250,7 +322,10 @@ def build_incremental_graph(state_dir: str, workdir: str, P: int, *,
     the vertex set is the union of the per-batch landed vertex tables
     (every non-quarantined file, so isolated files keep their PageRank
     share and singleton components) — the result is IDENTICAL to a batch
-    build over the same corpus. The dir name carries the manifest's batch
+    build over the same corpus, INCLUDING under out-of-order arrival:
+    statements whose target landed in a later increment were retro-resolved
+    by ``ingest_increment`` (tested: importer-before-target graph equals
+    the batch graph). The dir name carries the manifest's batch
     count: a new increment lands into a NEW graph dir (build_graph_dir is
     idempotent per dir and must not append), while re-running without new
     data reuses the existing one."""

@@ -170,7 +170,8 @@ def _default_concurrency() -> int:
 
 
 def raw_resolved(corpus: rd.Dataset, symbols_ref, *, concurrency=None,
-                 strategy: str = "broadcast") -> rd.Dataset:
+                 strategy: str = "broadcast",
+                 keep_stmt: bool = False) -> rd.Dataset:
     """validate -> extract -> resolve; rows carry a ``resolved`` flag.
 
     ``strategy='broadcast'`` (default): the symbol table ships once via
@@ -180,7 +181,9 @@ def raw_resolved(corpus: rd.Dataset, symbols_ref, *, concurrency=None,
     symbol Dataset (``build_symbol_dataset``) or the usual ref/table.
 
     Extraction (regex scanning over content) dominates; resolution is a dict
-    probe — its pool is half the size."""
+    probe — its pool is half the size. ``keep_stmt`` carries (module, lang)
+    through resolution so unresolved statements can be landed and retried
+    (the incremental retro-resolution path)."""
     if strategy == "join":
         from metis_ray.stages.resolve import resolve_edges_join
         ex = validated(corpus).map_batches(
@@ -190,7 +193,7 @@ def raw_resolved(corpus: rd.Dataset, symbols_ref, *, concurrency=None,
             tbl = (ray.get(symbols_ref)
                    if isinstance(symbols_ref, ray.ObjectRef) else symbols_ref)
             symbols_ds = rd.from_arrow(tbl)
-        return resolve_edges_join(ex, symbols_ds)
+        return resolve_edges_join(ex, symbols_ds, keep_stmt=keep_stmt)
     cpu = int(ray.cluster_resources().get("CPU", 8))
     if cpu < 4:
         # tiny cluster: two actor pools + read tasks would starve each other
@@ -199,7 +202,7 @@ def raw_resolved(corpus: rd.Dataset, symbols_ref, *, concurrency=None,
         ex = validated(corpus).map_batches(
             EdgeExtractor(), batch_format="pyarrow", zero_copy_batch=True)
         return ex.map_batches(
-            ResolveEdges(symbols_ref), batch_format="pyarrow",
+            ResolveEdges(symbols_ref, keep_stmt), batch_format="pyarrow",
             zero_copy_batch=True)
     if concurrency is None:
         concurrency = _default_concurrency()
@@ -208,7 +211,7 @@ def raw_resolved(corpus: rd.Dataset, symbols_ref, *, concurrency=None,
         concurrency=concurrency)
     return ex.map_batches(
         ResolveEdges, batch_format="pyarrow", zero_copy_batch=True,
-        fn_constructor_args=((symbols_ref,),),   # boxed: see ResolveEdges
+        fn_constructor_args=((symbols_ref,), keep_stmt),  # boxed ref: see ResolveEdges
         concurrency=max(1, concurrency // 2))
 
 

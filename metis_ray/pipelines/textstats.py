@@ -74,11 +74,11 @@ def rolling_fingerprints(sf_dir: str) -> rd.Dataset:
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def stage(batch: pa.Table) -> pa.Table:
+        from metis_ray.functions.hashing import ngram_fingerprints
         texts = batch["text"].to_pylist()
         return pa.table({
             "doc_id": batch["doc_id"],
-            "rolling_min": pa.array([ngram_fingerprint(t) for t in texts],
-                                    pa.int64()),
+            "rolling_min": pa.array(ngram_fingerprints(texts), pa.int64()),
         })
 
     return docs.map_batches(stage, batch_format="pyarrow")

@@ -130,7 +130,7 @@ class ResolveEdges:
     resolved rows plus a ``resolved`` flag so unresolved counts survive.
     """
 
-    def __init__(self, symbols_ref) -> None:
+    def __init__(self, symbols_ref, keep_stmt: bool = False) -> None:
         # the ref arrives BOXED in a tuple: a bare ObjectRef constructor arg
         # makes Ray keep restart-capable pool actors alive after the dataset
         # completes (ray issue #53727) — the leaked actors pin their CPU
@@ -144,6 +144,10 @@ class ResolveEdges:
         dsts = symbols["dst"].to_numpy(zero_copy_only=False)
         repos = symbols["dst_repo"].to_pylist()
         self._table = {m: (int(d), r) for m, d, r in zip(mods, dsts, repos)}
+        # keep_stmt: carry (module, lang) through, so unresolved statements
+        # can be landed and retried against a later symbol table (the
+        # incremental retro-resolution path)
+        self._keep_stmt = keep_stmt
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         table = self._table
@@ -169,15 +173,20 @@ class ResolveEdges:
         # repos are NOT carried here: the dedup shuffle stays (src, dst)
         # int-keyed; repo names re-attach after dedup from the broadcast
         # vertex->repo map (strings never enter the wide shuffle)
-        return pa.table({
+        cols = {
             "src": pa.array(srcs, pa.int64()),
             "dst": pa.array(o_dst, pa.int64()),
             "resolved": pa.array(resolved),
-        })
+        }
+        if self._keep_stmt:
+            cols["module"] = batch["module"]
+            cols["lang"] = batch["lang"]
+        return pa.table(cols)
 
 
 def resolve_edges_join(extracted, symbols_ds, *,
-                       num_partitions: int | None = None):
+                       num_partitions: int | None = None,
+                       keep_stmt: bool = False):
     """Shuffle-join resolution (``strategy='join'``): the 10^12-file path
     where the symbol table does not fit one node.
 
@@ -198,13 +207,22 @@ def resolve_edges_join(extracted, symbols_ds, *,
             _ray.cluster_resources().get("CPU", 8)) - 2))
     sym = symbols_ds.select_columns(["module", "dst"])
     ext = extracted.select_columns(["src", "lang", "module"])
+    if keep_stmt:
+        # carry the ORIGINAL statement module through both joins (the
+        # fallback join rewrites `module` to the parent key) so unresolved
+        # rows can be landed and retried later with full fallback semantics
+        ext = ext.map_batches(
+            lambda t: t.append_column("module0", t["module"]),
+            batch_format="pyarrow")
     # compact: zero-row left blocks (files with no imports) break
     # Dataset.join (schema-less partition builder)
     ext, n_ext = _nonempty_blocks(ext)
     if ext is None:
-        return rd.from_arrow(pa.schema(
-            [("src", pa.int64()), ("dst", pa.int64()),
-             ("resolved", pa.bool_())]).empty_table())
+        fields = [("src", pa.int64()), ("dst", pa.int64()),
+                  ("resolved", pa.bool_())]
+        if keep_stmt:
+            fields += [("module", pa.string()), ("lang", pa.string())]
+        return rd.from_arrow(pa.schema(fields).empty_table())
     j1 = ext.join(sym, join_type="left_outer",
                   num_partitions=num_partitions, on=("module",))
 
@@ -216,11 +234,15 @@ def resolve_edges_join(extracted, symbols_ds, *,
         src = batch["src"].to_numpy(zero_copy_only=False)
         hit = pc.is_valid(batch["dst"]).to_numpy(zero_copy_only=False)
         ok = hit & (dst != src)
-        return pa.table({
+        cols = {
             "src": pa.array(src, pa.int64()),
             "dst": pa.array(np.where(ok, dst, 0), pa.int64()),
             "resolved": pa.array(ok),
-        })
+        }
+        if keep_stmt:
+            cols["module"] = batch["module0"]
+            cols["lang"] = batch["lang"]
+        return pa.table(cols)
 
     def needs_fallback(batch: pa.Table) -> pa.Table:
         miss = pc.and_(pc.invert(pc.is_valid(batch["dst"])),
@@ -228,11 +250,14 @@ def resolve_edges_join(extracted, symbols_ds, *,
                                pc.match_substring(batch["module"], ".")))
         t = batch.filter(miss)
         parents = [m.rsplit(".", 1)[0] for m in t["module"].to_pylist()]
-        return pa.table({
+        cols = {
             "src": t["src"],
             "lang": t["lang"],
             "module": pa.array(parents, pa.string()),
-        })
+        }
+        if keep_stmt:
+            cols["module0"] = t["module0"]
+        return pa.table(cols)
 
     def no_fallback(batch: pa.Table) -> pa.Table:
         miss = pc.and_(pc.invert(pc.is_valid(batch["dst"])),
