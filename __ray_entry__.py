@@ -125,6 +125,21 @@ def _q_labelprop(sf_dir: str):
     return _run_graph(sf_dir, "labelprop")
 
 
+def _q_pagerank_weighted(sf_dir: str):
+    """Multiplicity-weighted PageRank (Dataset engine): contributions scale
+    by edge multiplicity / out-strength. Pytest oracle: NetworkX weighted
+    PageRank (test_dataset_engine_weighted_pagerank_matches_networkx)."""
+    from metis_ray.graph.dataset_engine import pagerank_dataset
+    from metis_ray.pipelines.linkgraph import graph_vertices, ingest
+    res = ingest(_corpus_dir(sf_dir))
+    ranks, _ = pagerank_dataset(res.edges_file, graph_vertices(res.files),
+                                alpha=0.85, tol=1e-9, max_iter=100,
+                                weight_col="multiplicity")
+    out = ranks.to_pandas()
+    out["rank"] = out["rank"].round(6)
+    return out.sort_values("v").reset_index(drop=True)
+
+
 def _q_degree_hist(sf_dir: str):
     """In-degree histogram of the dependency graph (the skew diagnostic)."""
     from metis_ray.graph.dataset_engine import degree_histogram
@@ -356,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_approx_users": relational.events_approx_users,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
+        "pagerank_weighted": _q_pagerank_weighted,
     }
 
 

@@ -35,7 +35,8 @@ def _outdegrees(edges: rd.Dataset) -> rd.Dataset:
 def pagerank_dataset(edges: rd.Dataset, vertices: rd.Dataset, *,
                      alpha: float = 0.85, tol: float = 1e-9,
                      max_iter: int = 100, hot_keys: set[int] | None = None,
-                     salt: int = 8) -> tuple[rd.Dataset, int]:
+                     salt: int = 8,
+                     weight_col: str | None = None) -> tuple[rd.Dataset, int]:
     """PageRank over (src, dst) edges + (vertex_id,) vertices.
 
     Returns (ranks dataset with columns (v, rank), epochs run).  The rank
@@ -43,19 +44,27 @@ def pagerank_dataset(edges: rd.Dataset, vertices: rd.Dataset, *,
     for rank tables that fit a node's memory; beyond that, replace the
     broadcast with ``edges.join(ranks)`` — the shuffle shape is identical.
     ``hot_keys``/``salt``: destinations in ``hot_keys`` are salted into
-    ``salt`` subkeys before the groupby and unsalted after."""
+    ``salt`` subkeys before the groupby and unsalted after.
+    ``weight_col`` (e.g. ``'multiplicity'``): edge-weighted PageRank —
+    contributions scale by weight / out-STRENGTH (sum of outgoing weights),
+    NetworkX ``pagerank(weight=...)`` semantics; tested equal."""
     verts = vertices.select_columns(["vertex_id"]).to_pandas()
     vid = np.sort(verts["vertex_id"].to_numpy())
     n = len(vid)
 
-    deg = _outdegrees(edges).to_pandas()
+    if weight_col is None:
+        deg = _outdegrees(edges).to_pandas()
+    else:
+        deg = (edges.groupby("src")
+               .aggregate(Sum(weight_col, alias_name="outdeg")).to_pandas())
     outdeg = np.zeros(n, dtype=np.float64)
     outdeg[np.searchsorted(vid, deg["src"].to_numpy())] = deg["outdeg"].to_numpy()
     dangling = outdeg == 0.0
 
     hot = np.array(sorted(hot_keys), dtype=np.int64) if hot_keys else None
     x = np.full(n, 1.0 / n)
-    edges = edges.select_columns(["src", "dst"]).materialize()
+    cols = ["src", "dst"] + ([weight_col] if weight_col else [])
+    edges = edges.select_columns(cols).materialize()
 
     epochs = 0
     for epoch in range(max_iter):
@@ -67,6 +76,9 @@ def pagerank_dataset(edges: rd.Dataset, vertices: rd.Dataset, *,
             src = batch["src"].to_numpy(zero_copy_only=False)
             dst = batch["dst"].to_numpy(zero_copy_only=False)
             vals = c[np.searchsorted(v, src)]
+            if weight_col is not None:
+                vals = vals * batch[weight_col].to_numpy(
+                    zero_copy_only=False).astype(np.float64)
             if hot_arr is not None and len(hot_arr):
                 is_hot = np.isin(dst, hot_arr)
                 salt_col = np.where(is_hot, src % salt, 0).astype(np.int64)
