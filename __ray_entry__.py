@@ -140,6 +140,13 @@ def _q_pagerank_weighted(sf_dir: str):
     return out.sort_values("v").reset_index(drop=True)
 
 
+def _q_ann_ivf_indexed(sf_dir: str):
+    """IVF over the persisted partition-by-centroid layout (read pruning:
+    only the probed list directories leave storage)."""
+    from metis_ray.pipelines.ivf_index import ann_ivf_indexed_topk
+    return ann_ivf_indexed_topk(sf_dir)
+
+
 def _q_degree_hist(sf_dir: str):
     """In-degree histogram of the dependency graph (the skew diagnostic)."""
     from metis_ray.graph.dataset_engine import degree_histogram
@@ -372,6 +379,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
         "pagerank_weighted": _q_pagerank_weighted,
+        # persisted partition-by-centroid IVF: only the probed list dirs are
+        # READ off storage (pytest: identical to ann_ivf_topk; nprobe=all
+        # equals exact brute force)
+        "ann_ivf_indexed_topk": _q_ann_ivf_indexed,
     }
 
 
