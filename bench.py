@@ -199,6 +199,9 @@ def run_subprocess(sf_dir: str, ncpu: int, graph_only: bool = False) -> dict:
         # ratio more than a slow window does).
         env["METIS_BENCH_GRAPH_ONLY"] = "1"
         env.setdefault("METIS_BENCH_HUNT_SEC", "0")
+        # the PARENT gates the window; a child waiting on its own canary
+        # would insert an asymmetric delay between the pair's two levels
+        env["METIS_CANARY_WAIT"] = "0"
     out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                         env=env, capture_output=True, text=True, check=True,
                         cwd=os.path.dirname(os.path.abspath(__file__)))

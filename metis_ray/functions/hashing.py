@@ -125,8 +125,9 @@ def ngram_fingerprints(texts, n: int = 8, mod: int = 1 << 61) -> np.ndarray:
     base = np.uint64(1000003)
     pw = np.empty(n, np.uint64)
     pw[-1] = 1
-    for j in range(n - 2, -1, -1):
-        pw[j] = pw[j + 1] * base            # uint64 wraparound on purpose
+    with np.errstate(over="ignore"):        # uint64 wraparound on purpose
+        for j in range(n - 2, -1, -1):
+            pw[j] = pw[j + 1] * base
     out = np.empty(len(texts), np.int64)
     for i, t in enumerate(texts):
         if len(t) < n:

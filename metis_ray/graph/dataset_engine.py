@@ -199,7 +199,10 @@ def labelprop_dataset(edges: rd.Dataset, vertices: rd.Dataset, *,
                           "m": pa.array(lab[np.searchsorted(v, src)],
                                         pa.int64())})
             g = t.group_by(["dst", "m"]).aggregate([("m", "count")])
-            return g.rename_columns(["dst", "m", "c"])
+            # select by NAME before renaming: the aggregate's column order
+            # is a pyarrow implementation detail (keys-first on 16.x)
+            return (g.select(["dst", "m", "m_count"])
+                    .rename_columns(["dst", "m", "c"]))
 
         votes = (und.map_batches(scatter, batch_format="pyarrow")
                  .groupby(["dst", "m"]).aggregate(Sum("c", alias_name="c"))

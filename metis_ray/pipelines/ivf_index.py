@@ -17,9 +17,13 @@ Layout (idempotent by manifest: embeddings mtime + quantizer params):
       manifest.json
       vectors/list_id=<c>/*.parquet
 
-The quantizer is the same deterministic Lloyd trainer ``ann_ivf_topk`` uses
-(same sample, same seed), so with equal parameters the indexed query returns
-IDENTICAL results to the on-the-fly variant — tested.
+The quantizer is the SHARED deterministic trainer
+(``similarity.train_coarse_quantizer`` — one implementation, two consumers),
+so with equal parameters the indexed query returns the same results as the
+on-the-fly variant (tested). Readers filter on the WRITE-TIME list
+assignment persisted in the part files (``list_id_d``), never a recomputed
+argmax, so the index is self-consistent even for near-tie vectors whose
+assignment a differently-shaped GEMM could round the other way.
 """
 
 from __future__ import annotations
@@ -31,28 +35,17 @@ import shutil
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
 
-from metis_ray.pipelines.similarity import (_embedding_matrix, _exact_topk_rows,
-                                            _kmeans_lloyd, _normalize,
-                                            _query_matrix)
+from metis_ray.pipelines.similarity import (_embedding_matrix,
+                                            _exact_topk_rows, _normalize,
+                                            _query_matrix,
+                                            train_coarse_quantizer)
 from metis_ray.sources.parquet import read_table
 
 INDEX_ROOT = os.environ.get("METIS_RAY_IVF_DIR", "/tmp/metis_ray_ivf")
-
-
-def _train_quantizer(sf_dir: str, n_centroids: int, iters: int,
-                     sample_size: int, seed: int) -> np.ndarray:
-    """The identical deterministic trainer ann_ivf_topk uses: first
-    ``sample_size`` rows by file order, normalized, Lloyd iterations."""
-    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
-    sample_tbl = next(pf.iter_batches(batch_size=sample_size,
-                                      columns=["embedding"]))
-    sample = _normalize(_embedding_matrix(sample_tbl["embedding"]))
-    return _kmeans_lloyd(sample, n_centroids, iters, seed)
 
 
 def build_ivf_index(sf_dir: str, index_dir: str | None = None, *,
@@ -64,7 +57,8 @@ def build_ivf_index(sf_dir: str, index_dir: str | None = None, *,
     if index_dir is None:
         name = os.path.basename(os.path.normpath(sf_dir))
         index_dir = os.path.join(
-            INDEX_ROOT, f"{name}_c{n_centroids}_i{iters}_s{seed}")
+            INDEX_ROOT,
+            f"{name}_c{n_centroids}_i{iters}_s{seed}_ss{sample_size}")
     man_path = os.path.join(index_dir, "manifest.json")
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     sig = {"src": emb_path, "mtime": os.path.getmtime(emb_path),
@@ -75,7 +69,8 @@ def build_ivf_index(sf_dir: str, index_dir: str | None = None, *,
             if json.load(fh) == sig:
                 return index_dir
 
-    cents = _train_quantizer(sf_dir, n_centroids, iters, sample_size, seed)
+    cents = train_coarse_quantizer(sf_dir, n_centroids, iters,
+                                   sample_size, seed)
     tmp = index_dir + ".tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
@@ -87,8 +82,15 @@ def build_ivf_index(sf_dir: str, index_dir: str | None = None, *,
     def assign(batch: pa.Table) -> pa.Table:
         cc = ray.get(cref)
         mat = _normalize(_embedding_matrix(batch["embedding"]))
-        lists = np.argmax(mat @ cc.T, axis=1).astype(np.int64)
-        return batch.append_column("list_id", pa.array(lists, pa.int64()))
+        lists = pa.array(np.argmax(mat @ cc.T, axis=1).astype(np.int64),
+                         pa.int64())
+        # list_id twice: the partition column (consumed by the hive write)
+        # AND a regular data column (`list_id_d`) that survives inside the
+        # part files — readers filter on the WRITE-TIME assignment, never a
+        # recomputed argmax (BLAS rounding can differ across batch shapes,
+        # so recomputation could silently flip a near-tie row's list)
+        return (batch.append_column("list_id", lists)
+                .append_column("list_id_d", lists))
 
     (read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
      .map_batches(assign, batch_format="pyarrow")
@@ -129,24 +131,18 @@ def ann_ivf_indexed_topk(sf_dir: str, index_dir: str | None = None, *,
              for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
     if not paths:
         return pd.DataFrame({"query_id": [], "neighbor_id": [], "rnk": []})
-    # hive partition value comes back as a column via dataset partitioning;
-    # read the files directly and re-derive list_id per batch is avoidable —
-    # the probe filter below recomputes membership from the directory split,
-    # so the column isn't needed.
     qref = ray.put((qids, qn, qprobe))
-    emb = rd.read_parquet(paths, columns=["vec_id", "embedding"])
-
-    # per-batch assignment against the (tiny) centroid matrix recovers each
-    # row's list id — cheaper than shipping the hive column through and
-    # identical by construction (same centroids that wrote the layout)
-    cref = ray.put(cents)
+    # `list_id_d` is the WRITE-TIME assignment persisted inside the part
+    # files: the per-query probe filter uses it directly, so a row read off
+    # a probed directory can never be silently dropped by a recomputed
+    # argmax rounding differently than the one that placed it there
+    emb = rd.read_parquet(paths, columns=["vec_id", "embedding", "list_id_d"])
 
     def topk(batch: pa.Table) -> pa.Table:
         ids_q, qmat, probe = ray.get(qref)
-        cc = ray.get(cref)
         vids = batch["vec_id"].to_numpy(zero_copy_only=False)
         mat = _normalize(_embedding_matrix(batch["embedding"]))
-        assign = np.argmax(mat @ cc.T, axis=1)
+        assign = batch["list_id_d"].to_numpy(zero_copy_only=False)
         o_q, o_n, o_s = [], [], []
         for qi in range(qmat.shape[0]):
             cand = np.flatnonzero(np.isin(assign, probe[qi]))

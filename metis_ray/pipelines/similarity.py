@@ -216,6 +216,25 @@ def _kmeans_lloyd(sample: np.ndarray, n_centroids: int, iters: int,
     return cents
 
 
+def train_coarse_quantizer(sf_dir: str, n_centroids: int, iters: int,
+                           sample_size: int, seed: int) -> np.ndarray:
+    """The ONE deterministic coarse-quantizer trainer: first ``sample_size``
+    rows by file order, normalized, ``iters`` Lloyd rounds. Shared by
+    ``ann_ivf_topk`` and the persisted index (``pipelines/ivf_index.py``) —
+    their results-identical contract is structural, not copy-paste
+    discipline. (At scale: a seeded ``read_parquet`` sample; change it HERE
+    so both consumers move together.)"""
+    import os
+
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    sample_tbl = next(pf.iter_batches(batch_size=sample_size,
+                                      columns=["embedding"]))
+    sample = _normalize(_embedding_matrix(sample_tbl["embedding"]))
+    return _kmeans_lloyd(sample, n_centroids, iters, seed)
+
+
 def ann_ivf_topk(sf_dir: str, *, k: int = 10, n_queries: int = 5,
                  n_centroids: int = 16, nprobe: int = 4, iters: int = 8,
                  sample_size: int = 2048, seed: int = 42) -> pd.DataFrame:
@@ -223,20 +242,10 @@ def ann_ivf_topk(sf_dir: str, *, k: int = 10, n_queries: int = 5,
     recall measured against the exact result in tests. Work per batch is
     one assignment matmul plus exact scoring of only the rows whose
     centroid falls in some query's probe set."""
-    import os
-
-    import pyarrow.parquet as pq
-
     qids, qm = _query_matrix(sf_dir, n_queries)
     qn = _normalize(qm)
-
-    # train the coarse quantizer on a deterministic sample (first rows by
-    # file order — at scale: a seeded read_parquet sample)
-    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
-    sample_tbl = next(pf.iter_batches(batch_size=sample_size,
-                                      columns=["embedding"]))
-    sample = _normalize(_embedding_matrix(sample_tbl["embedding"]))
-    cents = _kmeans_lloyd(sample, n_centroids, iters, seed)
+    cents = train_coarse_quantizer(sf_dir, n_centroids, iters,
+                                   sample_size, seed)
 
     # each query probes its nprobe nearest lists
     qprobe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]    # (Q, nprobe)
