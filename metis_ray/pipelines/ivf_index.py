@@ -63,7 +63,8 @@ def build_ivf_index(sf_dir: str, index_dir: str | None = None, *,
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     sig = {"src": emb_path, "mtime": os.path.getmtime(emb_path),
            "n_centroids": n_centroids, "iters": iters,
-           "sample_size": sample_size, "seed": seed}
+           "sample_size": sample_size, "seed": seed,
+           "fmt": 2}   # bump when the layout schema changes (2: list_id_d)
     if os.path.exists(man_path):
         with open(man_path) as fh:
             if json.load(fh) == sig:
