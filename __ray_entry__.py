@@ -357,8 +357,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cum_tokens": scan.cum_tokens,
         "docs_pack_bins": scan.pack_bins,
         "docs_token_pieces": textstats.token_pieces,
-        "docs_fingerprint": textstats.fingerprints,
-        "docs_rolling_fingerprint": textstats.rolling_fingerprints,
+        "docs_fingerprints": textstats.fingerprint_table,
+        "docs_fuzzy_dedup": _schema_guard(
+            _bucket_cap_guard(dedup.fuzzy_dedup),
+            {"doc_id": "int64", "component": "int64", "keep": "bool"}),
         "docs_sample": textstats.sample_docs,
         "docs_stratified_sample": textstats.stratified_sample,
         "docs_clean": textstats.clean_docs,
@@ -785,16 +787,14 @@ def oracle_sql() -> dict[str, str]:
                    END AS n_tokens_clean
             FROM c
         """,
-        "docs_fingerprint": """
-            SELECT doc_id, md5(text) AS md5 FROM documents
-        """,
-        # transcribes functions/hashing.ngram_fingerprint: min rolling
-        # polynomial hash over char 8-grams. The twin assumes ASCII text of
-        # length >= 8 (holds for the driver's documents tables — verified;
-        # the Ray kernel additionally handles short/non-ASCII docs via a
-        # blake2b fallback SQL can't express).
-        "docs_rolling_fingerprint": """
-            SELECT doc_id,
+        # both document fingerprints (content md5 + min rolling polynomial
+        # hash over char 8-grams, transcribing functions/hashing.
+        # ngram_fingerprint). The rolling twin assumes ASCII text of length
+        # >= 8 (holds for the driver's documents tables — verified; the Ray
+        # kernel additionally handles short/non-ASCII docs via a blake2b
+        # fallback SQL can't express).
+        "docs_fingerprints": """
+            SELECT doc_id, md5(text) AS md5,
                    CAST(list_min(list_transform(generate_series(1, len(text) - 7),
                      i -> list_reduce(
                             list_transform(generate_series(0, 7),
@@ -841,6 +841,36 @@ def oracle_sql() -> dict[str, str]:
         # missed nothing). SimHash has no SQL twin (needs blake2b in SQL).
         "docs_minhash_dedup": _jaccard_pairs_sql(_WORD_SHINGLES_SQL, 0.6),
         "docs_ngram_jaccard_dedup": _jaccard_pairs_sql(_CHAR_SHINGLES_SQL, 0.8),
+        # end-to-end fuzzy dedup: the same brute-force pair enumeration,
+        # then TRANSITIVE closure via a recursive min-label CTE (component
+        # id = min doc_id of the cluster; termination: labels only ever
+        # propagate to larger-id neighbors and UNION dedups the frontier).
+        # A hash match certifies candidate recall AND the clustering AND
+        # the canonical-survivor choice in one row.
+        "docs_fuzzy_dedup": f"""
+            WITH RECURSIVE sh AS ({_WORD_SHINGLES_SQL}),
+            p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE (CASE WHEN len(a.s) = 0 AND len(b.s) = 0 THEN 1.0
+                     ELSE len(list_intersect(a.s, b.s))
+                          / (1.0 * len(list_distinct(a.s || b.s))) END) >= 0.6
+            ),
+            e AS (SELECT a AS s, d FROM (SELECT a, b AS d FROM p
+                                         UNION ALL SELECT b, a FROM p) t(a, d)),
+            reach(node, lbl) AS (
+              SELECT DISTINCT s, s FROM e
+              UNION
+              SELECT e.d, r.lbl FROM reach r JOIN e ON e.s = r.node
+              WHERE r.lbl < e.d
+            ),
+            comp AS (SELECT node, min(lbl) AS component
+                     FROM reach GROUP BY node)
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS component,
+                   coalesce(c.component, d.doc_id) = d.doc_id AS keep
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        """,
         "emb_neardup": """
             SELECT a.vec_id AS a, b.vec_id AS b,
                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

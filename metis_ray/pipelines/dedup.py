@@ -411,3 +411,76 @@ def embedding_neardup(sf_dir: str, *, n_planes: int = 12, seed: int = 42,
             "cosine": pa.array(np.round(cos[keep], 6), pa.float64())})
 
     return joined.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# end-to-end fuzzy dedup (pairs -> clusters -> canonical keep)
+# ---------------------------------------------------------------------------
+
+def fuzzy_dedup(sf_dir: str, *, threshold: float = 0.6,
+                stats: dict | None = None) -> rd.Dataset:
+    """End-to-end near-duplicate REMOVAL: MinHash-LSH candidate pairs ->
+    exact-Jaccard verification -> connected components over the verified
+    pair graph -> one canonical survivor (min doc_id) per cluster.
+
+    Returns (doc_id, component, keep) for EVERY document: ``component`` is
+    the min doc_id of the doc's near-dup cluster (its own id when it has no
+    near-dups) and ``keep`` marks the cluster's canonical survivor — the
+    keep=true rows are the deduplicated corpus.
+
+    Scale shape: the transitive-closure step runs ONLY on the candidate
+    subgraph (vertices = docs that appear in a verified pair — proportional
+    to near-dup volume, not corpus size), via the Dataset superstep CC
+    (per-batch min combiner -> groupby(dst).min shuffle). The resulting
+    component map is cluster-sized, so it is broadcast once (``ray.put``)
+    and every corpus batch labels itself with a vectorized searchsorted —
+    the full corpus is never shuffled. Reference analogue: the import-name
+    collapse in Metis/tools/HDF5Helper.py:53-69 generalized to transitive
+    near-duplicate clusters."""
+    from metis_ray.graph.dataset_engine import components_dataset
+
+    pairs = minhash_dedup(sf_dir, threshold=threshold, stats=stats)
+    pairs_ne, n_pairs = _nonempty_blocks(
+        pairs.map_batches(lambda t: t.select(["a", "b"]),
+                          batch_format="pyarrow"))
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    if pairs_ne is None:
+        return docs.map_batches(
+            lambda t: pa.table({
+                "doc_id": t["doc_id"],
+                "component": t["doc_id"],
+                "keep": pa.array(np.ones(t.num_rows, dtype=bool))}),
+            batch_format="pyarrow")
+
+    # candidate subgraph: vertices = distinct pair endpoints (small)
+    def endpoints(t: pa.Table) -> pa.Table:
+        ids = np.concatenate([t["a"].to_numpy(zero_copy_only=False),
+                              t["b"].to_numpy(zero_copy_only=False)])
+        return pa.table({"vertex_id": pa.array(np.unique(ids), pa.int64())})
+
+    verts = (pairs_ne.map_batches(endpoints, batch_format="pyarrow")
+             .groupby("vertex_id").aggregate(Count(alias_name="_c"))
+             .select_columns(["vertex_id"]))
+    edges = pairs_ne.map_batches(
+        lambda t: t.rename_columns(["src", "dst"]), batch_format="pyarrow")
+    comp, _ = components_dataset(edges, verts)
+
+    # cluster-sized component map -> broadcast; corpus labels itself
+    cdf = comp.to_pandas()
+    cv = cdf["v"].to_numpy()
+    order = np.argsort(cv)
+    ref = ray.put((cv[order], cdf["label"].to_numpy()[order]))
+
+    def label(t: pa.Table) -> pa.Table:
+        v, lab = ray.get(ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(v, ids)
+        pos_c = np.minimum(pos, len(v) - 1)
+        hit = v[pos_c] == ids
+        component = np.where(hit, lab[pos_c], ids)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "component": pa.array(component, pa.int64()),
+            "keep": pa.array(component == ids)})
+
+    return docs.map_batches(label, batch_format="pyarrow")

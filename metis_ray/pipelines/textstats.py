@@ -228,3 +228,26 @@ def stratified_sample(sf_dir: str, *, rates: dict[str, str] | None = None,
         return t.filter(pa.array(keep))
 
     return docs.map_batches(stage, batch_format="pyarrow")
+
+
+def fingerprint_table(sf_dir: str) -> rd.Dataset:
+    """(doc_id, md5, rolling_min): both document fingerprints in ONE pass
+    over the text column (content md5 + min rolling polynomial hash over
+    char 8-grams). Merges ``fingerprints`` and ``rolling_fingerprints`` so
+    the text is read and decoded once."""
+    import hashlib
+
+    from metis_ray.functions.hashing import ngram_fingerprints
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "md5": pa.array([hashlib.md5(t.encode()).hexdigest()
+                             for t in texts], pa.string()),
+            "rolling_min": pa.array(ngram_fingerprints(texts), pa.int64()),
+        })
+
+    return docs.map_batches(stage, batch_format="pyarrow")

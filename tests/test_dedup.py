@@ -108,3 +108,43 @@ def test_embedding_neardup_planted(planted_dir):
     sims = vn @ vn.T
     for a, b in pairs:
         assert sims[a, b] >= 0.95 - 1e-9
+
+
+def test_fuzzy_dedup_planted(planted_dir):
+    """End-to-end fuzzy dedup vs a brute-force transitive-closure oracle:
+    clusters = connected components of the exact-Jaccard>=0.6 pair graph,
+    component id = min doc_id, keep = canonical survivor."""
+    d, texts, _ = planted_dir
+    got = dedup.fuzzy_dedup(d).to_pandas().sort_values("doc_id")
+
+    want_pairs = _brute_jaccard_pairs(texts, 3, 0.6)
+    parent = list(range(len(texts)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in want_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want_comp = [find(i) for i in range(len(texts))]
+
+    assert list(got["doc_id"]) == list(range(len(texts)))
+    assert list(got["component"]) == want_comp
+    assert list(got["keep"]) == [c == i for i, c in enumerate(want_comp)]
+    # the planted cluster {0,1,2} collapses to one survivor
+    surv = got[got["keep"]]
+    assert len(surv) == len(texts) - 2
+
+
+def test_fingerprint_table_matches_singles(planted_dir):
+    from metis_ray.pipelines import textstats
+    d, _, _ = planted_dir
+    both = textstats.fingerprint_table(d).to_pandas().sort_values("doc_id")
+    md5 = textstats.fingerprints(d).to_pandas().sort_values("doc_id")
+    roll = textstats.rolling_fingerprints(d).to_pandas().sort_values("doc_id")
+    assert list(both["md5"]) == list(md5["md5"])
+    assert list(both["rolling_min"]) == list(roll["rolling_min"])
