@@ -140,6 +140,51 @@ def _q_pagerank_weighted(sf_dir: str):
     return out.sort_values("v").reset_index(drop=True)
 
 
+def _q_pagerank_personalized(sf_dir: str):
+    """Seed-set personalized PageRank (Dataset engine): teleport + dangling
+    mass redistributed over a deterministic 2-seed distribution (the two
+    smallest vertex ids, weights 3:1). Pytest oracle: NetworkX
+    pagerank(personalization=...)."""
+    from metis_ray.graph.dataset_engine import pagerank_dataset
+    from metis_ray.pipelines.linkgraph import graph_vertices, ingest
+    res = ingest(_corpus_dir(sf_dir))
+    verts = graph_vertices(res.files)
+    vids = sorted(verts.to_pandas()["vertex_id"])
+    seeds = {int(vids[0]): 3.0, int(vids[1]): 1.0}
+    ranks, _ = pagerank_dataset(res.edges_file, verts, alpha=0.85, tol=1e-9,
+                                max_iter=100, personalization=seeds)
+    out = ranks.to_pandas()
+    out["rank"] = out["rank"].round(6)
+    return out.sort_values("v").reset_index(drop=True)
+
+
+def _q_bfs_distance(sf_dir: str):
+    """Multi-source BFS hop distance from a deterministic 2-seed set (the
+    two smallest vertex ids), following edge direction; unreachable = -1.
+    Pytest oracle: per-seed NetworkX shortest-path-length union-min."""
+    from metis_ray.graph.dataset_engine import bfs_distance_dataset
+    from metis_ray.pipelines.linkgraph import graph_vertices, ingest
+    res = ingest(_corpus_dir(sf_dir))
+    verts = graph_vertices(res.files)
+    vids = sorted(verts.to_pandas()["vertex_id"])
+    dists, _ = bfs_distance_dataset(res.edges_file, verts,
+                                    [int(vids[0]), int(vids[1])])
+    return dists.to_pandas().sort_values("v").reset_index(drop=True)
+
+
+def _q_kcore(sf_dir: str):
+    """k-core decomposition (core number per vertex) over the corpus link
+    graph, by the superstep-parallel h-index iteration in the Dataset
+    engine. Pytest oracle: NetworkX core_number
+    (test_dataset_engine_coreness_matches_networkx + a random-multigraph
+    adversarial twin)."""
+    from metis_ray.graph.dataset_engine import coreness_dataset
+    from metis_ray.pipelines.linkgraph import graph_vertices, ingest
+    res = ingest(_corpus_dir(sf_dir))
+    cores, _ = coreness_dataset(res.edges_file, graph_vertices(res.files))
+    return cores.to_pandas().sort_values("v").reset_index(drop=True)
+
+
 def _q_ann_ivf_indexed(sf_dir: str):
     """IVF over the persisted partition-by-centroid layout (read pruning:
     only the probed list directories leave storage)."""
@@ -385,6 +430,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # READ off storage (pytest: identical to ann_ivf_topk; nprobe=all
         # equals exact brute force)
         "ann_ivf_indexed_topk": _q_ann_ivf_indexed,
+        "kcore": _q_kcore,
+        "pagerank_personalized": _q_pagerank_personalized,
+        "bfs_distance": _q_bfs_distance,
+        # DuckDB twin certified in pytest (test_repetition_stats_matches_
+        # duckdb); lives past the driver's 50-entry window
+        "docs_repetition": textstats.repetition_stats,
     }
 
 

@@ -36,7 +36,9 @@ def pagerank_dataset(edges: rd.Dataset, vertices: rd.Dataset, *,
                      alpha: float = 0.85, tol: float = 1e-9,
                      max_iter: int = 100, hot_keys: set[int] | None = None,
                      salt: int = 8,
-                     weight_col: str | None = None) -> tuple[rd.Dataset, int]:
+                     weight_col: str | None = None,
+                     personalization: dict[int, float] | None = None,
+                     ) -> tuple[rd.Dataset, int]:
     """PageRank over (src, dst) edges + (vertex_id,) vertices.
 
     Returns (ranks dataset with columns (v, rank), epochs run).  The rank
@@ -47,10 +49,32 @@ def pagerank_dataset(edges: rd.Dataset, vertices: rd.Dataset, *,
     ``salt`` subkeys before the groupby and unsalted after.
     ``weight_col`` (e.g. ``'multiplicity'``): edge-weighted PageRank —
     contributions scale by weight / out-STRENGTH (sum of outgoing weights),
-    NetworkX ``pagerank(weight=...)`` semantics; tested equal."""
+    NetworkX ``pagerank(weight=...)`` semantics; tested equal.
+    ``personalization``: vertex -> weight teleport distribution (normalized
+    here; vertices absent from the dict get 0) — personalized PageRank with
+    the dangling mass also redistributed by it, NetworkX
+    ``pagerank(personalization=...)`` semantics; tested equal. Seed-set
+    personalization is the quality-propagation primitive (rank flows out
+    from trusted seeds)."""
     verts = vertices.select_columns(["vertex_id"]).to_pandas()
     vid = np.sort(verts["vertex_id"].to_numpy())
     n = len(vid)
+
+    if personalization is None:
+        pvec = np.full(n, 1.0 / n)
+    else:
+        pvec = np.zeros(n, dtype=np.float64)
+        keys = np.fromiter(personalization.keys(), dtype=np.int64)
+        vals = np.fromiter((personalization[int(k)] for k in keys),
+                           dtype=np.float64)
+        pos = np.searchsorted(vid, keys)
+        if (pos >= n).any() or (vid[np.minimum(pos, n - 1)] != keys).any():
+            raise ValueError("personalization key is not a graph vertex")
+        pvec[pos] = vals
+        s = pvec.sum()
+        if s <= 0:
+            raise ValueError("personalization weights must sum > 0")
+        pvec /= s
 
     if weight_col is None:
         deg = _outdegrees(edges).to_pandas()
@@ -62,7 +86,7 @@ def pagerank_dataset(edges: rd.Dataset, vertices: rd.Dataset, *,
     dangling = outdeg == 0.0
 
     hot = np.array(sorted(hot_keys), dtype=np.int64) if hot_keys else None
-    x = np.full(n, 1.0 / n)
+    x = np.full(n, 1.0 / n)     # nx starts uniform even when personalized
     cols = ["src", "dst"] + ([weight_col] if weight_col else [])
     edges = edges.select_columns(cols).materialize()
 
@@ -100,7 +124,7 @@ def pagerank_dataset(edges: rd.Dataset, vertices: rd.Dataset, *,
         inc[np.searchsorted(vid, incoming_df["dst"].to_numpy())] = \
             incoming_df["m"].to_numpy()
         danglesum = float(x[dangling].sum())
-        x_new = alpha * (inc + danglesum / n) + (1.0 - alpha) / n
+        x_new = alpha * (inc + danglesum * pvec) + (1.0 - alpha) * pvec
         delta = float(np.abs(x_new - x).sum())
         x = x_new
         epochs = epoch + 1
@@ -237,3 +261,162 @@ def hot_vertices(edges: rd.Dataset, *, col: str = "dst",
     deg = edges.groupby(col).aggregate(Count(alias_name="degree"))
     top = deg.sort("degree", descending=True).limit(top_k).to_pandas()
     return [int(v) for v in top[col]]
+
+
+def coreness_dataset(edges: rd.Dataset, vertices: rd.Dataset, *,
+                     max_iter: int = 200) -> tuple[rd.Dataset, int]:
+    """k-core decomposition (core number per vertex) as pure Dataset
+    supersteps, via the h-index iteration (Lu et al. 2016, "Vital nodes
+    identification in complex networks"): start h(v) = degree(v); each
+    round h(v) <- H({h(u) : u ~ v}) where H is the h-index operator (the
+    largest k such that at least k neighbors have value >= k). The
+    sequence is monotone non-increasing and its fixpoint is exactly the
+    core number — NetworkX ``core_number`` semantics on the undirected
+    simple graph (parallel edges collapsed, self-loops dropped, isolated
+    vertices get core 0).
+
+    Scatter ships each edge's source h value; gather is a
+    ``groupby(dst, h).count`` hash shuffle (rows = per-vertex DISTINCT
+    neighbor-h values, <= E, typically far fewer once h values collapse);
+    the per-vertex H-index folds on the driver (same driver-table caveat
+    as ``labelprop_dataset`` — beyond that, the fold is itself one more
+    ``map_groups`` by dst)."""
+    from metis_ray.graph.partition import symmetrized
+
+    verts = vertices.select_columns(["vertex_id"]).to_pandas()
+    vid = np.sort(verts["vertex_id"].to_numpy())
+    n = len(vid)
+
+    # undirected simple graph: symmetrized() already collapses parallel
+    # edges to distinct canonical pairs; only self-loops remain to drop
+    und = (symmetrized(edges.select_columns(["src", "dst"]))
+           .map_batches(lambda t: t.filter(pc.not_equal(t["src"], t["dst"])),
+                        batch_format="pyarrow")
+           .materialize())
+
+    deg_df = und.groupby("src").aggregate(Count(alias_name="deg")).to_pandas()
+    h = np.zeros(n, dtype=np.int64)
+    if len(deg_df):
+        h[np.searchsorted(vid, deg_df["src"].to_numpy())] = \
+            deg_df["deg"].to_numpy()
+
+    epochs = 0
+    for epoch in range(max_iter):
+        ref = ray.put((vid, h))
+
+        def scatter(batch: pa.Table) -> pa.Table:
+            empty = pa.table({"dst": pa.array([], pa.int64()),
+                              "hv": pa.array([], pa.int64()),
+                              "c": pa.array([], pa.int64())})
+            if "src" not in batch.column_names or batch.num_rows == 0:
+                return empty
+            v, hh = ray.get(ref)
+            src = batch["src"].to_numpy(zero_copy_only=False)
+            dst = batch["dst"].to_numpy(zero_copy_only=False)
+            t = pa.table({"dst": pa.array(dst, pa.int64()),
+                          "hv": pa.array(hh[np.searchsorted(v, src)],
+                                         pa.int64())})
+            g = t.group_by(["dst", "hv"]).aggregate([("hv", "count")])
+            return (g.select(["dst", "hv", "hv_count"])
+                    .rename_columns(["dst", "hv", "c"]))
+
+        rows = (und.map_batches(scatter, batch_format="pyarrow")
+                .groupby(["dst", "hv"]).aggregate(Sum("c", alias_name="c"))
+                .to_pandas())
+        new = np.zeros(n, dtype=np.int64)
+        if len(rows):
+            rows = rows.sort_values(["dst", "hv"], ascending=[True, False])
+            cum = rows.groupby("dst")["c"].cumsum().to_numpy()
+            # H-index: max over the desc-sorted rows of min(h_value, #neighbors
+            # with value >= h_value)
+            cand = np.minimum(rows["hv"].to_numpy(), cum)
+            hmax = (rows.assign(_cand=cand).groupby("dst")["_cand"].max())
+            new[np.searchsorted(vid, hmax.index.to_numpy())] = \
+                hmax.to_numpy()
+        # clamp: the H sequence is non-increasing by theorem; enforcing it
+        # also guards termination against any float/ordering edge case
+        new = np.minimum(new, h)
+        changed = int((new != h).sum())
+        h = new
+        epochs = epoch + 1
+        if changed == 0:
+            break
+
+    return rd.from_arrow(pa.table({"v": pa.array(vid, pa.int64()),
+                                   "core": pa.array(h, pa.int64())})), epochs
+
+
+def bfs_distance_dataset(edges: rd.Dataset, vertices: rd.Dataset,
+                         seeds: list[int] | set[int], *,
+                         directed: bool = True,
+                         max_iter: int = 10_000) -> tuple[rd.Dataset, int]:
+    """Multi-source BFS hop distance as pure Dataset supersteps:
+    ``dist(v)`` = fewest edges from any seed to ``v`` (following edge
+    direction when ``directed``, else over the symmetrized graph);
+    unreachable vertices get -1. The trust-distance primitive for seed-set
+    curation (hops from a trusted whitelist). Scatter ships ``dist+1`` for
+    FRONTIER sources only (vertices whose distance changed last round), so
+    per-superstep work decays with the frontier — the same min-plus
+    relaxation shape as ``components_dataset``."""
+    from ray.data.aggregate import Min
+
+    from metis_ray.graph.partition import symmetrized
+
+    verts = vertices.select_columns(["vertex_id"]).to_pandas()
+    vid = np.sort(verts["vertex_id"].to_numpy())
+    n = len(vid)
+
+    seed_arr = np.asarray(sorted(set(int(s) for s in seeds)), dtype=np.int64)
+    pos = np.searchsorted(vid, seed_arr)
+    if len(seed_arr) and ((pos >= n).any()
+                          or (vid[np.minimum(pos, n - 1)] != seed_arr).any()):
+        raise ValueError("seed is not a graph vertex")
+
+    INF = np.iinfo(np.int64).max
+    dist = np.full(n, INF, dtype=np.int64)
+    dist[pos] = 0
+    frontier = np.zeros(n, dtype=bool)
+    frontier[pos] = True
+
+    g = edges.select_columns(["src", "dst"])
+    if not directed:
+        g = symmetrized(g)
+    g = g.materialize()
+
+    epochs = 0
+    for _ in range(max_iter):
+        if not frontier.any():
+            break
+        ref = ray.put((vid, dist, frontier))
+
+        def scatter(batch: pa.Table) -> pa.Table:
+            empty = pa.table({"dst": pa.array([], pa.int64()),
+                              "m": pa.array([], pa.int64())})
+            if "src" not in batch.column_names or batch.num_rows == 0:
+                return empty
+            v, d, f = ray.get(ref)
+            src = batch["src"].to_numpy(zero_copy_only=False)
+            dst = batch["dst"].to_numpy(zero_copy_only=False)
+            sp = np.searchsorted(v, src)
+            live = f[sp]                       # frontier sources only
+            if not live.any():
+                return empty
+            t = pa.table({"dst": pa.array(dst[live], pa.int64()),
+                          "m": pa.array(d[sp[live]] + 1, pa.int64())})
+            gt = t.group_by("dst").aggregate([("m", "min")])
+            return gt.select(["dst", "m_min"]).rename_columns(["dst", "m"])
+
+        inc = (g.map_batches(scatter, batch_format="pyarrow")
+               .groupby("dst").aggregate(Min("m", alias_name="m"))
+               .to_pandas())
+        new = dist.copy()
+        if "dst" in inc.columns and len(inc):
+            p = np.searchsorted(vid, inc["dst"].to_numpy())
+            new[p] = np.minimum(new[p], inc["m"].to_numpy())
+        frontier = new != dist
+        dist = new
+        epochs += 1
+
+    out = np.where(dist == INF, -1, dist)
+    return rd.from_arrow(pa.table({"v": pa.array(vid, pa.int64()),
+                                   "dist": pa.array(out, pa.int64())})), epochs

@@ -251,3 +251,40 @@ def fingerprint_table(sf_dir: str) -> rd.Dataset:
         })
 
     return docs.map_batches(stage, batch_format="pyarrow")
+
+
+def repetition_stats(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_words, distinct_word_ratio, top_bigram_frac): Gopher-style
+    repetition quality signals — the fraction of distinct words and the
+    frequency share of the most common word 2-gram. High top_bigram_frac /
+    low distinct_word_ratio flag machine-generated or boilerplate text for
+    curation filters. Per-doc bounded Python (Counter over one doc's
+    bigrams) inside a vectorized batch stage, same shape as ``lang_quality``;
+    certified against a DuckDB transcription in
+    tests/test_similarity_textstats.py."""
+    from collections import Counter
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n_words, dratio, topfrac = [], [], []
+        for t in texts:
+            w = [x for x in t.lower().split() if x]
+            n = len(w)
+            n_words.append(n)
+            dratio.append(round(len(set(w)) / max(n, 1), 6))
+            if n < 2:
+                topfrac.append(round(0 / 1, 6))
+            else:
+                c = Counter(zip(w, w[1:]))
+                tot = n - 1
+                topfrac.append(round(max(c.values()) / max(tot, 1), 6))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words, pa.int64()),
+            "distinct_word_ratio": pa.array(dratio, pa.float64()),
+            "top_bigram_frac": pa.array(topfrac, pa.float64()),
+        })
+
+    return docs.map_batches(stage, batch_format="pyarrow")

@@ -293,3 +293,116 @@ def test_incremental_graph_matches_batch(tiny_corpus_dir, tmp_path):
     ri, rb = ranks(gi), ranks(gb)
     assert hash64_one("iso_repo/iso_mod.py") in ri   # the isolated vertex
     assert ri == rb
+
+
+def test_dataset_engine_coreness_matches_networkx(tiny_ingest, tiny_corpus_dir):
+    """H-index-iteration core numbers == NetworkX core_number on the
+    undirected simple projection (self-loops dropped, parallel edges
+    collapsed, isolated vertices core 0)."""
+    import networkx as nx
+    from metis_ray.graph.dataset_engine import coreness_dataset
+
+    core_ds, epochs = coreness_dataset(
+        tiny_ingest.edges_file, graph_vertices(tiny_ingest.files))
+    got = dict(zip(*[core_ds.to_pandas()[c] for c in ("v", "core")]))
+
+    golden = pq.read_table(os.path.join(tiny_corpus_dir,
+                                        "golden_edges_file.parquet"))
+    g = nx.Graph()
+    g.add_nodes_from(got.keys())
+    g.add_edges_from((s, d) for s, d in zip(golden["src"].to_pylist(),
+                                            golden["dst"].to_pylist())
+                     if s != d)
+    want = nx.core_number(g)
+    assert got == want
+    assert epochs >= 1
+
+
+def test_coreness_random_graph():
+    """Adversarial check on a random multigraph with self-loops and
+    parallel edges: the engine's simple-graph projection must still match
+    NetworkX exactly."""
+    import networkx as nx
+    import pyarrow as pa
+    import ray.data as rd
+    from metis_ray.graph.dataset_engine import coreness_dataset
+
+    rng = np.random.RandomState(11)
+    n = 60
+    src = rng.randint(0, n, 400)
+    dst = rng.randint(0, n, 400)
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}))
+    verts = rd.from_arrow(pa.table({
+        "vertex_id": pa.array(np.arange(n), pa.int64())}))
+    core_ds, _ = coreness_dataset(edges, verts)
+    got = dict(zip(*[core_ds.to_pandas()[c] for c in ("v", "core")]))
+
+    g = nx.Graph()
+    g.add_nodes_from(range(n))
+    g.add_edges_from((int(s), int(d)) for s, d in zip(src, dst) if s != d)
+    assert got == nx.core_number(g)
+
+
+def test_dataset_engine_personalized_pagerank_matches_networkx(
+        tiny_ingest, tiny_corpus_dir):
+    """Seed-set personalized PageRank == NetworkX pagerank(personalization=)
+    (teleport AND dangling mass redistributed by the seed distribution)."""
+    from networkx.algorithms.link_analysis.pagerank_alg import _pagerank_python
+    import networkx as nx
+
+    verts = graph_vertices(tiny_ingest.files)
+    vids = sorted(verts.to_pandas()["vertex_id"])
+    seeds = {int(vids[0]): 3.0, int(vids[len(vids) // 2]): 1.0}
+
+    ranks, _ = pagerank_dataset(tiny_ingest.edges_file, verts,
+                                alpha=0.85, tol=1e-9, max_iter=200,
+                                personalization=seeds)
+    got = dict(zip(*[ranks.to_pandas()[c] for c in ("v", "rank")]))
+
+    golden = pq.read_table(os.path.join(tiny_corpus_dir,
+                                        "golden_edges_file.parquet"))
+    g = nx.DiGraph()
+    g.add_nodes_from(got.keys())
+    g.add_edges_from(zip(golden["src"].to_pylist(), golden["dst"].to_pylist()))
+    want = _pagerank_python(g, alpha=0.85, tol=1e-9, max_iter=1000,
+                            personalization=seeds)
+    a = np.array([got[v] for v in sorted(got)])
+    b = np.array([want[v] for v in sorted(got)])
+    np.testing.assert_allclose(a, b, atol=1e-6, rtol=0)
+
+
+def test_personalization_unknown_vertex_raises(tiny_ingest):
+    verts = graph_vertices(tiny_ingest.files)
+    with pytest.raises(ValueError, match="not a graph vertex"):
+        pagerank_dataset(tiny_ingest.edges_file, verts, max_iter=1,
+                         personalization={-12345: 1.0})
+
+
+def test_bfs_distance_matches_networkx(tiny_ingest, tiny_corpus_dir):
+    """Multi-source BFS hop distance == per-seed NetworkX shortest path
+    union-min, directed and undirected, unreachable = -1."""
+    import networkx as nx
+    from metis_ray.graph.dataset_engine import bfs_distance_dataset
+
+    verts = graph_vertices(tiny_ingest.files)
+    vids = sorted(verts.to_pandas()["vertex_id"])
+    seeds = [int(vids[0]), int(vids[-1])]
+
+    golden = pq.read_table(os.path.join(tiny_corpus_dir,
+                                        "golden_edges_file.parquet"))
+    pairs = list(zip(golden["src"].to_pylist(), golden["dst"].to_pylist()))
+
+    for directed in (True, False):
+        ds, _ = bfs_distance_dataset(tiny_ingest.edges_file, verts, seeds,
+                                     directed=directed)
+        got = dict(zip(*[ds.to_pandas()[c] for c in ("v", "dist")]))
+        g = nx.DiGraph() if directed else nx.Graph()
+        g.add_nodes_from(vids)
+        g.add_edges_from(pairs)
+        want = {v: -1 for v in vids}
+        for s in seeds:
+            for v, d in nx.single_source_shortest_path_length(g, s).items():
+                if want[v] < 0 or d < want[v]:
+                    want[v] = d
+        assert got == want

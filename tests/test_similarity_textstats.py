@@ -193,3 +193,51 @@ def test_distributed_cumsum_multiblock():
            .sort_values("k").reset_index(drop=True))
     want = df.sort_values("k").reset_index(drop=True)["v"].cumsum()
     assert (out["cum"].to_numpy() == want.to_numpy()).all()
+
+
+def test_repetition_stats_matches_duckdb():
+    """Engine repetition signals == a DuckDB transcription (same float op
+    order: distinct/max(n,1), top-bigram count/max(n-1,1), round 6)."""
+    import duckdb
+    from metis_ray.pipelines import textstats
+
+    sf = "/root/testdata/sf0.001"
+    got = (textstats.repetition_stats(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = con.execute("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> x <> '') AS w
+          FROM documents),
+        bg AS (
+          SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct,
+                 CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+                      ELSE list_transform(generate_series(1, len(w) - 1),
+                                          i -> w[i] || ' ' || w[i+1])
+                 END AS gs
+          FROM toks),
+        cnt AS (
+          SELECT doc_id, g, count(*) AS c
+          FROM (SELECT doc_id, unnest(gs) AS g FROM bg) GROUP BY doc_id, g),
+        top AS (SELECT doc_id, max(c) AS mc, sum(c) AS tot
+                FROM cnt GROUP BY doc_id)
+        SELECT b.doc_id, b.n_words,
+               round(b.n_distinct / (1.0 * greatest(b.n_words, 1)), 6)
+                   AS distinct_word_ratio,
+               round(coalesce(t.mc, 0) / (1.0 * greatest(coalesce(t.tot, 0), 1)), 6)
+                   AS top_bigram_frac
+        FROM bg b LEFT JOIN top t USING (doc_id)
+        ORDER BY doc_id
+    """).fetchdf()
+
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["n_words"]) == list(want["n_words"])
+    np.testing.assert_allclose(got["distinct_word_ratio"],
+                               want["distinct_word_ratio"], atol=1e-9)
+    np.testing.assert_allclose(got["top_bigram_frac"],
+                               want["top_bigram_frac"], atol=1e-9)
