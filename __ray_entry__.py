@@ -436,6 +436,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DuckDB twin certified in pytest (test_repetition_stats_matches_
         # duckdb); lives past the driver's 50-entry window
         "docs_repetition": textstats.repetition_stats,
+        # mergeable quantile summary (accuracy + merge-invariance pytest,
+        # the holistic twin of the HLL sketch)
+        "events_value_quantiles": relational.events_value_quantiles,
     }
 
 

@@ -161,6 +161,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             ("q3_top_orders", relational.q3_top_orders),
             ("docs_exact_dedup", dedup.exact_dedup),
             ("docs_minhash_dedup", dedup.minhash_dedup),
+            ("docs_fuzzy_dedup", dedup.fuzzy_dedup),
             ("ann_topk", similarity.ann_topk),
         ]:
             t0 = time.perf_counter()

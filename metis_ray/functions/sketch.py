@@ -57,3 +57,51 @@ def hll_estimate(reg: np.ndarray) -> float:
     if est <= 2.5 * M and zeros:
         est = M * np.log(M / zeros)      # linear counting for small ranges
     return float(est)
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile summary (weighted compress-merge, Greenwald-Khanna
+# style error bound: <= 1/k per compression level)
+# ---------------------------------------------------------------------------
+
+def qsketch_compress(values: np.ndarray, weights: np.ndarray | None = None,
+                     k: int = 256) -> tuple[np.ndarray, np.ndarray]:
+    """Compress a weighted value multiset to <= k (value, weight) points at
+    evenly spaced cumulative-weight ranks. Deterministic (no sampling);
+    rank error of any quantile query against the compressed summary is at
+    most total_weight / k. Associative under merge+recompress, so partials
+    can fold in any tree shape (the mergeable-summary contract)."""
+    if len(values) == 0:
+        return (np.empty(0, np.float64), np.empty(0, np.float64))
+    v = np.asarray(values, dtype=np.float64)
+    w = (np.ones(len(v)) if weights is None
+         else np.asarray(weights, dtype=np.float64))
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    if len(v) <= k:
+        return v, w
+    total = w.sum()
+    cum = np.cumsum(w)
+    targets = (np.arange(k) + 0.5) / k * total
+    idx = np.searchsorted(cum, targets, side="left")
+    idx = np.minimum(idx, len(v) - 1)
+    return v[idx], np.full(k, total / k)
+
+
+def qsketch_merge(a: tuple[np.ndarray, np.ndarray],
+                  b: tuple[np.ndarray, np.ndarray],
+                  k: int = 256) -> tuple[np.ndarray, np.ndarray]:
+    """Merge two summaries and recompress to <= k points."""
+    return qsketch_compress(np.concatenate([a[0], b[0]]),
+                            np.concatenate([a[1], b[1]]), k)
+
+
+def qsketch_query(sk: tuple[np.ndarray, np.ndarray], q: float) -> float:
+    """Value at quantile q (0..1): the point whose cumulative weight first
+    reaches q * total (midpoint rank convention matching compress)."""
+    v, w = sk
+    if len(v) == 0:
+        return float("nan")
+    cum = np.cumsum(w)
+    i = int(np.searchsorted(cum, q * cum[-1], side="left"))
+    return float(v[min(i, len(v) - 1)])

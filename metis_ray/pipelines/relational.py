@@ -542,3 +542,48 @@ def supplier_customer_nation_union(sf_dir: str) -> rd.Dataset:
     u = sup.union(cus)
     return (u.groupby("nationkey").aggregate(Count(alias_name="_n"))
             .drop_columns(["_n"]))
+
+
+def events_value_quantiles(sf_dir: str, *, k: int = 256,
+                           qs: tuple = (0.25, 0.5, 0.9, 0.99)) -> pd.DataFrame:
+    """Approximate value quantiles per event type via a MERGEABLE quantile
+    summary (deterministic weighted compress-merge, rank error <= levels/k):
+    per-batch per-type partials of <= k (value, weight) points, merged and
+    recompressed per type — the holistic-aggregate-at-scale twin of the HLL
+    sketch (shuffle bytes independent of row count; partials fold in any
+    tree shape). Output (event_type, p25, p50, p90, p99). Accuracy +
+    merge-invariance tested in tests/test_sketch_asof.py."""
+    from metis_ray.functions.sketch import (qsketch_compress, qsketch_merge,
+                                            qsketch_query)
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch["event_type"])
+        et = batch["event_type"].take(idx).to_numpy(zero_copy_only=False)
+        val = batch["value"].take(idx).to_numpy(zero_copy_only=False)
+        cuts = np.flatnonzero(np.concatenate(([True], et[1:] != et[:-1])))
+        bounds = np.append(cuts, len(et))
+        types, blobs = [], []
+        for c, (lo, hi) in zip(cuts, zip(bounds[:-1], bounds[1:])):
+            v, w = qsketch_compress(val[lo:hi], k=k)
+            types.append(str(et[c]))
+            blobs.append(np.concatenate([v, w]).tobytes())
+        return pa.table({"event_type": pa.array(types, pa.string()),
+                         "sk": pa.array(blobs, pa.large_binary())})
+
+    def final(g: pa.Table) -> pa.Table:
+        sk = (np.empty(0), np.empty(0))
+        for b in g["sk"].to_pylist():
+            arr = np.frombuffer(b, dtype=np.float64)
+            half = len(arr) // 2
+            sk = qsketch_merge(sk, (arr[:half], arr[half:]), k)
+        row = {"event_type": pa.array([g["event_type"][0].as_py()],
+                                      pa.string())}
+        for q in qs:
+            row[f"p{int(q * 100)}"] = pa.array(
+                [round(qsketch_query(sk, q), 6)], pa.float64())
+        return pa.table(row)
+
+    return (ev.map_batches(partial, batch_format="pyarrow")
+            .groupby("event_type").map_groups(final, batch_format="pyarrow")
+            .to_pandas().sort_values("event_type").reset_index(drop=True))

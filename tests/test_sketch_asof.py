@@ -100,3 +100,47 @@ def test_asof_positive_branch_planted(tmp_path):
         else:
             assert row["last_order_key"] == cand["o_orderkey"].iloc[-1]
             assert row["last_order_total"] == round(cand["o_totalprice"].iloc[-1], 2)
+
+
+def test_qsketch_accuracy_and_merge_invariance():
+    """Mergeable quantile summary: rank error <= ~1% at k=256 across any
+    merge tree; merge order does not change the summary's answers beyond
+    the same bound."""
+    import numpy as np
+    from metis_ray.functions.sketch import (qsketch_compress, qsketch_merge,
+                                            qsketch_query)
+
+    rng = np.random.RandomState(3)
+    x = np.concatenate([rng.normal(size=120_000),
+                        rng.exponential(size=30_000) * 10])
+    rng.shuffle(x)
+
+    def fold(chunks):
+        sk = (np.empty(0), np.empty(0))
+        for c in chunks:
+            sk = qsketch_merge(sk, qsketch_compress(c))
+        return sk
+
+    linear = fold(np.array_split(x, 41))
+    other = fold(np.array_split(x, 7)[::-1])
+    for q in (0.01, 0.25, 0.5, 0.9, 0.99):
+        for sk in (linear, other):
+            approx = qsketch_query(sk, q)
+            rank_err = abs((x <= approx).mean() - q)
+            assert rank_err < 0.015, (q, rank_err)
+
+
+def test_events_value_quantiles_close_to_exact():
+    """Pipeline answers within 2% rank error of exact per-type quantiles."""
+    import numpy as np
+    import pandas as pd
+    from metis_ray.pipelines.relational import events_value_quantiles
+
+    sf = "/root/testdata/sf0.001"
+    got = events_value_quantiles(sf)
+    ev = pd.read_parquet(f"{sf}/events.parquet", columns=["event_type", "value"])
+    for _, row in got.iterrows():
+        vals = ev.loc[ev["event_type"] == row["event_type"], "value"].to_numpy()
+        for q, col in ((0.25, "p25"), (0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            rank_err = abs((vals <= row[col]).mean() - q)
+            assert rank_err < 0.02, (row["event_type"], col, rank_err)
