@@ -140,6 +140,20 @@ def _q_pagerank_weighted(sf_dir: str):
     return out.sort_values("v").reset_index(drop=True)
 
 
+def _q_labelprop_weighted(sf_dir: str):
+    """Multiplicity-weighted label propagation (Dataset engine): each
+    undirected edge votes with its multiplicity summed over both directions.
+    Pytest oracle: sequential transcription on a planted graph where the
+    weights flip the outcome (test_dataset_engine_weighted_lpa_matches_
+    sequential)."""
+    from metis_ray.graph.dataset_engine import labelprop_dataset
+    from metis_ray.pipelines.linkgraph import graph_vertices, ingest
+    res = ingest(_corpus_dir(sf_dir))
+    labels, _ = labelprop_dataset(res.edges_file, graph_vertices(res.files),
+                                  weight_col="multiplicity")
+    return labels.to_pandas().sort_values("v").reset_index(drop=True)
+
+
 def _q_pagerank_personalized(sf_dir: str):
     """Seed-set personalized PageRank (Dataset engine): teleport + dangling
     mass redistributed over a deterministic 2-seed distribution (the two
@@ -439,6 +453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mergeable quantile summary (accuracy + merge-invariance pytest,
         # the holistic twin of the HLL sketch)
         "events_value_quantiles": relational.events_value_quantiles,
+        "labelprop_weighted": _q_labelprop_weighted,
     }
 
 

@@ -185,7 +185,8 @@ def components_dataset(edges: rd.Dataset, vertices: rd.Dataset, *,
 
 
 def labelprop_dataset(edges: rd.Dataset, vertices: rd.Dataset, *,
-                      max_iter: int = 30) -> tuple[rd.Dataset, int]:
+                      max_iter: int = 30,
+                      weight_col: str | None = None) -> tuple[rd.Dataset, int]:
     """Deterministic synchronous label propagation as pure Dataset
     supersteps — the frequency-label variant of the actor engine
     (``runner.label_propagation`` semantics, mirrored exactly): labels
@@ -198,13 +199,23 @@ def labelprop_dataset(edges: rd.Dataset, vertices: rd.Dataset, *,
     combiner; gather is a ``groupby(dst, label).sum`` hash shuffle; the
     per-destination argmax (max count, then min label) runs on the
     aggregated (dst, label, count) rows. Same broadcast caveat as
-    ``pagerank_dataset`` (the label vector is broadcast per superstep)."""
-    from metis_ray.graph.partition import symmetrized
+    ``pagerank_dataset`` (the label vector is broadcast per superstep).
+    ``weight_col`` (e.g. ``'multiplicity'``): weighted voting — each
+    undirected edge votes with its weight summed over both directions
+    (``symmetrized_weighted``) instead of 1; argmax by (max total weight,
+    then min label). Makes the exact multiplicity column load-bearing in
+    community detection."""
+    from metis_ray.graph.partition import symmetrized, symmetrized_weighted
 
     verts = vertices.select_columns(["vertex_id"]).to_pandas()
     vid = np.sort(verts["vertex_id"].to_numpy())
     labels = vid.copy()
-    und = symmetrized(edges.select_columns(["src", "dst"])).materialize()
+    if weight_col is None:
+        und = symmetrized(edges.select_columns(["src", "dst"])).materialize()
+    else:
+        und = symmetrized_weighted(
+            edges.select_columns(["src", "dst", weight_col]),
+            weight_col).materialize()
 
     epochs = 0
     for epoch in range(max_iter):
@@ -213,19 +224,23 @@ def labelprop_dataset(edges: rd.Dataset, vertices: rd.Dataset, *,
         def scatter(batch: pa.Table) -> pa.Table:
             empty = pa.table({"dst": pa.array([], pa.int64()),
                               "m": pa.array([], pa.int64()),
-                              "c": pa.array([], pa.int64())})
+                              "c": pa.array([], pa.float64())})
             if "src" not in batch.column_names or batch.num_rows == 0:
                 return empty        # zero-row blocks can be schema-less
             v, lab = ray.get(ref)
             src = batch["src"].to_numpy(zero_copy_only=False)
             dst = batch["dst"].to_numpy(zero_copy_only=False)
+            w = (np.ones(len(src)) if weight_col is None
+                 else batch["w"].to_numpy(zero_copy_only=False)
+                 .astype(np.float64))
             t = pa.table({"dst": pa.array(dst, pa.int64()),
                           "m": pa.array(lab[np.searchsorted(v, src)],
-                                        pa.int64())})
-            g = t.group_by(["dst", "m"]).aggregate([("m", "count")])
+                                        pa.int64()),
+                          "c": pa.array(w, pa.float64())})
+            g = t.group_by(["dst", "m"]).aggregate([("c", "sum")])
             # select by NAME before renaming: the aggregate's column order
             # is a pyarrow implementation detail (keys-first on 16.x)
-            return (g.select(["dst", "m", "m_count"])
+            return (g.select(["dst", "m", "c_sum"])
                     .rename_columns(["dst", "m", "c"]))
 
         votes = (und.map_batches(scatter, batch_format="pyarrow")

@@ -165,3 +165,40 @@ def build_layouts(graph_dir: str, P: int, partition: str, id_bound: int,
 def graph_meta(graph_dir: str) -> dict:
     with open(os.path.join(graph_dir, "graph_meta.json")) as fh:
         return json.load(fh)
+
+
+def symmetrized_weighted(edges: rd.Dataset, weight_col: str) -> rd.Dataset:
+    """Undirected weighted view: canonical {a,b} pairs with ``weight_col``
+    summed over BOTH directions (parallel edges collapse additively),
+    emitted in both orientations. The weighted twin of ``symmetrized``."""
+    from ray.data.aggregate import Sum
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch["src"].to_numpy(zero_copy_only=False)
+        b = batch["dst"].to_numpy(zero_copy_only=False)
+        w = batch[weight_col].to_numpy(zero_copy_only=False)
+        t = pa.table({"src": pa.array(np.minimum(a, b), pa.int64()),
+                      "dst": pa.array(np.maximum(a, b), pa.int64()),
+                      "w": pa.array(w.astype(np.float64), pa.float64())})
+        g = t.group_by(["src", "dst"]).aggregate([("w", "sum")])
+        return g.select(["src", "dst", "w_sum"]).rename_columns(
+            ["src", "dst", "w"])
+
+    canonical = (edges.map_batches(canon, batch_format="pyarrow")
+                 .groupby(["src", "dst"]).aggregate(Sum("w", alias_name="w")))
+
+    def both(batch: pa.Table) -> pa.Table:
+        if "src" not in batch.column_names or batch.num_rows == 0:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.float64())})
+        a = batch["src"].to_numpy(zero_copy_only=False)
+        b = batch["dst"].to_numpy(zero_copy_only=False)
+        w = batch["w"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b]), pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            "w": pa.array(np.concatenate([w, w]), pa.float64()),
+        })
+
+    return canonical.map_batches(both, batch_format="pyarrow")

@@ -406,3 +406,63 @@ def test_bfs_distance_matches_networkx(tiny_ingest, tiny_corpus_dir):
                 if want[v] < 0 or d < want[v]:
                     want[v] = d
         assert got == want
+
+
+def test_dataset_engine_weighted_lpa_matches_sequential():
+    """Weighted LPA == a sequential numpy transcription of the recurrence
+    (votes = undirected edge weight summed over both directions; argmax by
+    max weight then min label), on a planted graph where the weights CHANGE
+    the outcome vs unweighted voting."""
+    import pyarrow as pa
+    import ray.data as rd
+    from metis_ray.graph.dataset_engine import labelprop_dataset
+
+    # vertex 2 has two light edges to the {0,1} side and one heavy edge to
+    # vertex 3: unweighted it joins {0,1}; weighted it follows 3.
+    src = np.array([0, 1, 2, 0, 4, 3], dtype=np.int64)
+    dst = np.array([2, 2, 3, 1, 3, 4], dtype=np.int64)
+    mult = np.array([1, 1, 5, 3, 1, 1], dtype=np.int64)
+    n = 5
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(src), "dst": pa.array(dst),
+        "multiplicity": pa.array(mult)}))
+    verts = rd.from_arrow(pa.table({
+        "vertex_id": pa.array(np.arange(n, dtype=np.int64))}))
+
+    def sequential(weighted: bool, max_iter: int = 30) -> np.ndarray:
+        # undirected weighted adjacency (weight summed over both directions;
+        # unweighted = one vote per distinct undirected edge)
+        wmat = np.zeros((n, n))
+        for s, d, m in zip(src, dst, mult):
+            if s != d:
+                wmat[s, d] += float(m)
+                wmat[d, s] += float(m)
+        if not weighted:
+            wmat = (wmat > 0).astype(np.float64)
+        lab = np.arange(n, dtype=np.int64)
+        for _ in range(max_iter):
+            new = lab.copy()
+            for v in range(n):
+                nb = np.nonzero(wmat[v])[0]
+                if len(nb) == 0:
+                    continue
+                tot: dict[int, float] = {}
+                for u in nb:
+                    tot[lab[u]] = tot.get(lab[u], 0.0) + wmat[v, u]
+                best = sorted(tot.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+                new[v] = best[0]
+            if (new == lab).all():
+                break
+            lab = new
+        return lab
+
+    for weighted in (False, True):
+        out, _ = labelprop_dataset(
+            edges, verts,
+            weight_col="multiplicity" if weighted else None)
+        got = out.to_pandas().sort_values("v")["label"].to_numpy()
+        want = sequential(weighted)
+        np.testing.assert_array_equal(got, want, err_msg=f"weighted={weighted}")
+    # sanity: the planted weights actually change SOME vertex's label —
+    # otherwise the weighted path isn't being exercised
+    assert (sequential(True) != sequential(False)).any()
