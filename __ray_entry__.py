@@ -199,6 +199,20 @@ def _q_kcore(sf_dir: str):
     return cores.to_pandas().sort_values("v").reset_index(drop=True)
 
 
+def _q_hits(sf_dir: str):
+    """HITS hubs/authorities over the corpus link graph (Dataset-engine
+    power iteration). Pytest oracle: NetworkX _hits_python at 1e-6
+    (test_dataset_engine_hits_matches_networkx)."""
+    from metis_ray.graph.dataset_engine import hits_dataset
+    from metis_ray.pipelines.linkgraph import graph_vertices, ingest
+    res = ingest(_corpus_dir(sf_dir))
+    out, _ = hits_dataset(res.edges_file, graph_vertices(res.files))
+    df = out.to_pandas().sort_values("v").reset_index(drop=True)
+    df["hub"] = df["hub"].round(9)
+    df["authority"] = df["authority"].round(9)
+    return df
+
+
 def _q_ann_ivf_indexed(sf_dir: str):
     """IVF over the persisted partition-by-centroid layout (read pruning:
     only the probed list directories leave storage)."""
@@ -445,6 +459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # equals exact brute force)
         "ann_ivf_indexed_topk": _q_ann_ivf_indexed,
         "kcore": _q_kcore,
+        "hits": _q_hits,
         "pagerank_personalized": _q_pagerank_personalized,
         "bfs_distance": _q_bfs_distance,
         # DuckDB twin certified in pytest (test_repetition_stats_matches_
@@ -454,6 +469,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the holistic twin of the HLL sketch)
         "events_value_quantiles": relational.events_value_quantiles,
         "labelprop_weighted": _q_labelprop_weighted,
+        # Misra-Gries heavy hitters (survival + undercount-bound pytest;
+        # exact-equality twin on the small-vocab corpus)
+        "docs_heavy_terms": textstats.heavy_terms,
+        # PII redaction — Arrow RE2 kernels, exact-equality DuckDB twin on
+        # a planted-PII corpus in pytest (same RE2 engine both sides)
+        "docs_pii_scrub": textstats.pii_scrub,
+        # benchmark decontamination (n-gram leakage flags; brute-force
+        # golden over raw gram strings in pytest)
+        "docs_decontaminate": dedup.decontaminate,
+        # exact-substring dedup (winnowing candidates, verbatim-confirmed;
+        # all-pairs inverted-index golden in pytest — recall AND precision 1)
+        "docs_substring_dedup": _bucket_cap_guard(dedup.substring_dedup),
     }
 
 

@@ -26,9 +26,9 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOG = os.path.join(REPO, "jobs", "hunt_r4.jsonl")
-TARGET_HEADLINE = 5.2      # <= 2x round-1 best (VERDICT r3 Next #1a)
-TARGET_EFF = 0.8           # the scaling criterion (#1b)
-PAIR_TRIGGER = 12.0        # probe sec/10ss below which a pair is worth it
+TARGET_HEADLINE = float(os.environ.get("HUNT_TARGET_HEADLINE", "5.2"))
+TARGET_EFF = float(os.environ.get("HUNT_TARGET_EFF", "0.8"))
+PAIR_TRIGGER = float(os.environ.get("HUNT_PAIR_TRIGGER", "12.0"))
 
 
 def log(rec: dict) -> None:

@@ -86,6 +86,61 @@ def cmd_watch(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run any registered pipeline (``__ray_entry__.queries()`` name) over
+    an sf dir and land the result as Parquet — the 'switch your pipeline to
+    this repo' entry point. Idempotent: a completed output dir (manifest
+    present) is skipped, so a re-run after failure does no work twice."""
+    import os
+
+    ray = _ray_session(args.num_cpus)
+    manifest = os.path.join(args.out, "_SUCCESS.json")
+    if os.path.exists(manifest):
+        print(json.dumps({"query": args.name, "out": args.out,
+                          "skipped": "already complete"}))
+        ray.shutdown()
+        return 0
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "_metis_entry", os.path.join(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))), "__ray_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    qs = mod.queries()
+    if args.name not in qs:
+        print(json.dumps({"error": f"unknown query '{args.name}'",
+                          "available": sorted(qs)}), file=sys.stderr)
+        ray.shutdown()
+        return 2
+    res = qs[args.name](args.sf_dir)
+    tmp = args.out + ".tmp"
+    import shutil
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    import ray.data as rd
+    if isinstance(res, rd.Dataset):
+        res.write_parquet(tmp)
+        n = sum(1 for f in os.listdir(tmp) if f.endswith(".parquet"))
+        rows = None
+    else:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        table = res if isinstance(res, pa.Table) else pa.Table.from_pandas(res)
+        pq.write_table(table, os.path.join(tmp, "part-0.parquet"))
+        n, rows = 1, table.num_rows
+    with open(os.path.join(tmp, "_SUCCESS.json"), "w") as fh:
+        json.dump({"query": args.name, "sf_dir": args.sf_dir,
+                   "files": n, "rows": rows}, fh)
+    if os.path.exists(args.out):
+        shutil.rmtree(args.out)
+    os.replace(tmp, args.out)
+    print(json.dumps({"query": args.name, "out": args.out, "files": n,
+                      "rows": rows}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_bench_graph(args) -> int:
     ray = _ray_session(args.num_cpus)
     from metis_ray.benchgraph import bench_graph_dir
@@ -137,6 +192,14 @@ def main(argv=None) -> int:
                     help="'join' keeps the symbol table a Dataset end-to-end "
                          "(for symbol tables beyond one node's memory)")
     p4.set_defaults(fn=cmd_watch)
+
+    p5 = sub.add_parser(
+        "query", help="run a registered pipeline by name, land Parquet "
+                      "(idempotent: completed outputs are skipped)")
+    p5.add_argument("--name", required=True)
+    p5.add_argument("--sf-dir", required=True)
+    p5.add_argument("--out", required=True)
+    p5.set_defaults(fn=cmd_query)
 
     p3 = sub.add_parser("bench-graph", help="materialize a bench graph")
     p3.add_argument("--sf-dir", required=True)

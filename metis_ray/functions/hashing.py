@@ -237,3 +237,31 @@ def band_keys(sigs: np.ndarray, bands: int, seed: int = 42) -> np.ndarray:
         acc *= np.uint64(0x94D049BB133111EB)
         acc ^= acc >> np.uint64(31)
     return (acc & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+
+
+@lru_cache(maxsize=16)
+def _pow_vec(n: int) -> np.ndarray:
+    """Precomputed base-power vector for the rolling polynomial kernel."""
+    base = np.uint64(1000003)
+    pw = np.empty(n, np.uint64)
+    pw[-1] = 1
+    with np.errstate(over="ignore"):
+        for j in range(n - 2, -1, -1):
+            pw[j] = pw[j + 1] * base
+    return pw
+
+
+def window_hashes(text: str, n: int, mod: int = 1 << 61) -> np.ndarray:
+    """ALL rolling polynomial hashes of the utf-8 byte windows of length
+    ``n`` (the array ``ngram_fingerprints`` mins over), as uint64 < mod.
+    Empty array when the text is shorter than ``n`` bytes. Same wraparound
+    trick: power-of-two modulus => uint64 overflow arithmetic + one mask."""
+    assert mod & (mod - 1) == 0, "power-of-two modulus required"
+    data = np.frombuffer(text.encode("utf-8", "ignore"), np.uint8)
+    if len(data) < n:
+        return np.empty(0, np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(data, n)
+    with np.errstate(over="ignore"):
+        h = (win.astype(np.uint64) * _pow_vec(n)).sum(
+            axis=1, dtype=np.uint64)
+    return h & np.uint64(mod - 1)

@@ -105,3 +105,34 @@ def qsketch_query(sk: tuple[np.ndarray, np.ndarray], q: float) -> float:
     cum = np.cumsum(w)
     i = int(np.searchsorted(cum, q * cum[-1], side="left"))
     return float(v[min(i, len(v) - 1)])
+
+
+# ---------------------------------------------------------------------------
+# mergeable heavy-hitters summary (Misra-Gries): any item with true
+# frequency > total/k is guaranteed to survive; reported counts
+# undercount by at most total/k
+# ---------------------------------------------------------------------------
+
+def mg_compress(items: np.ndarray, counts: np.ndarray,
+                k: int = 1024) -> tuple[np.ndarray, np.ndarray]:
+    """Compress exact (item, count) pairs to <= k survivors by the
+    Misra-Gries reduction: subtract the (k+1)-th largest count from all,
+    keep the positive ones. Deterministic; associative under merge."""
+    if len(items) <= k:
+        return items, counts
+    order = np.argsort(counts, kind="stable")[::-1]
+    thresh = counts[order[k]]
+    keep = counts > thresh
+    return items[keep], counts[keep] - thresh
+
+
+def mg_merge(a: tuple[np.ndarray, np.ndarray],
+             b: tuple[np.ndarray, np.ndarray],
+             k: int = 1024) -> tuple[np.ndarray, np.ndarray]:
+    """Merge two summaries (sum counts per item) and recompress to <= k."""
+    items = np.concatenate([a[0], b[0]])
+    counts = np.concatenate([a[1], b[1]])
+    uniq, inv = np.unique(items, return_inverse=True)
+    summed = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(summed, inv, counts)
+    return mg_compress(uniq, summed, k)

@@ -484,3 +484,220 @@ def fuzzy_dedup(sf_dir: str, *, threshold: float = 0.6,
             "keep": pa.array(component == ids)})
 
     return docs.map_batches(label, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(sf_dir: str, *, n: int = 8,
+                  bench_prefix_lt: str = "10") -> rd.Dataset:
+    """(doc_id, is_benchmark, contaminated): flag training documents that
+    share any word ``n``-gram with a held-out benchmark set — the
+    decontamination pass every public LLM-data pipeline runs so eval
+    questions don't leak into training data.
+
+    The benchmark set is a deterministic hash sample of the corpus itself
+    (``md5(str(doc_id))`` hex prefix < ``bench_prefix_lt``, the same
+    coordination-free membership predicate as ``sample_docs``), so the
+    pipeline is self-contained and reproducible at any parallelism.
+
+    Scale shape: n-grams are hashed to int64 the moment they're made (only
+    8-byte keys shuffle, never gram strings); the benchmark-gram side is
+    DISTINCTed by a hash-partitioned groupby, candidate membership is a
+    hash-partitioned inner join (never a broadcast set — the benchmark gram
+    table can outgrow one node), and the per-doc verdict folds through one
+    more groupby. The clean remainder is attached by a ``left_anti`` join,
+    so no side ever visits the driver."""
+    import hashlib
+
+    from metis_ray.functions.hashing import hash64
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def grams(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        out_ids: list[int] = []
+        gs: list[str] = []
+        bench: list[bool] = []
+        for i, t in zip(ids, batch["text"].to_pylist()):
+            w = t.lower().split()
+            uniq = {" ".join(w[j:j + n]) for j in range(len(w) - n + 1)}
+            is_b = hashlib.md5(str(i).encode()).hexdigest()[:2] < bench_prefix_lt
+            out_ids.extend([i] * len(uniq))
+            bench.extend([is_b] * len(uniq))
+            gs.extend(uniq)
+        return pa.table({
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "gram": pa.array(hash64(gs), pa.int64()),
+            "is_bench": pa.array(bench, pa.bool_())})
+
+    g = docs.map_batches(grams, batch_format="pyarrow").materialize()
+    nparts = _join_parts()
+
+    bench_grams, n_bg = _nonempty_blocks(
+        g.map_batches(lambda t: t.filter(t["is_bench"]).select(["gram"]),
+                      batch_format="pyarrow")
+         .groupby("gram").aggregate(Count())
+         .select_columns(["gram"]))
+    train_grams, n_tg = _nonempty_blocks(
+        g.map_batches(
+            lambda t: t.filter(pc.invert(t["is_bench"]))
+                       .select(["doc_id", "gram"]),
+            batch_format="pyarrow"))
+
+    # every doc's verdict row (benchmark docs are never 'contaminated' —
+    # they ARE the benchmark)
+    def doc_flags(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "is_benchmark": pa.array(
+                [hashlib.md5(str(i).encode()).hexdigest()[:2] < bench_prefix_lt
+                 for i in ids], pa.bool_())})
+
+    all_docs = docs.select_columns(["doc_id"]).map_batches(
+        doc_flags, batch_format="pyarrow")
+
+    if bench_grams is None or train_grams is None:
+        return all_docs.map_batches(
+            lambda t: t.append_column(
+                "contaminated",
+                pa.array([False] * t.num_rows, pa.bool_())),
+            batch_format="pyarrow")
+
+    hits = (train_grams.join(bench_grams, join_type="inner",
+                             num_partitions=nparts, on=("gram",))
+            .groupby("doc_id").aggregate(Count())
+            .select_columns(["doc_id"]))
+    hits_ne, n_hits = _nonempty_blocks(hits)
+
+    def flag(value: bool):
+        def stage(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "contaminated",
+                pa.array([value] * t.num_rows, pa.bool_()))
+        return stage
+
+    all_ne, _ = _nonempty_blocks(all_docs)
+    if hits_ne is None:
+        return all_ne.map_batches(flag(False), batch_format="pyarrow")
+    dirty = (hits_ne.join(all_ne, join_type="inner",
+                          num_partitions=nparts, on=("doc_id",))
+             .map_batches(flag(True), batch_format="pyarrow"))
+    clean = (all_ne.join(hits_ne, join_type="left_anti",
+                         num_partitions=nparts, on=("doc_id",))
+             .map_batches(flag(False), batch_format="pyarrow"))
+    return dirty.union(clean)
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup (winnowing)
+# ---------------------------------------------------------------------------
+
+class _WinnowFps:
+    """Per-doc winnowed fingerprints (Schleimer et al. winnowing, the
+    public local-fingerprinting algorithm behind MOSS): rolling k-byte
+    window hashes, then the min of every w consecutive hashes.  DETERMINISTIC
+    guarantee (not probabilistic): two docs sharing a verbatim byte
+    substring of length >= t = k + w - 1 share at least one selected
+    fingerprint VALUE — the shared run covers a full w-window of identical
+    hash values, whose min is selected on both sides."""
+
+    def __init__(self, k: int, w: int):
+        self.k, self.w = k, w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from metis_ray.functions.hashing import window_hashes
+
+        ids: list[int] = []
+        fps: list[np.ndarray] = []
+        for i, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            h = window_hashes(t, self.k)
+            if len(h) == 0:
+                continue
+            if len(h) <= self.w:
+                sel = np.array([h.min()], np.uint64)
+            else:
+                sel = np.unique(np.lib.stride_tricks
+                                .sliding_window_view(h, self.w)
+                                .min(axis=1))
+            ids.extend([i] * len(sel))
+            fps.append(sel)
+        fp = (np.concatenate(fps) if fps else np.empty(0, np.uint64))
+        return pa.table({
+            "bkey": pa.array(fp.astype(np.int64), pa.int64()),
+            "doc_id": pa.array(ids, pa.int64())})
+
+
+def substring_dedup(sf_dir: str, *, min_len: int = 32, winnow_w: int = 8,
+                    concurrency: int = 2,
+                    stats: dict | None = None) -> rd.Dataset:
+    """(a, b, shared_windows): document pairs sharing a VERBATIM byte
+    substring of length >= ``min_len`` — the exact-substring dedup of
+    Lee et al., "Deduplicating Training Data Makes Language Models Better"
+    (arXiv:2107.06499), re-expressed for Ray Data.  Candidate recall is
+    DETERMINISTIC (winnowing guarantee with k = min_len - winnow_w + 1,
+    so t = k + w - 1 = min_len), and verification is exact: candidate
+    pairs join their texts (hash-partitioned, distributed) and each batch
+    intersects full ``min_len``-window hash sets, then confirms a hit
+    verbatim byte-for-byte (rolling-hash collisions cannot emit a false
+    pair).  ``shared_windows`` counts the distinct shared window hashes —
+    a proxy for overlap extent.  Oversized fingerprint buckets are dropped
+    AND counted via ``stats`` like every LSH family here."""
+    from metis_ray.functions.hashing import window_hashes
+
+    k = min_len - winnow_w + 1
+    if k < 4:
+        raise ValueError("min_len must be >= winnow_w + 3")
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    buckets = _sig_stage(docs, _WinnowFps, (k, winnow_w), concurrency)
+    pairs = _split_pairs(_pairs_from_buckets(buckets), stats)
+
+    joined = _join_pair_payload(pairs, docs, "doc_id", "text")
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "shared_windows": pa.array([], pa.int64())})
+    if joined is None:
+        return rd.from_arrow(empty)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ta = batch["text_a"].to_pylist()
+        tb = batch["text_b"].to_pylist()
+        keep = np.zeros(len(ta), bool)
+        nshared = np.zeros(len(ta), np.int64)
+        memo: dict[int, np.ndarray] = {}
+
+        def wh(did: int, text: str) -> np.ndarray:
+            h = memo.get(did)
+            if h is None:
+                h = memo[did] = window_hashes(text, min_len)
+            return h
+
+        a_ids = batch["a"].to_numpy(zero_copy_only=False)
+        b_ids = batch["b"].to_numpy(zero_copy_only=False)
+        for r, (x, y, sa, sb) in enumerate(zip(a_ids, b_ids, ta, tb)):
+            ha, hb = wh(int(x), sa), wh(int(y), sb)
+            common = np.intersect1d(ha, hb)
+            if len(common) == 0:
+                continue
+            da = sa.encode("utf-8", "ignore")
+            db = sb.encode("utf-8", "ignore")
+            n_ok = 0
+            for h in common:
+                pa_pos = np.nonzero(ha == h)[0]
+                pb_pos = np.nonzero(hb == h)[0]
+                if any(da[i:i + min_len] == db[j:j + min_len]
+                       for i in pa_pos for j in pb_pos):
+                    n_ok += 1
+            if n_ok:
+                keep[r] = True
+                nshared[r] = n_ok
+        m = pa.array(keep)
+        return pa.table({
+            "a": batch["a"].filter(m),
+            "b": batch["b"].filter(m),
+            "shared_windows": pa.array(nshared[keep], pa.int64())})
+
+    return joined.map_batches(verify, batch_format="pyarrow")

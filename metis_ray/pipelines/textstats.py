@@ -7,6 +7,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
@@ -286,5 +287,91 @@ def repetition_stats(sf_dir: str) -> rd.Dataset:
             "distinct_word_ratio": pa.array(dratio, pa.float64()),
             "top_bigram_frac": pa.array(topfrac, pa.float64()),
         })
+
+    return docs.map_batches(stage, batch_format="pyarrow")
+
+
+def heavy_terms(sf_dir: str, *, k: int = 4096, top: int = 20) -> pd.DataFrame:
+    """Approximate top terms across the corpus via a mergeable Misra-Gries
+    heavy-hitters summary: per-batch exact term counts compressed to <= k
+    survivors, merged pairwise (any term with true frequency > total/k is
+    GUARANTEED to survive; reported counts undercount by <= total/k).
+    Completes the mergeable-sketch trio (HLL distincts, quantile summary,
+    heavy hitters) — shuffle bytes bounded by k, independent of corpus
+    size; the final fold is one root merge whose inputs are <= k rows per
+    block (tree-mergeable beyond that). Output (term, approx_count),
+    ``top`` rows, count-desc then term-asc. Guarantees tested in
+    tests/test_similarity_textstats.py."""
+    from metis_ray.functions.sketch import mg_compress, mg_merge
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words: list[str] = []
+        for t in batch["text"].to_pylist():
+            words.extend(t.lower().split())
+        if not words:
+            return pa.table({"terms": pa.array([], pa.list_(pa.string())),
+                             "counts": pa.array([], pa.list_(pa.int64()))})
+        u, c = np.unique(np.asarray(words, dtype=object), return_counts=True)
+        u, c = mg_compress(u, c.astype(np.int64), k)
+        return pa.table({
+            "terms": pa.array([list(map(str, u))], pa.list_(pa.string())),
+            "counts": pa.array([c.tolist()], pa.list_(pa.int64()))})
+
+    rows = docs.map_batches(partial, batch_format="pyarrow").take_all()
+    sk = (np.empty(0, dtype=object), np.empty(0, dtype=np.int64))
+    for r in rows:
+        sk = mg_merge(sk, (np.asarray(r["terms"], dtype=object),
+                           np.asarray(r["counts"], dtype=np.int64)), k)
+    items, counts = sk
+    df = pd.DataFrame({"term": [str(t) for t in items],
+                       "approx_count": counts.astype(np.int64)})
+    return (df.sort_values(["approx_count", "term"],
+                           ascending=[False, True])
+            .head(top).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Applied IN ORDER (emails first: they contain digits and dots that the
+# later patterns would otherwise half-match). RE2 syntax only — the same
+# engine backs Arrow's *_substring_regex kernels and DuckDB's regexp_*,
+# which is what makes the DuckDB twin an exact-equality oracle.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d\- ]{6,}\d", "<PHONE>"),
+]
+
+
+def pii_scrub(sf_dir: str) -> rd.Dataset:
+    """(doc_id, text_clean, n_email, n_ipv4, n_phone): redact emails /
+    IPv4 addresses / phone-like digit runs into placeholder tokens and
+    count each — the curation step every public LLM-data pipeline runs
+    before training (reference analogue: the per-record field-masking
+    maps of SURVEY §2.2).
+
+    Entirely Arrow RE2 kernels (``count_substring_regex`` +
+    ``replace_substring_regex``) — zero per-row Python, and semantics
+    identical to DuckDB's RE2 ``regexp_extract_all``/``regexp_replace``,
+    so the pytest twin certifies exact equality (counts taken on the
+    intermediate text at each step, same composition order)."""
+    import pyarrow.compute as pc
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        t = batch["text"]
+        out: dict = {"doc_id": batch["doc_id"]}
+        for name, pat, placeholder in PII_PATTERNS:
+            out[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(t, pat), pa.int64())
+            t = pc.replace_substring_regex(t, pat, placeholder)
+        out["text_clean"] = t
+        return pa.table(out)
 
     return docs.map_batches(stage, batch_format="pyarrow")

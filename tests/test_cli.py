@@ -51,3 +51,33 @@ def test_cli_watch_and_backup(tiny_corpus_dir, tmp_path):
         env=env, capture_output=True, text=True, timeout=300)
     assert out2.returncode == 0, out2.stderr[-2000:]
     assert os.path.exists(os.path.join(bdir, "_MANIFEST.json"))
+
+
+def test_cli_query_verb(tmp_path):
+    """`query` runs a registered pipeline, lands Parquet with a manifest,
+    and skips idempotently on re-run."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from metis_ray.cli import main
+
+    out = str(tmp_path / "q_out")
+    rc = main(["query", "--name", "docs_token_count",
+               "--sf-dir", "/root/testdata/sf0.001", "--out", out])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "_SUCCESS.json"))
+    t = pq.read_table(out)
+    assert t.num_rows == 500 and "n_tokens" in t.column_names
+
+    mtime = os.path.getmtime(os.path.join(out, "_SUCCESS.json"))
+    rc = main(["query", "--name", "docs_token_count",
+               "--sf-dir", "/root/testdata/sf0.001", "--out", out])
+    assert rc == 0
+    assert os.path.getmtime(os.path.join(out, "_SUCCESS.json")) == mtime
+
+    rc = main(["query", "--name", "no_such_query",
+               "--sf-dir", "/root/testdata/sf0.001",
+               "--out", str(tmp_path / "q2")])
+    assert rc == 2

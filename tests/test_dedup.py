@@ -148,3 +148,79 @@ def test_fingerprint_table_matches_singles(planted_dir):
     roll = textstats.rolling_fingerprints(d).to_pandas().sort_values("doc_id")
     assert list(both["md5"]) == list(md5["md5"])
     assert list(both["rolling_min"]) == list(roll["rolling_min"])
+
+
+def test_decontaminate_matches_bruteforce():
+    """Engine (hash-partitioned joins over int64 gram hashes) vs a pure
+    Python brute force over the raw gram STRINGS — same benchmark
+    membership predicate, same n — exact flag equality for every doc."""
+    import hashlib
+
+    import pandas as pd
+
+    from metis_ray.pipelines.dedup import decontaminate
+
+    sf, n, pfx = "/root/testdata/sf0.001", 8, "10"
+    got = (decontaminate(sf, n=n, bench_prefix_lt=pfx).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    def is_bench(i):
+        return hashlib.md5(str(i).encode()).hexdigest()[:2] < pfx
+    def grams(t):
+        w = t.lower().split()
+        return {" ".join(w[j:j + n]) for j in range(len(w) - n + 1)}
+    bench_grams = set()
+    for _, r in docs.iterrows():
+        if is_bench(r.doc_id):
+            bench_grams |= grams(r.text)
+    want = {}
+    for _, r in docs.iterrows():
+        b = is_bench(r.doc_id)
+        want[r.doc_id] = (b, bool(not b and (grams(r.text) & bench_grams)))
+
+    assert len(got) == len(docs)
+    for _, r in got.iterrows():
+        wb, wc = want[r.doc_id]
+        assert bool(r.is_benchmark) == wb, r.doc_id
+        assert bool(r.contaminated) == wc, r.doc_id
+    # the benchmark sample is non-trivial and something actually leaks
+    assert got["is_benchmark"].sum() > 0
+    assert got["contaminated"].sum() > 0
+
+
+def test_substring_dedup_matches_bruteforce():
+    """Winnowing candidates + verbatim verification vs brute-force ALL-PAIRS
+    common-32-byte-substring ground truth (inverted window index).  The
+    winnowing guarantee is deterministic, so with zero dropped buckets the
+    pair sets must be EXACTLY equal — recall and precision both 1."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from metis_ray.pipelines.dedup import substring_dedup
+
+    sf, L = "/root/testdata/sf0.001", 32
+    stats = {}
+    got = substring_dedup(sf, min_len=L, stats=stats).to_pandas()
+    assert stats["dropped_buckets"] == 0
+    pairs_got = {(int(a), int(b)) for a, b in zip(got["a"], got["b"])}
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    inv = defaultdict(set)
+    for r in docs.itertuples():
+        d = r.text.encode("utf-8", "ignore")
+        for i in range(len(d) - L + 1):
+            inv[d[i:i + L]].add(int(r.doc_id))
+    want = set()
+    for v in inv.values():
+        if len(v) > 1:
+            v = sorted(v)
+            for i in range(len(v)):
+                for j in range(i + 1, len(v)):
+                    want.add((v[i], v[j]))
+    assert pairs_got == want
+    assert len(want) > 0                       # the oracle is non-trivial
+    assert (got["shared_windows"] >= 1).all()

@@ -466,3 +466,34 @@ def test_dataset_engine_weighted_lpa_matches_sequential():
     # sanity: the planted weights actually change SOME vertex's label —
     # otherwise the weighted path isn't being exercised
     assert (sequential(True) != sequential(False)).any()
+
+
+def test_dataset_engine_hits_matches_networkx(tiny_ingest, tiny_corpus_dir):
+    """hits_dataset vs networkx's pure-python HITS (same per-round
+    max-normalization + final sum-normalization): converged hub/authority
+    vectors agree at 1e-6 on the tiny corpus graph."""
+    import networkx as nx
+    from networkx.algorithms.link_analysis.hits_alg import _hits_python
+
+    from metis_ray.graph.dataset_engine import hits_dataset
+
+    res, epochs = hits_dataset(
+        tiny_ingest.edges_file, graph_vertices(tiny_ingest.files),
+        max_iter=500, tol=1e-12)
+    df = res.to_pandas().sort_values("v").reset_index(drop=True)
+
+    golden = pq.read_table(os.path.join(tiny_corpus_dir,
+                                        "golden_edges_file.parquet"))
+    g = nx.DiGraph()
+    g.add_nodes_from(df["v"].tolist())
+    g.add_edges_from(zip(golden["src"].to_pylist(),
+                         golden["dst"].to_pylist()))
+    want_h, want_a = _hits_python(g, max_iter=2000, tol=1e-12)
+    vs = df["v"].tolist()
+    np.testing.assert_allclose(df["hub"].to_numpy(),
+                               np.array([want_h[v] for v in vs]),
+                               atol=1e-6, rtol=0)
+    np.testing.assert_allclose(df["authority"].to_numpy(),
+                               np.array([want_a[v] for v in vs]),
+                               atol=1e-6, rtol=0)
+    assert epochs > 1

@@ -241,3 +241,111 @@ def test_repetition_stats_matches_duckdb():
                                want["distinct_word_ratio"], atol=1e-9)
     np.testing.assert_allclose(got["top_bigram_frac"],
                                want["top_bigram_frac"], atol=1e-9)
+
+
+def test_misra_gries_guarantees():
+    """MG invariants on a zipf stream with heavy compression (k=512):
+    every item with true frequency > n/k survives; reported counts never
+    exceed the truth and undercount by <= n/k per merge level (2 levels)."""
+    from metis_ray.functions.sketch import mg_compress, mg_merge
+
+    rng = np.random.RandomState(0)
+    x = rng.zipf(1.5, 300_000) % 50_000
+    k = 512
+    parts = []
+    for c in np.array_split(x, 23):
+        u, n = np.unique(c, return_counts=True)
+        parts.append(mg_compress(u, n.astype(np.int64), k))
+    sk = parts[0]
+    for p in parts[1:]:
+        sk = mg_merge(sk, p, k)
+    items, counts = sk
+    true_u, true_n = np.unique(x, return_counts=True)
+    true = dict(zip(true_u.tolist(), true_n.tolist()))
+    bound = 2 * len(x) / k
+    for it, ct in zip(items.tolist(), counts.tolist()):
+        assert ct <= true[it] and true[it] - ct <= bound
+    survived = set(items.tolist())
+    for u, n in true.items():
+        if n > len(x) / k:
+            assert u in survived
+
+
+def test_heavy_terms_matches_exact_counter():
+    """On the testdata corpus (small vocabulary, k >> vocab) MG is exact:
+    top terms == a brute-force Counter over every token."""
+    from collections import Counter
+    import pandas as pd
+    from metis_ray.pipelines.textstats import heavy_terms
+
+    sf = "/root/testdata/sf0.001"
+    got = heavy_terms(sf, top=20)
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+    cnt = Counter()
+    for t in docs["text"]:
+        cnt.update(t.lower().split())
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert list(zip(got["term"], got["approx_count"])) == want
+
+
+def test_pii_scrub_matches_duckdb_on_planted_corpus(tmp_path):
+    """Exact-equality twin: plant emails / IPv4s / phone runs in a tmp
+    documents table, run the Arrow-RE2 pipeline, and compare against the
+    SAME pattern composition in DuckDB (also RE2) — counts on the
+    intermediate text at each step, replacements in the same order."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    from metis_ray.pipelines.textstats import PII_PATTERNS, pii_scrub
+
+    texts = [
+        "contact alice.smith+spam@ex-ample.co.uk or bob@x.io today",
+        "server at 10.0.0.1 and 192.168.100.254, not 1.2.3",
+        "call +1 555-867-5309 or 0800 123 456 now",
+        "mixed: eve@corp.com from 172.16.0.9 dialed 555-123-4567",
+        "clean text with no identifiers at all",
+        "",
+        "a@b.cd 1.2.3.4 12-34-56-78",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(["en"] * len(texts)),
+                    "source": pa.array(["t"] * len(texts)),
+                    "n_chars": pa.array([len(t) for t in texts], pa.int64())})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    got = (pii_scrub(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    sql = "SELECT doc_id, text FROM read_parquet(?)"
+    prev = "s0"
+    ctes = [f"s0 AS ({sql})"]
+    for i, (name, pat, ph) in enumerate(PII_PATTERNS, 1):
+        p = pat.replace("'", "''")
+        ctes.append(
+            f"s{i} AS (SELECT doc_id, "
+            f"len(regexp_extract_all(text, '{p}')) AS n_{name}, "
+            f"regexp_replace(text, '{p}', '{ph}', 'g') AS text, "
+            f"* EXCLUDE (doc_id, text) FROM {prev})")
+        prev = f"s{i}"
+    q = ("WITH " + ", ".join(ctes) +
+         f" SELECT doc_id, n_email, n_ipv4, n_phone, text AS text_clean "
+         f"FROM {prev} ORDER BY doc_id")
+    want = duckdb.execute(q, [str(tmp_path / "documents.parquet")]).df()
+
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "n_email", "n_ipv4", "n_phone", "text_clean"]],
+        want.astype({"n_email": "int64", "n_ipv4": "int64",
+                     "n_phone": "int64"}))
+    # the planted rows actually exercise every pattern
+    assert got["n_email"].sum() >= 4
+    assert got["n_ipv4"].sum() >= 4
+    assert got["n_phone"].sum() >= 3
+
+
+def test_pii_scrub_runs_on_sf_corpus():
+    got = textstats.pii_scrub(SF).to_pandas()
+    assert len(got) == 500
+    assert set(got.columns) == {"doc_id", "text_clean", "n_email",
+                                "n_ipv4", "n_phone"}
