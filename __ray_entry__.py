@@ -199,6 +199,19 @@ def _q_kcore(sf_dir: str):
     return cores.to_pandas().sort_values("v").reset_index(drop=True)
 
 
+def _q_export_shards(sf_dir: str):
+    """Training-shard export into a fresh /tmp dir; returns the per-bin
+    manifest (bin_id, rows). Resumability (skip-complete, rewrite-only-
+    missing) is proven in pytest (test_export_packed_resumable)."""
+    import shutil
+
+    from metis_ray.pipelines.scan import export_packed
+    out = os.path.join("/tmp", "metis_ray_export",
+                       os.path.basename(sf_dir.rstrip("/")))
+    shutil.rmtree(out, ignore_errors=True)
+    return export_packed(sf_dir, out, budget=4096)
+
+
 def _q_hits(sf_dir: str):
     """HITS hubs/authorities over the corpus link graph (Dataset-engine
     power iteration). Pytest oracle: NetworkX _hits_python at 1e-6
@@ -481,6 +494,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-substring dedup (winnowing candidates, verbatim-confirmed;
         # all-pairs inverted-index golden in pytest — recall AND precision 1)
         "docs_substring_dedup": _bucket_cap_guard(dedup.substring_dedup),
+        # deterministic global shuffle (md5(seed:doc_id) distributed sort;
+        # exact order-equality DuckDB twin in pytest)
+        "docs_shuffle": textstats.shuffle_docs,
+        # per-doc TF-IDF keywords (tf*ln(N/df) through a term-partitioned
+        # join; exact numpy-transcription golden in pytest)
+        "docs_tfidf_top_terms": textstats.tfidf_top_terms,
+        # resumable partitioned training export (per-bin atomic Hive
+        # partitions; skip-complete resume proven in pytest)
+        "docs_export_shards": _q_export_shards,
     }
 
 

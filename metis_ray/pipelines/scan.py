@@ -86,3 +86,80 @@ def pack_bins(sf_dir: str, *, budget: int = 4096) -> rd.Dataset:
         })
 
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def export_packed(sf_dir: str, out_dir: str, *,
+                  budget: int = 4096) -> "pd.DataFrame":
+    """Resumable partitioned training-data export: pack documents into
+    token-budget bins (``pack_bins``), attach text by a hash-partitioned
+    join, and write ONE Hive-style partition per bin
+    (``out_dir/bin_id=N/part-0.parquet``) — never one giant file.
+
+    Per-partition atomic + resumable: each bin's file is written to a tmp
+    name and ``os.replace``d into place inside the worker, so a crashed
+    run leaves either a complete partition or an invisible tmp; a re-run
+    SKIPS every bin whose final file already exists and writes only the
+    missing ones. The layout is plain Hive partitioning —
+    ``read_parquet(out_dir)`` (Ray, DuckDB, Spark) reads it back with
+    ``bin_id`` reconstructed. On a multi-node cluster ``out_dir`` must be
+    shared storage (the same contract as every distributed sink).
+
+    Returns the export manifest as a DataFrame: one row per bin with
+    ``rows`` written, or ``rows = -1`` for bins skipped as already
+    complete."""
+    import os
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from metis_ray.pipelines.dedup import _join_parts, _nonempty_blocks
+
+    os.makedirs(out_dir, exist_ok=True)
+    done = sorted(
+        int(d.split("=", 1)[1]) for d in os.listdir(out_dir)
+        if d.startswith("bin_id=")
+        and os.path.exists(os.path.join(out_dir, d, "part-0.parquet")))
+
+    bins, _ = _nonempty_blocks(pack_bins(sf_dir, budget=budget))
+    skipped = pd.DataFrame({"bin_id": pd.Series(done, dtype="int64"),
+                            "rows": pd.Series([-1] * len(done),
+                                              dtype="int64")})
+    if bins is None:
+        return skipped
+    if done:
+        done_arr = pa.array(done, pa.int64())
+        bins, _ = _nonempty_blocks(bins.map_batches(
+            lambda t: t.filter(pc.invert(pc.is_in(t["bin_id"],
+                                                  value_set=done_arr))),
+            batch_format="pyarrow"))
+        if bins is None:
+            return skipped
+
+    from metis_ray.sources.parquet import read_table as _rt
+    docs, _ = _nonempty_blocks(_rt(sf_dir, "documents",
+                                   columns=["doc_id", "text"]))
+    j = bins.join(docs, join_type="inner", num_partitions=_join_parts(),
+                  on=("doc_id",))
+    j, _ = _nonempty_blocks(j)
+    if j is None:
+        return skipped
+
+    def write_bin(group: pa.Table) -> pa.Table:
+        bid = group["bin_id"][0].as_py()
+        d = os.path.join(out_dir, f"bin_id={bid}")
+        os.makedirs(d, exist_ok=True)
+        final = os.path.join(d, "part-0.parquet")
+        tmp = os.path.join(d, ".part-0.parquet.tmp")
+        tbl = (group.sort_by("doc_id")
+               .select(["doc_id", "n_tokens", "text"]))
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, final)
+        return pa.table({"bin_id": pa.array([bid], pa.int64()),
+                         "rows": pa.array([group.num_rows], pa.int64())})
+
+    written = (j.groupby("bin_id").map_groups(write_bin,
+                                              batch_format="pyarrow")
+               .to_pandas())
+    return (pd.concat([written, skipped], ignore_index=True)
+            .sort_values("bin_id").reset_index(drop=True))

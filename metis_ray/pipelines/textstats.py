@@ -375,3 +375,97 @@ def pii_scrub(sf_dir: str) -> rd.Dataset:
         return pa.table(out)
 
     return docs.map_batches(stage, batch_format="pyarrow")
+
+
+def shuffle_docs(sf_dir: str, *, seed: int = 42) -> rd.Dataset:
+    """Deterministic global training-order shuffle: each doc gets the
+    pseudorandom key ``md5(f"{seed}:{doc_id}")`` and the table is
+    distributed-sorted by it — the reproducible alternative to
+    ``random_shuffle()`` for fixing a training data order. Membership of
+    position is a pure function of (seed, doc_id): stable across runs,
+    cluster sizes and block layouts, and the same expression runs verbatim
+    in SQL (``md5(concat(...)) ... ORDER BY``). Reshuffling = new seed.
+    Output: metadata rows + ``shuffle_key``, globally ordered by it."""
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "lang", "source", "n_chars"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        k = [hashlib.md5(f"{seed}:{i}".encode()).hexdigest() for i in ids]
+        return batch.append_column("shuffle_key", pa.array(k, pa.string()))
+
+    return docs.map_batches(key, batch_format="pyarrow").sort("shuffle_key")
+
+
+def tfidf_top_terms(sf_dir: str, *, top: int = 3) -> rd.Dataset:
+    """(doc_id, term, tfidf, rnk): the ``top`` highest-TF-IDF terms per
+    document (tf = in-doc count, idf = ln(N/df), ties broken term-asc) —
+    the classic content-keyword extractor.
+
+    Distributed shape: one ``map_batches`` pass emits (doc_id, term, tf)
+    partials (per-doc numpy unique, no global vocabulary anywhere);
+    document frequency is a ``groupby(term)`` count; scores attach by a
+    hash-partitioned join on term (the df table can outgrow a broadcast);
+    the per-doc top-k is a ``groupby(doc_id).map_groups`` — every stage a
+    shuffle-or-map, nothing driver-side but the scalar N. Oracle: an exact
+    numpy transcription of the same recurrence in pytest."""
+    from ray.data.aggregate import Count
+
+    from metis_ray.pipelines.dedup import _join_parts, _nonempty_blocks
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = docs.count()
+
+    def tf_stage(batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        terms: list[str] = []
+        tfs: list[int] = []
+        for i, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            w = t.lower().split()
+            if not w:
+                continue
+            u, c = np.unique(np.asarray(w, dtype=object), return_counts=True)
+            ids.extend([i] * len(u))
+            terms.extend(str(x) for x in u)
+            tfs.extend(int(x) for x in c)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "term": pa.array(terms, pa.string()),
+                         "tf": pa.array(tfs, pa.int64())})
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "term": pa.array([], pa.string()),
+                      "tfidf": pa.array([], pa.float64()),
+                      "rnk": pa.array([], pa.int64())})
+    tft, _ = _nonempty_blocks(docs.map_batches(tf_stage,
+                                               batch_format="pyarrow"))
+    if tft is None:
+        return rd.from_arrow(empty)
+    dft, _ = _nonempty_blocks(
+        tft.groupby("term").aggregate(Count(alias_name="df")))
+    j = tft.join(dft, join_type="inner", num_partitions=_join_parts(),
+                 on=("term",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = batch["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = tf * np.log(float(n_docs) / dfv)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "term": batch["term"],
+                         "tfidf": pa.array(s, pa.float64())})
+
+    def topk(group: pa.Table) -> pa.Table:
+        s = group["tfidf"].to_numpy(zero_copy_only=False)
+        terms = np.asarray(group["term"].to_pylist(), dtype=object)
+        order = np.lexsort((terms, -s))[:top]
+        return pa.table({
+            "doc_id": group["doc_id"].take(pa.array(order)),
+            "term": group["term"].take(pa.array(order)),
+            "tfidf": pa.array(np.round(s[order], 9), pa.float64()),
+            "rnk": pa.array(np.arange(1, len(order) + 1), pa.int64())})
+
+    scored, _ = _nonempty_blocks(j.map_batches(score,
+                                               batch_format="pyarrow"))
+    if scored is None:
+        return rd.from_arrow(empty)
+    return scored.groupby("doc_id").map_groups(topk, batch_format="pyarrow")

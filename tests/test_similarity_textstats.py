@@ -349,3 +349,101 @@ def test_pii_scrub_runs_on_sf_corpus():
     assert len(got) == 500
     assert set(got.columns) == {"doc_id", "text_clean", "n_email",
                                 "n_ipv4", "n_phone"}
+
+
+def test_shuffle_docs_matches_duckdb_order():
+    """Deterministic global shuffle: the engine's distributed sort by
+    md5(seed:doc_id) yields EXACTLY the order DuckDB produces for the same
+    expression — reproducible training order, any parallelism."""
+    import duckdb
+
+    got = textstats.shuffle_docs(SF, seed=7).to_pandas()
+    want = duckdb.execute(
+        "SELECT doc_id, md5(concat('7:', CAST(doc_id AS VARCHAR))) AS k "
+        "FROM read_parquet(?) ORDER BY k",
+        [f"{SF}/documents.parquet"]).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["shuffle_key"].tolist() == want["k"].tolist()
+    # actually shuffled (not id order), and a different seed reorders
+    assert got["doc_id"].tolist() != sorted(got["doc_id"].tolist())
+    got2 = textstats.shuffle_docs(SF, seed=8).to_pandas()
+    assert got2["doc_id"].tolist() != got["doc_id"].tolist()
+
+
+def test_tfidf_top_terms_matches_transcription():
+    """tfidf_top_terms vs an exact sequential numpy transcription of the
+    same recurrence (tf * ln(N/df), ties term-asc) — per-row equality."""
+    import pandas as pd
+
+    got = (textstats.tfidf_top_terms(SF, top=3).to_pandas()
+           .sort_values(["doc_id", "rnk"]).reset_index(drop=True))
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    n = len(docs)
+    from collections import Counter
+    df_counter: Counter = Counter()
+    per_doc = {}
+    for r in docs.itertuples():
+        cnt = Counter(r.text.lower().split())
+        per_doc[r.doc_id] = cnt
+        df_counter.update(cnt.keys())
+    rows = []
+    for did, cnt in per_doc.items():
+        if not cnt:
+            continue
+        scored = sorted(
+            ((-tf * np.log(float(n) / df_counter[t]), t) for t, tf in cnt.items()))
+        for rnk, (neg, t) in enumerate(scored[:3], 1):
+            rows.append((did, t, round(-neg, 9), rnk))
+    want = (pd.DataFrame(rows, columns=["doc_id", "term", "tfidf", "rnk"])
+            .sort_values(["doc_id", "rnk"]).reset_index(drop=True))
+
+    assert len(got) == len(want)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["term"].tolist() == want["term"].tolist()
+    np.testing.assert_allclose(got["tfidf"], want["tfidf"], atol=1e-9)
+
+
+def test_export_packed_resumable(tmp_path):
+    """Partitioned export: every doc lands in its pack_bins partition;
+    re-run skips every complete bin (rows = -1, files untouched); deleting
+    one bin's file makes the next run rewrite ONLY that bin."""
+    import os
+
+    import duckdb
+    import pandas as pd
+
+    from metis_ray.pipelines.scan import export_packed, pack_bins
+
+    out = str(tmp_path / "shards")
+    man1 = export_packed(SF, out, budget=1000)
+    assert (man1["rows"] > 0).all()
+
+    # read-back: Hive layout reconstructs bin_id; contents match pack_bins
+    back = duckdb.execute(
+        "SELECT doc_id, n_tokens, bin_id FROM read_parquet(?, "
+        "hive_partitioning=true) ORDER BY doc_id",
+        [f"{out}/*/*.parquet"]).df()
+    want = (pack_bins(SF, budget=1000).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert back["doc_id"].tolist() == want["doc_id"].tolist()
+    assert back["bin_id"].astype(int).tolist() == want["bin_id"].tolist()
+    assert back["n_tokens"].tolist() == want["n_tokens"].tolist()
+
+    # idempotent resume: everything skipped, nothing rewritten
+    mtimes = {d: os.path.getmtime(os.path.join(out, d, "part-0.parquet"))
+              for d in os.listdir(out)}
+    man2 = export_packed(SF, out, budget=1000)
+    assert (man2["rows"] == -1).all()
+    assert len(man2) == len(man1)
+    for d, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, d, "part-0.parquet")) == m
+
+    # partial-failure resume: drop one bin, only it is rewritten
+    victim = sorted(os.listdir(out))[0]
+    os.remove(os.path.join(out, victim, "part-0.parquet"))
+    man3 = export_packed(SF, out, budget=1000)
+    rewritten = man3[man3["rows"] > 0]
+    assert len(rewritten) == 1
+    assert f"bin_id={int(rewritten['bin_id'].iloc[0])}" == victim
