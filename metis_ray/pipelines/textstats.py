@@ -319,7 +319,25 @@ def heavy_terms(sf_dir: str, *, k: int = 4096, top: int = 20) -> pd.DataFrame:
             "terms": pa.array([list(map(str, u))], pa.list_(pa.string())),
             "counts": pa.array([c.tolist()], pa.list_(pa.int64()))})
 
-    rows = docs.map_batches(partial, batch_format="pyarrow").take_all()
+    def merge_level(batch: pa.Table) -> pa.Table:
+        # distributed tree-merge level: fold every summary row in the
+        # batch into one, so the driver sees ceil(#blocks / batch_size)
+        # rows instead of one per input block (MG merge is associative —
+        # any fold shape gives the same guarantees)
+        sk = (np.empty(0, dtype=object), np.empty(0, dtype=np.int64))
+        for t, c in zip(batch["terms"].to_pylist(),
+                        batch["counts"].to_pylist()):
+            sk = mg_merge(sk, (np.asarray(t, dtype=object),
+                               np.asarray(c, dtype=np.int64)), k)
+        return pa.table({
+            "terms": pa.array([list(map(str, sk[0]))],
+                              pa.list_(pa.string())),
+            "counts": pa.array([sk[1].tolist()], pa.list_(pa.int64()))})
+
+    rows = (docs.map_batches(partial, batch_format="pyarrow")
+            .map_batches(merge_level, batch_format="pyarrow",
+                         batch_size=1024)
+            .take_all())
     sk = (np.empty(0, dtype=object), np.empty(0, dtype=np.int64))
     for r in rows:
         sk = mg_merge(sk, (np.asarray(r["terms"], dtype=object),
