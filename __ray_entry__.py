@@ -1011,4 +1011,35 @@ def oracle_sql() -> dict[str, str]:
                 CROSS JOIN embeddings e
             ) WHERE rnk <= 10
         """,
+        # --- tail-registered queries (past the driver's 50-entry window;
+        # these twins are exercised by tools/parity.py and pytest) ---
+        "docs_shuffle": """
+            SELECT doc_id, lang, source, n_chars,
+                   md5(concat('42:', CAST(doc_id AS VARCHAR))) AS shuffle_key
+            FROM documents ORDER BY shuffle_key
+        """,
+        "docs_pii_scrub": r"""
+            WITH s1 AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text,
+                           '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'
+                       )) AS n_email,
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t1
+                FROM documents),
+            s2 AS (
+                SELECT doc_id, n_email,
+                       len(regexp_extract_all(t1,
+                           '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+                       regexp_replace(t1, '\b(?:\d{1,3}\.){3}\d{1,3}\b',
+                                      '<IP>', 'g') AS t2
+                FROM s1)
+            SELECT doc_id, n_email, n_ipv4,
+                   len(regexp_extract_all(t2,
+                       '\+?\d[\d\- ]{6,}\d')) AS n_phone,
+                   regexp_replace(t2, '\+?\d[\d\- ]{6,}\d',
+                                  '<PHONE>', 'g') AS text_clean
+            FROM s2
+        """,
     }

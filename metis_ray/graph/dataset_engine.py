@@ -438,7 +438,7 @@ def bfs_distance_dataset(edges: rd.Dataset, vertices: rd.Dataset,
 
 
 def hits_dataset(edges: rd.Dataset, vertices: rd.Dataset, *,
-                 max_iter: int = 100, tol: float = 1e-10,
+                 max_iter: int = 100, tol: float = 1e-8,
                  ) -> tuple[rd.Dataset, int]:
     """HITS hubs & authorities as pure Dataset supersteps (Kleinberg's
     algorithm, NetworkX ``nx.hits`` semantics: per-round max-normalization,
