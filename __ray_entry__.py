@@ -186,6 +186,18 @@ def _q_bfs_distance(sf_dir: str):
     return dists.to_pandas().sort_values("v").reset_index(drop=True)
 
 
+def _q_linkpred(sf_dir: str):
+    """Adamic-Adar link prediction: top-100 non-adjacent file pairs by
+    wedge overlap over the undirected dependency graph. Pure Dataset
+    composition (3 shuffles + 1 anti-join, hub-capped wedge enumeration);
+    DuckDB twin computes the identical capped definition from the golden
+    edge table."""
+    from metis_ray.graph.linkpred import adamic_adar
+    from metis_ray.pipelines.linkgraph import ingest
+    return adamic_adar(ingest(_corpus_dir(sf_dir)).edges_file,
+                       k=100).to_pandas().reset_index(drop=True)
+
+
 def _q_kcore(sf_dir: str):
     """k-core decomposition (core number per vertex) over the corpus link
     graph, by the superstep-parallel h-index iteration in the Dataset
@@ -503,6 +515,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # resumable partitioned training export (per-bin atomic Hive
         # partitions; skip-complete resume proven in pytest)
         "docs_export_shards": _q_export_shards,
+        # Adamic-Adar link prediction (hub-capped wedge enumeration;
+        # NetworkX adamic_adar_index pytest + independent DuckDB twin)
+        "graph_linkpred": _q_linkpred,
     }
 
 
@@ -1041,5 +1056,38 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(t2, '\+?\d[\d\- ]{6,}\d',
                                   '<PHONE>', 'g') AS text_clean
             FROM s2
+        """,
+        # independent recomputation of the hub-capped Adamic-Adar
+        # definition (cap 4096 == metis_ray.graph.linkpred default) from
+        # the certified golden edge table; rounding + tie order identical
+        # to the engine's round-before-sort rule
+        "graph_linkpred": f"""
+            WITH und AS (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM read_parquet('{g}/golden_edges_file.parquet')
+                WHERE src <> dst
+            ),
+            sym AS (
+                SELECT a AS v, b AS n FROM und
+                UNION ALL SELECT b AS v, a AS n FROM und
+            ),
+            ctr AS (
+                SELECT v, count(*) AS deg FROM sym GROUP BY v
+                HAVING count(*) BETWEEN 2 AND 4096
+            ),
+            wedge AS (
+                SELECT s1.n AS a, s2.n AS b, c.deg
+                FROM sym s1
+                JOIN ctr c ON s1.v = c.v
+                JOIN sym s2 ON s2.v = c.v AND s1.n < s2.n
+            ),
+            sc AS (
+                SELECT a, b, count(*) AS common_neighbors,
+                       round(sum(1.0 / ln(deg)), 6) AS adamic_adar
+                FROM wedge GROUP BY a, b
+            )
+            SELECT sc.a, sc.b, sc.common_neighbors, sc.adamic_adar
+            FROM sc ANTI JOIN und ON sc.a = und.a AND sc.b = und.b
+            ORDER BY adamic_adar DESC, a, b LIMIT 100
         """,
     }

@@ -300,3 +300,62 @@ def test_dataset_engine_lpa_matches_golden(tiny_corpus_dir):
                                         "golden_labels.parquet"))
     want = dict(zip(golden["v"].to_pylist(), golden["label"].to_pylist()))
     assert got == want
+
+
+def test_adamic_adar_matches_networkx():
+    """Hub-capped Adamic-Adar on a random multigraph (self-loops, parallel
+    edges) == NetworkX adamic_adar_index over all non-edges with score > 0,
+    including the common-neighbor counts and the exclusion of adjacent
+    pairs. k is set past the number of scored pairs so the full prediction
+    set is compared, not just a prefix."""
+    import networkx as nx
+    import ray.data as rd
+    from metis_ray.graph.linkpred import adamic_adar
+
+    rng = np.random.RandomState(7)
+    n = 50
+    src = rng.randint(0, n, 220)
+    dst = rng.randint(0, n, 220)
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}))
+
+    got = adamic_adar(edges, k=100_000).to_pandas()
+    got_scores = {(a, b): s for a, b, s in
+                  zip(got["a"], got["b"], got["adamic_adar"])}
+    got_cn = {(a, b): c for a, b, c in
+              zip(got["a"], got["b"], got["common_neighbors"])}
+
+    g = nx.Graph()
+    g.add_edges_from((int(s), int(d)) for s, d in zip(src, dst) if s != d)
+    want_scores, want_cn = {}, {}
+    for u, v, p in nx.adamic_adar_index(g):
+        if p > 0:
+            a, b = (u, v) if u < v else (v, u)
+            want_scores[(a, b)] = round(p, 6)
+            want_cn[(a, b)] = len(list(nx.common_neighbors(g, u, v)))
+
+    assert got_cn == want_cn
+    assert set(got_scores) == set(want_scores)
+    for k_ in want_scores:
+        assert abs(got_scores[k_] - want_scores[k_]) <= 1e-6
+
+
+def test_adamic_adar_hub_cap_counted():
+    """A star hub past the cap emits no wedges but IS counted; the
+    remaining wedge centers still score."""
+    import ray.data as rd
+    from metis_ray.graph.linkpred import adamic_adar
+
+    hub_edges = [(0, i) for i in range(1, 12)]           # deg(0) = 11 > cap
+    tri = [(100, 101), (100, 102)]                       # center 100, deg 2
+    src, dst = zip(*(hub_edges + tri))
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}))
+
+    stats = {}
+    got = adamic_adar(edges, k=1000, max_hub_degree=10,
+                      stats=stats).to_pandas()
+    assert stats["dropped_hubs"] == 1
+    pairs = set(zip(got["a"], got["b"]))
+    assert pairs == {(101, 102)}                         # hub wedges gone
+    assert got["common_neighbors"].iloc[0] == 1
