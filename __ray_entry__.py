@@ -198,6 +198,15 @@ def _q_linkpred(sf_dir: str):
                        k=100).to_pandas().reset_index(drop=True)
 
 
+def _q_linkpred_jaccard(sf_dir: str):
+    """Neighborhood-Jaccard link prediction (same hub-capped candidate
+    machinery as graph_linkpred; exact degrees attached by hash joins)."""
+    from metis_ray.graph.linkpred import jaccard_neighbors
+    from metis_ray.pipelines.linkgraph import ingest
+    return jaccard_neighbors(ingest(_corpus_dir(sf_dir)).edges_file,
+                             k=100).to_pandas().reset_index(drop=True)
+
+
 def _q_kcore(sf_dir: str):
     """k-core decomposition (core number per vertex) over the corpus link
     graph, by the superstep-parallel h-index iteration in the Dataset
@@ -518,6 +527,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Adamic-Adar link prediction (hub-capped wedge enumeration;
         # NetworkX adamic_adar_index pytest + independent DuckDB twin)
         "graph_linkpred": _q_linkpred,
+        # neighborhood-Jaccard link prediction (NetworkX
+        # jaccard_coefficient pytest + independent DuckDB twin)
+        "graph_linkpred_jaccard": _q_linkpred_jaccard,
     }
 
 
@@ -1089,5 +1101,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT sc.a, sc.b, sc.common_neighbors, sc.adamic_adar
             FROM sc ANTI JOIN und ON sc.a = und.a AND sc.b = und.b
             ORDER BY adamic_adar DESC, a, b LIMIT 100
+        """,
+        "graph_linkpred_jaccard": f"""
+            WITH und AS (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM read_parquet('{g}/golden_edges_file.parquet')
+                WHERE src <> dst
+            ),
+            sym AS (
+                SELECT a AS v, b AS n FROM und
+                UNION ALL SELECT b AS v, a AS n FROM und
+            ),
+            deg AS (SELECT v, count(*) AS deg FROM sym GROUP BY v),
+            ctr AS (SELECT v FROM deg WHERE deg BETWEEN 2 AND 4096),
+            wedge AS (
+                SELECT s1.n AS a, s2.n AS b
+                FROM sym s1
+                JOIN ctr c ON s1.v = c.v
+                JOIN sym s2 ON s2.v = c.v AND s1.n < s2.n
+            ),
+            sc AS (
+                SELECT a, b, count(*) AS common_neighbors
+                FROM wedge GROUP BY a, b
+            ),
+            nonadj AS (
+                SELECT sc.* FROM sc
+                ANTI JOIN und ON sc.a = und.a AND sc.b = und.b
+            )
+            SELECT n.a, n.b, n.common_neighbors,
+                   round(n.common_neighbors * 1.0
+                         / (da.deg + db.deg - n.common_neighbors), 6)
+                       AS jaccard
+            FROM nonadj n
+            JOIN deg da ON n.a = da.v
+            JOIN deg db ON n.b = db.v
+            ORDER BY jaccard DESC, a, b LIMIT 100
         """,
     }

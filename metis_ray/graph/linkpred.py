@@ -56,22 +56,11 @@ def _symmetrize(canon: rd.Dataset) -> rd.Dataset:
     return canon.map_batches(both, batch_format="pyarrow")
 
 
-def adamic_adar(edges: rd.Dataset, *, k: int = 100,
-                max_hub_degree: int = 4096,
-                stats: dict | None = None) -> rd.Dataset:
-    """Top-``k`` non-adjacent pairs by Adamic-Adar score.
-
-    Output columns: (a, b, common_neighbors: int64, adamic_adar: float64
-    rounded to 6 dp). Deterministic order: (adamic_adar DESC, a, b) —
-    rounding happens Arrow-side BEFORE the distributed sort so ties at the
-    k-th score resolve exactly as the SQL twin's ORDER BY (the q3 rule).
-
-    Wedge centers with undirected degree > ``max_hub_degree`` are excluded
-    by definition (counted in ``stats['dropped_hubs']`` when given).
-    Centers of degree 1 contribute no wedge; degree >= 2 makes ln(deg) > 0.
-    """
-    canon = canonical_edges(edges)
-    sym = _symmetrize(canon)
+def _wedge_pairs(sym: rd.Dataset, max_hub_degree: int,
+                 stats: dict | None) -> rd.Dataset:
+    """Candidate pairs (a < b) with per-wedge Adamic-Adar weight ``w`` and
+    an implicit count-of-rows common-neighbor tally; hub centers emit one
+    counted sentinel row (a = -1) instead of O(deg^2) pairs."""
 
     def wedges(group: pa.Table) -> pa.Table:
         ns = np.unique(group["n"].to_numpy(zero_copy_only=False))
@@ -96,9 +85,28 @@ def adamic_adar(edges: rd.Dataset, *, k: int = 100,
         stats["dropped_hubs"] = pairs.map_batches(
             lambda t: t.filter(pc.less(t["a"], pa.scalar(0))),
             batch_format="pyarrow").count()
-    pairs = pairs.map_batches(
+    return pairs.map_batches(
         lambda t: t.filter(pc.greater_equal(t["a"], pa.scalar(0))),
         batch_format="pyarrow")
+
+
+def adamic_adar(edges: rd.Dataset, *, k: int = 100,
+                max_hub_degree: int = 4096,
+                stats: dict | None = None) -> rd.Dataset:
+    """Top-``k`` non-adjacent pairs by Adamic-Adar score.
+
+    Output columns: (a, b, common_neighbors: int64, adamic_adar: float64
+    rounded to 6 dp). Deterministic order: (adamic_adar DESC, a, b) —
+    rounding happens Arrow-side BEFORE the distributed sort so ties at the
+    k-th score resolve exactly as the SQL twin's ORDER BY (the q3 rule).
+
+    Wedge centers with undirected degree > ``max_hub_degree`` are excluded
+    by definition (counted in ``stats['dropped_hubs']`` when given).
+    Centers of degree 1 contribute no wedge; degree >= 2 makes ln(deg) > 0.
+    """
+    canon = canonical_edges(edges)
+    sym = _symmetrize(canon)
+    pairs = _wedge_pairs(sym, max_hub_degree, stats)
 
     scored = pairs.groupby(["a", "b"]).aggregate(
         Sum("w", alias_name="adamic_adar"),
@@ -127,4 +135,70 @@ def adamic_adar(edges: rd.Dataset, *, k: int = 100,
 
     out = nonadj.map_batches(finish, batch_format="pyarrow")
     return out.sort(["adamic_adar", "a", "b"],
+                    descending=[True, False, False]).limit(k)
+
+
+def jaccard_neighbors(edges: rd.Dataset, *, k: int = 100,
+                      max_hub_degree: int = 4096,
+                      stats: dict | None = None) -> rd.Dataset:
+    """Top-``k`` non-adjacent pairs by neighborhood Jaccard similarity
+    |N(a) ∩ N(b)| / |N(a) ∪ N(b)|.
+
+    Output columns: (a, b, common_neighbors: int64, jaccard: float64
+    rounded to 6 dp), deterministic order (jaccard DESC, a, b). The
+    intersection comes from the hub-capped wedge count (same candidate
+    machinery and the same documented cap semantic as :func:`adamic_adar`);
+    the two degrees are exact and attached by hash-shuffle joins against
+    the degree table (|V| rows — never broadcast, never collected).
+    """
+    from metis_ray.pipelines.dedup import _join_parts, _nonempty_blocks
+
+    canon = canonical_edges(edges)
+    sym = _symmetrize(canon)
+    pairs = _wedge_pairs(sym, max_hub_degree, stats)
+
+    cn = pairs.groupby(["a", "b"]).aggregate(
+        Count(alias_name="common_neighbors"))
+
+    left, _ = _nonempty_blocks(cn)
+    if left is None:
+        return rd.from_arrow(pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()),
+             ("common_neighbors", pa.int64()),
+             ("jaccard", pa.float64())]).empty_table())
+    nparts = _join_parts()
+    adj = canon.rename_columns({"src": "a", "dst": "b"})
+    nonadj = left.join(adj, join_type="left_anti", on=("a", "b"),
+                       num_partitions=nparts)
+
+    deg = sym.groupby("v").aggregate(Count(alias_name="deg"))
+
+    left, _ = _nonempty_blocks(nonadj)
+    if left is None:
+        return rd.from_arrow(pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()),
+             ("common_neighbors", pa.int64()),
+             ("jaccard", pa.float64())]).empty_table())
+    deg_a = deg.rename_columns({"v": "a", "deg": "deg_a"})
+    withdeg = left.join(deg_a, join_type="inner", on=("a",),
+                        num_partitions=nparts)
+    left, _ = _nonempty_blocks(withdeg)
+    deg_b = deg.rename_columns({"v": "b", "deg": "deg_b"})
+    withdeg = left.join(deg_b, join_type="inner", on=("b",),
+                        num_partitions=nparts)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        cn_ = batch["common_neighbors"].to_numpy(zero_copy_only=False)
+        da = batch["deg_a"].to_numpy(zero_copy_only=False)
+        db = batch["deg_b"].to_numpy(zero_copy_only=False)
+        j = cn_ / (da + db - cn_)
+        return pa.table({
+            "a": batch["a"],
+            "b": batch["b"],
+            "common_neighbors": batch["common_neighbors"],
+            "jaccard": pc.round(pa.array(j, pa.float64()), ndigits=6),
+        })
+
+    out = withdeg.map_batches(finish, batch_format="pyarrow")
+    return out.sort(["jaccard", "a", "b"],
                     descending=[True, False, False]).limit(k)

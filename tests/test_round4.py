@@ -359,3 +359,34 @@ def test_adamic_adar_hub_cap_counted():
     pairs = set(zip(got["a"], got["b"]))
     assert pairs == {(101, 102)}                         # hub wedges gone
     assert got["common_neighbors"].iloc[0] == 1
+
+
+def test_jaccard_neighbors_matches_networkx():
+    """Neighborhood Jaccard on a random multigraph == NetworkX
+    jaccard_coefficient over all non-edges with score > 0."""
+    import networkx as nx
+    import ray.data as rd
+    from metis_ray.graph.linkpred import jaccard_neighbors
+
+    rng = np.random.RandomState(13)
+    n = 50
+    src = rng.randint(0, n, 220)
+    dst = rng.randint(0, n, 220)
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}))
+
+    got = jaccard_neighbors(edges, k=100_000).to_pandas()
+    got_scores = {(a, b): s for a, b, s in
+                  zip(got["a"], got["b"], got["jaccard"])}
+
+    g = nx.Graph()
+    g.add_edges_from((int(s), int(d)) for s, d in zip(src, dst) if s != d)
+    want = {}
+    for u, v, p in nx.jaccard_coefficient(g):
+        if p > 0:
+            a, b = (u, v) if u < v else (v, u)
+            want[(a, b)] = round(p, 6)
+
+    assert set(got_scores) == set(want)
+    for k_ in want:
+        assert abs(got_scores[k_] - want[k_]) <= 1e-6
