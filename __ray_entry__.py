@@ -207,6 +207,19 @@ def _q_linkpred_jaccard(sf_dir: str):
                              k=100).to_pandas().reset_index(drop=True)
 
 
+def _q_scc(sf_dir: str):
+    """Strongly connected components of the DIRECTED dependency graph
+    (trim + forward/backward min-label peeling). Pytest oracle: NetworkX
+    strongly_connected_components on a random multigraph and a structured
+    adversarial case (test_scc_matches_networkx_random,
+    test_scc_structured)."""
+    from metis_ray.graph.dataset_engine import scc_dataset
+    from metis_ray.pipelines.linkgraph import graph_vertices, ingest
+    res = ingest(_corpus_dir(sf_dir))
+    comp, _ = scc_dataset(res.edges_file, graph_vertices(res.files))
+    return comp.to_pandas().sort_values("v").reset_index(drop=True)
+
+
 def _q_kcore(sf_dir: str):
     """k-core decomposition (core number per vertex) over the corpus link
     graph, by the superstep-parallel h-index iteration in the Dataset
@@ -530,6 +543,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # neighborhood-Jaccard link prediction (NetworkX
         # jaccard_coefficient pytest + independent DuckDB twin)
         "graph_linkpred_jaccard": _q_linkpred_jaccard,
+        # strongly connected components of the DIRECTED graph (trim +
+        # FB-min-label peeling; NetworkX pytest oracles)
+        "scc": _q_scc,
     }
 
 

@@ -514,3 +514,154 @@ def hits_dataset(edges: rd.Dataset, vertices: rd.Dataset, *,
         "hub": pa.array(h / hs if hs > 0 else h, pa.float64()),
         "authority": pa.array(a / as_ if as_ > 0 else a, pa.float64()),
     })), epochs
+
+
+def scc_dataset(edges: rd.Dataset, vertices: rd.Dataset, *,
+                max_iter: int = 10_000) -> tuple[rd.Dataset, int]:
+    """Strongly connected components as pure Dataset supersteps.
+
+    Trim + forward/backward min-label peeling (the BSP "MultiStep" shape —
+    Slota et al. 2014; Orzan's coloring is the same family):
+
+      outer round:
+        1. TRIM to fixpoint: an active vertex with zero active in-edges or
+           zero active out-edges is a singleton SCC — one edge scan per
+           trim round computes both active degrees. Import graphs are
+           mostly DAG, so trim peels the bulk in O(depth) cheap rounds.
+        2. F = forward min-label fixpoint (min active id that reaches v),
+           B = the same on reversed edges (min active id v reaches).
+           F(v) == B(v) == r certifies v ∈ SCC(r): r reaches v and v
+           reaches r. The whole SCC of the globally-min active id peels
+           every round, so outer rounds ≤ #SCCs (far fewer in practice).
+
+    Output: (v, scc) with scc = min member vertex id — matches NetworkX
+    ``strongly_connected_components`` exactly (pytest oracle). Returns
+    (dataset, total supersteps). Parallel edges and self-loops are
+    tolerated (a self-loop does not make a vertex non-trivial in NetworkX
+    semantics either — SCCs are about mutual reachability between
+    DISTINCT vertices, and a singleton is a singleton with or without a
+    self-loop — so self-edges are dropped up front).
+
+    Same memory contract as ``pagerank_dataset``: per-vertex state lives
+    in driver numpy arrays broadcast per superstep (``ray.put``), edges
+    stay a distributed materialized Dataset; swap the broadcast for an
+    ``edges.join(state)`` when the vertex table outgrows one node — the
+    shuffle shape is identical.
+    """
+    from ray.data.aggregate import Max, Min
+
+    verts = vertices.select_columns(["vertex_id"]).to_pandas()
+    vid = np.sort(verts["vertex_id"].to_numpy())
+    n = len(vid)
+    scc = np.full(n, -1, dtype=np.int64)
+    active = np.ones(n, dtype=bool)
+
+    e = edges.select_columns(["src", "dst"])
+    e = e.map_batches(
+        lambda t: t.filter(pc.not_equal(t["src"], t["dst"])),
+        batch_format="pyarrow").materialize()
+    epochs = 0
+
+    def degree_pass(ref) -> tuple[np.ndarray, np.ndarray]:
+        """Active in/out degree in one scan: emit (v, side) for both
+        endpoints of both-active edges, pre-combined per batch."""
+
+        def scatter(batch: pa.Table) -> pa.Table:
+            empty = pa.table({"v": pa.array([], pa.int64()),
+                              "side": pa.array([], pa.int64()),
+                              "c": pa.array([], pa.int64())})
+            if "src" not in batch.column_names or batch.num_rows == 0:
+                return empty
+            v, act = ray.get(ref)
+            src = batch["src"].to_numpy(zero_copy_only=False)
+            dst = batch["dst"].to_numpy(zero_copy_only=False)
+            keep = act[np.searchsorted(v, src)] & act[np.searchsorted(v, dst)]
+            src, dst = src[keep], dst[keep]
+            t = pa.table({
+                "v": pa.array(np.concatenate([src, dst]), pa.int64()),
+                "side": pa.array(np.concatenate([
+                    np.zeros(len(src), np.int64),
+                    np.ones(len(dst), np.int64)]), pa.int64()),
+            })
+            g = t.group_by(["v", "side"]).aggregate([([], "count_all")])
+            return (g.select(["v", "side", "count_all"])
+                    .rename_columns(["v", "side", "c"]))
+
+        inc = (e.map_batches(scatter, batch_format="pyarrow")
+               .groupby(["v", "side"]).aggregate(Sum("c", alias_name="c"))
+               .to_pandas())
+        outdeg = np.zeros(n, dtype=np.int64)
+        indeg = np.zeros(n, dtype=np.int64)
+        if len(inc):
+            pos = np.searchsorted(vid, inc["v"].to_numpy())
+            side = inc["side"].to_numpy()
+            cnt = inc["c"].to_numpy()
+            np.add.at(outdeg, pos[side == 0], cnt[side == 0])
+            np.add.at(indeg, pos[side == 1], cnt[side == 1])
+        return indeg, outdeg
+
+    def minlabel_fixpoint(direction: str) -> np.ndarray:
+        """Min-active-id reachability labels on the active subgraph;
+        direction 'fwd' propagates src->dst, 'bwd' dst->src."""
+        nonlocal epochs
+        lab = np.where(active, vid, np.iinfo(np.int64).max)
+        src_col, dst_col = (("src", "dst") if direction == "fwd"
+                            else ("dst", "src"))
+        while True:
+            ref = ray.put((vid, lab, active))
+
+            def scatter(batch: pa.Table) -> pa.Table:
+                empty = pa.table({"k": pa.array([], pa.int64()),
+                                  "m": pa.array([], pa.int64())})
+                if "src" not in batch.column_names or batch.num_rows == 0:
+                    return empty
+                v, lb, act = ray.get(ref)
+                s = batch[src_col].to_numpy(zero_copy_only=False)
+                d = batch[dst_col].to_numpy(zero_copy_only=False)
+                keep = act[np.searchsorted(v, s)] & act[np.searchsorted(v, d)]
+                s, d = s[keep], d[keep]
+                t = pa.table({"k": pa.array(d, pa.int64()),
+                              "m": pa.array(lb[np.searchsorted(v, s)],
+                                            pa.int64())})
+                g = t.group_by("k").aggregate([("m", "min")])
+                return g.select(["k", "m_min"]).rename_columns(["k", "m"])
+
+            inc = (e.map_batches(scatter, batch_format="pyarrow")
+                   .groupby("k").aggregate(Min("m", alias_name="m"))
+                   .to_pandas())
+            new = lab.copy()
+            if len(inc):
+                pos = np.searchsorted(vid, inc["k"].to_numpy())
+                new[pos] = np.minimum(new[pos], inc["m"].to_numpy())
+            epochs += 1
+            if (new == lab).all():
+                return lab
+            lab = new
+
+    rounds = 0
+    while active.any():
+        rounds += 1
+        if rounds > max_iter:
+            raise RuntimeError("scc_dataset did not converge "
+                               f"within {max_iter} outer rounds")
+        # 1. trim to fixpoint
+        while True:
+            ref = ray.put((vid, active))
+            indeg, outdeg = degree_pass(ref)
+            epochs += 1
+            trim = active & ((indeg == 0) | (outdeg == 0))
+            if not trim.any():
+                break
+            scc[trim] = vid[trim]
+            active &= ~trim
+        if not active.any():
+            break
+        # 2. forward/backward min-label; peel F == B
+        f = minlabel_fixpoint("fwd")
+        b = minlabel_fixpoint("bwd")
+        peel = active & (f == b)
+        scc[peel] = f[peel]
+        active &= ~peel
+
+    return rd.from_arrow(pa.table({"v": pa.array(vid, pa.int64()),
+                                   "scc": pa.array(scc, pa.int64())})), epochs

@@ -497,3 +497,32 @@ def test_dataset_engine_hits_matches_networkx(tiny_ingest, tiny_corpus_dir):
                                np.array([want_a[v] for v in vs]),
                                atol=1e-6, rtol=0)
     assert epochs > 1
+
+
+def test_scc_matches_networkx_on_corpus(tiny_ingest, tiny_corpus_dir):
+    """SCC over the real corpus link graph == NetworkX on the golden edge
+    table (the corpus synthesizer plants genuine import cycles, so this
+    exercises the FB-peel path, not just trim)."""
+    import networkx as nx
+    from metis_ray.graph.dataset_engine import scc_dataset
+
+    comp_ds, _ = scc_dataset(tiny_ingest.edges_file,
+                             graph_vertices(tiny_ingest.files))
+    got = dict(zip(*[comp_ds.to_pandas()[c] for c in ("v", "scc")]))
+
+    golden = pq.read_table(os.path.join(tiny_corpus_dir,
+                                        "golden_edges_file.parquet"))
+    g = nx.DiGraph()
+    g.add_nodes_from(got.keys())
+    g.add_edges_from(zip(golden["src"].to_pylist(),
+                         golden["dst"].to_pylist()))
+    want = {}
+    nontrivial = 0
+    for c in nx.strongly_connected_components(g):
+        if len(c) > 1:
+            nontrivial += 1
+        m = min(c)
+        for v in c:
+            want[v] = m
+    assert got == want
+    assert nontrivial >= 1     # the fixture must actually contain a cycle

@@ -390,3 +390,62 @@ def test_jaccard_neighbors_matches_networkx():
     assert set(got_scores) == set(want)
     for k_ in want:
         assert abs(got_scores[k_] - want[k_]) <= 1e-6
+
+
+def _nx_scc_labels(src, dst, n):
+    import networkx as nx
+    g = nx.DiGraph()
+    g.add_nodes_from(range(n))
+    g.add_edges_from((int(s), int(d)) for s, d in zip(src, dst))
+    want = {}
+    for comp in nx.strongly_connected_components(g):
+        m = min(comp)
+        for v in comp:
+            want[v] = m
+    return want
+
+
+def test_scc_matches_networkx_random():
+    """Trim + FB-min-label SCC == NetworkX on a random directed multigraph
+    with self-loops and parallel edges (cycles + DAG tails mixed)."""
+    import ray.data as rd
+    from metis_ray.graph.dataset_engine import scc_dataset
+
+    rng = np.random.RandomState(23)
+    n = 60
+    src = rng.randint(0, n, 260)
+    dst = rng.randint(0, n, 260)
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}))
+    verts = rd.from_arrow(pa.table({
+        "vertex_id": pa.array(np.arange(n), pa.int64())}))
+
+    got_ds, epochs = scc_dataset(edges, verts)
+    got = dict(zip(*[got_ds.to_pandas()[c] for c in ("v", "scc")]))
+    assert got == _nx_scc_labels(src, dst, n)
+    assert epochs >= 1
+
+
+def test_scc_structured():
+    """Hand-built case: two disjoint cycles bridged one-way, a pure DAG
+    chain hanging off, an isolated vertex, and a self-loop singleton —
+    the bridge must NOT merge the cycles, trim must peel the chain."""
+    import ray.data as rd
+    from metis_ray.graph.dataset_engine import scc_dataset
+
+    edges_list = ([(10, 11), (11, 12), (12, 10),       # cycle A
+                   (20, 21), (21, 20),                 # cycle B
+                   (12, 20),                           # one-way bridge
+                   (20, 30), (30, 31), (31, 32),       # DAG tail
+                   (40, 40)])                          # self-loop singleton
+    src, dst = zip(*edges_list)
+    n_ids = [10, 11, 12, 20, 21, 30, 31, 32, 40, 50]   # 50 isolated
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}))
+    verts = rd.from_arrow(pa.table({
+        "vertex_id": pa.array(n_ids, pa.int64())}))
+
+    got_ds, _ = scc_dataset(edges, verts)
+    got = dict(zip(*[got_ds.to_pandas()[c] for c in ("v", "scc")]))
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20,
+                   30: 30, 31: 31, 32: 32, 40: 40, 50: 50}
