@@ -220,6 +220,62 @@ def _q_scc(sf_dir: str):
     return comp.to_pandas().sort_values("v").reset_index(drop=True)
 
 
+def _q_graph_summary(sf_dir: str):
+    """One-row whole-graph summary (vertex/edge counts, density,
+    reciprocity, out-in degree assortativity) — exact integer moments
+    folded on the driver; DuckDB twin recomputes the identical moments
+    from the golden edge table. NetworkX pytest oracles in
+    tests/test_graph_stats.py."""
+    from metis_ray.graph.stats import graph_summary
+    from metis_ray.pipelines.linkgraph import graph_vertices, ingest
+    res = ingest(_corpus_dir(sf_dir))
+    return graph_summary(res.edges_file,
+                         graph_vertices(res.files)).to_pandas()
+
+
+def _q_graph_clustering(sf_dir: str):
+    """Per-vertex local clustering coefficient (2T/deg(deg-1) over the
+    undirected view; reuses the skew-safe oriented triangle pipeline).
+    NetworkX nx.clustering pytest oracle; DuckDB twin derives the same
+    quotient from the golden triangle + edge tables."""
+    from metis_ray.graph.stats import clustering_coefficients
+    from metis_ray.pipelines.linkgraph import graph_vertices, ingest
+    res = ingest(_corpus_dir(sf_dir))
+    cc = clustering_coefficients(res.edges_file, graph_vertices(res.files))
+    return cc.to_pandas().sort_values("v").reset_index(drop=True)
+
+
+def _q_hyperball(sf_dir: str):
+    """HyperBall (Boldi & Vigna 2013): per-vertex out-ball size +
+    harmonic centrality from 2^p-register HLL counters merged along
+    out-edges to the reachability fixpoint. APPROXIMATE (rse ~1.04/2^{p/2})
+    => no SQL twin; exact-BFS accuracy oracles in tests/test_hyperball.py
+    (the HLL-aggregate verification pattern, functions/sketch.py)."""
+    from metis_ray.graph.hyperball import hyperball
+    from metis_ray.pipelines.linkgraph import graph_vertices, ingest
+    res = ingest(_corpus_dir(sf_dir))
+    out = hyperball(res.edges_file, graph_vertices(res.files), p=9)
+    df = out["centrality"].to_pandas()
+    df["ball"] = df["ball"].round(3)
+    df["harmonic"] = df["harmonic"].round(3)
+    return df.sort_values("v").reset_index(drop=True)
+
+
+def _q_random_walks(sf_dir: str):
+    """Deterministic random-walk corpus sampling: one walk from each of
+    the 32 smallest vertex ids, 8 steps, choice = argmin avalanche hash
+    over out-neighbors (coordination-free, parallelism-independent).
+    Exact sequential-transcription oracle in tests/test_walks.py."""
+    from metis_ray.graph.walks import random_walks
+    from metis_ray.pipelines.linkgraph import graph_vertices, ingest
+    res = ingest(_corpus_dir(sf_dir))
+    vids = sorted(graph_vertices(res.files).to_pandas()["vertex_id"])[:32]
+    out = random_walks(res.edges_file, [int(v) for v in vids],
+                       length=8, seed=42)
+    return (out.to_pandas().sort_values(["walk_id", "step"])
+            .reset_index(drop=True))
+
+
 def _q_kcore(sf_dir: str):
     """k-core decomposition (core number per vertex) over the corpus link
     graph, by the superstep-parallel h-index iteration in the Dataset
@@ -546,6 +602,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # strongly connected components of the DIRECTED graph (trim +
         # FB-min-label peeling; NetworkX pytest oracles)
         "scc": _q_scc,
+        # whole-graph summary: density / reciprocity / degree
+        # assortativity as exact integer moments (NetworkX pytest +
+        # independent DuckDB twin over the golden edge table)
+        "graph_summary": _q_graph_summary,
+        # per-vertex local clustering coefficient (NetworkX pytest +
+        # DuckDB twin from golden triangles + degrees)
+        "graph_clustering": _q_graph_clustering,
+        # HyperBall neighborhood function / harmonic centrality
+        # (approximate; exact-BFS accuracy oracles in pytest)
+        "graph_hyperball": _q_hyperball,
+        # deterministic random-walk sampling (exact sequential golden
+        # in pytest; hash rule not SQL-expressible)
+        "graph_random_walks": _q_random_walks,
     }
 
 
@@ -1152,5 +1221,83 @@ def oracle_sql() -> dict[str, str]:
             JOIN deg da ON n.a = da.v
             JOIN deg db ON n.b = db.v
             ORDER BY jaccard DESC, a, b LIMIT 100
+        """,
+        # whole-graph summary recomputed from the golden edge table with
+        # the IDENTICAL integer moments (int128-exact sums; the only float
+        # ops are the final divisions, in the engine's operation order)
+        "graph_summary": f"""
+            WITH e AS (
+                SELECT DISTINCT src, dst
+                FROM read_parquet('{g}/golden_edges_file.parquet')
+            ),
+            nv AS (
+                SELECT count(*) AS n
+                FROM read_parquet('{g}/golden_files.parquet')
+                WHERE NOT quarantined
+            ),
+            pairs AS (
+                SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                       count(*) AS cnt
+                FROM e GROUP BY 1, 2
+            ),
+            rec AS (
+                SELECT sum(CASE WHEN a = b THEN cnt
+                                WHEN cnt = 2 THEN 2 ELSE 0 END) AS r,
+                       sum(cnt) AS m
+                FROM pairs
+            ),
+            od AS (SELECT src, count(*) AS xdeg FROM e GROUP BY src),
+            idg AS (SELECT dst, count(*) AS ydeg FROM e GROUP BY dst),
+            z AS (
+                SELECT od.xdeg AS x, idg.ydeg AS y
+                FROM e JOIN od USING (src) JOIN idg USING (dst)
+            ),
+            mom AS (
+                SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                       sum(x * x) AS sxx, sum(y * y) AS syy,
+                       sum(x * y) AS sxy
+                FROM z
+            )
+            SELECT nv.n AS n_vertices,
+                   CAST(rec.m AS BIGINT) AS n_edges,
+                   round(rec.m * 1.0 / (nv.n * (nv.n - 1)), 6) AS density,
+                   round(rec.r * 1.0 / rec.m, 6) AS reciprocity,
+                   round((mom.n * mom.sxy - mom.sx * mom.sy)
+                         / sqrt((mom.n * mom.sxx - mom.sx * mom.sx) * 1.0
+                                * (mom.n * mom.syy - mom.sy * mom.sy)),
+                         6) AS assortativity
+            FROM nv, rec, mom
+        """,
+        # local clustering coefficient from the NetworkX-derived golden
+        # triangle counts + degrees of the golden edge table (independent
+        # of the engine's oriented-intersection pipeline)
+        "graph_clustering": f"""
+            WITH und AS (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM read_parquet('{g}/golden_edges_file.parquet')
+                WHERE src <> dst
+            ),
+            deg AS (
+                SELECT v, count(*) AS deg FROM (
+                    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+                ) GROUP BY v
+            ),
+            verts AS (
+                SELECT vertex_id AS v
+                FROM read_parquet('{g}/golden_files.parquet')
+                WHERE NOT quarantined
+            ),
+            tri AS (
+                SELECT v, triangles
+                FROM read_parquet('{g}/golden_triangles.parquet')
+            )
+            SELECT verts.v,
+                   round(CASE WHEN coalesce(deg.deg, 0) >= 2
+                         THEN 2.0 * coalesce(tri.triangles, 0)
+                              / (deg.deg * (deg.deg - 1.0))
+                         ELSE 0.0 END, 6) AS clustering
+            FROM verts
+            LEFT JOIN deg ON verts.v = deg.v
+            LEFT JOIN tri ON verts.v = tri.v
         """,
     }

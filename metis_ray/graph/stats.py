@@ -1,0 +1,186 @@
+"""Whole-graph scalar statistics as pure Ray Data compositions.
+
+Density, reciprocity, degree assortativity and per-vertex local clustering
+coefficients over the dependency edge table — the whole-graph analogue of
+the reference's per-run summary tallies (rec_count tables, SURVEY.md §2.5's
+global aggregates): the key here is the graph itself rather than a record
+type.
+
+Scale shape (the 100 TB contract): every scalar reduces to (a) the same
+distinct-edge / degree shuffles the triangle pipeline already pays and
+(b) per-batch INTEGER partial sums folded on the driver — O(1) numbers
+cross the cluster boundary, nothing materializes the edge table into
+driver memory. Partials are accumulated as int64 per batch and
+arbitrary-precision Python ints on the driver, so every statistic is
+EXACT and independent of partitioning / batch order (the same determinism
+contract as q3's round-before-sort); only the final division is float.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count
+
+from metis_ray.graph.partition import canonical_edges
+from metis_ray.graph.triangles import _degrees, triangle_counts
+
+
+def _join_parts() -> int:
+    from metis_ray.pipelines.dedup import _join_parts as jp
+    return jp()
+
+
+def distinct_edges(edges: rd.Dataset) -> rd.Dataset:
+    """Distinct directed (src, dst) pairs — the DiGraph view. The corpus
+    edge table is already distinct (multiplicity aggregated at resolve),
+    but the API accepts any raw edge list."""
+    return (edges.select_columns(["src", "dst"])
+            .groupby(["src", "dst"]).aggregate(Count(alias_name="_n"))
+            .select_columns(["src", "dst"]))
+
+
+def _fold_partials(ds: rd.Dataset, cols: list[str]) -> list[int]:
+    """Sum tiny per-batch partial rows on the driver as Python ints
+    (exact, order-free)."""
+    df = ds.to_pandas()
+    return [int(df[c].sum()) if len(df) else 0 for c in cols]
+
+
+def reciprocity(edges: rd.Dataset) -> dict:
+    """Edge reciprocity of the directed graph: |E ∩ E^T| / |E| over the
+    distinct edge set (NetworkX ``overall_reciprocity``; self-loops, if
+    present, count as reciprocated). One canonical-pair shuffle; the
+    driver sees two integers."""
+    e = distinct_edges(edges)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy(zero_copy_only=False)
+        d = batch["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({"a": pa.array(np.minimum(s, d), pa.int64()),
+                         "b": pa.array(np.maximum(s, d), pa.int64())})
+
+    pairs = (e.map_batches(canon, batch_format="pyarrow")
+             .groupby(["a", "b"]).aggregate(Count(alias_name="cnt")))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        c = batch["cnt"].to_numpy(zero_copy_only=False)
+        total = int(c.sum())
+        # self-loop rows (a==b, cnt==1) are reciprocated by definition;
+        # a 2-row pair means both directions exist => 2 reciprocated edges
+        recip = int(np.where(a == b, c, np.where(c == 2, 2, 0)).sum())
+        return pa.table({"recip": pa.array([recip], pa.int64()),
+                         "total": pa.array([total], pa.int64())})
+
+    recip, total = _fold_partials(
+        pairs.map_batches(partial, batch_format="pyarrow"),
+        ["recip", "total"])
+    return {"reciprocated": recip, "edges": total,
+            "reciprocity": (recip / total) if total else float("nan")}
+
+
+def degree_assortativity(edges: rd.Dataset) -> dict:
+    """Directed out-in degree assortativity (the NetworkX
+    ``degree_assortativity_coefficient`` default for DiGraphs): Pearson
+    correlation of (out-degree(src), in-degree(dst)) over the distinct
+    edge set. Two count shuffles + two hash joins; per-batch int64 sums
+    (n, Σx, Σy, Σx², Σy², Σxy) fold exactly on the driver."""
+    from metis_ray.pipelines.dedup import _nonempty_blocks
+
+    e, n_edges = _nonempty_blocks(distinct_edges(edges))
+    if e is None:
+        return {"edges": 0, "assortativity": float("nan")}
+    parts = _join_parts()
+    outdeg = e.groupby("src").aggregate(Count(alias_name="xdeg"))
+    indeg = e.groupby("dst").aggregate(Count(alias_name="ydeg"))
+    j = e.join(outdeg, join_type="inner", num_partitions=parts, on=("src",))
+    j = j.join(indeg, join_type="inner", num_partitions=parts, on=("dst",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch["xdeg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch["ydeg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "syy": pa.array([int((y * y).sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64()),
+        })
+
+    n, sx, sy, sxx, syy, sxy = _fold_partials(
+        j.map_batches(partial, batch_format="pyarrow"),
+        ["n", "sx", "sy", "sxx", "syy", "sxy"])
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    if n == 0 or vx == 0 or vy == 0:
+        return {"edges": n, "assortativity": float("nan")}
+    # exact integer moments; the ONLY float op is this final expression
+    r = (n * sxy - sx * sy) / float(np.sqrt(float(vx) * float(vy)))
+    return {"edges": n, "assortativity": r}
+
+
+def graph_summary(edges: rd.Dataset, vertices: rd.Dataset) -> pa.Table:
+    """One-row summary: vertex/edge counts, density, reciprocity,
+    out-in degree assortativity. All exact (see module docstring);
+    floats rounded to 6 dp so the DuckDB twin (same integer moments,
+    same final expression) hashes identically."""
+    n_vertices = vertices.count()
+    rec = reciprocity(edges)
+    asst = degree_assortativity(edges)
+    m = rec["edges"]
+    density = (m / (n_vertices * (n_vertices - 1))
+               if n_vertices > 1 else float("nan"))
+    return pa.table({
+        "n_vertices": pa.array([n_vertices], pa.int64()),
+        "n_edges": pa.array([m], pa.int64()),
+        "density": pa.array([round(density, 6)], pa.float64()),
+        "reciprocity": pa.array([round(rec["reciprocity"], 6)],
+                                pa.float64()),
+        "assortativity": pa.array([round(asst["assortativity"], 6)],
+                                  pa.float64()),
+    })
+
+
+def clustering_coefficients(edges: rd.Dataset,
+                            vertices: rd.Dataset) -> rd.Dataset:
+    """Per-vertex local clustering coefficient over the undirected view:
+    cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), 0 when deg < 2 (NetworkX
+    ``nx.clustering``). Reuses the degree-oriented triangle pipeline
+    (skew-safe, SURVEY.md §7.4) and the canonical degree table; vertices
+    outside any edge get 0 via a left join from the vertex table. Rounded
+    to 6 dp (float-division boundary, same contract as pagerank)."""
+    from metis_ray.pipelines.dedup import _nonempty_blocks
+
+    parts = _join_parts()
+    tri = triangle_counts(edges)                       # (v, triangles) t>0
+    deg = _degrees(canonical_edges(edges))             # (v, deg) deg>=1
+
+    base = vertices.map_batches(
+        lambda t: pa.table({"v": t["vertex_id"]}), batch_format="pyarrow")
+    j = base.join(deg, join_type="left_outer", num_partitions=parts,
+                  on=("v",))
+    j, _ = _nonempty_blocks(j)
+    if j is None:
+        return rd.from_arrow(pa.table({"v": pa.array([], pa.int64()),
+                                       "clustering": pa.array([],
+                                                              pa.float64())}))
+    j = j.join(tri, join_type="left_outer", num_partitions=parts, on=("v",))
+
+    def cc(batch: pa.Table) -> pa.Table:
+        d = pc.fill_null(batch["deg"], 0).to_numpy(zero_copy_only=False)
+        t = pc.fill_null(batch["triangles"], 0).to_numpy(
+            zero_copy_only=False)
+        denom = d.astype(np.float64) * (d - 1)
+        out = np.where(d >= 2, 2.0 * t / np.where(denom > 0, denom, 1.0),
+                       0.0)
+        return pa.table({"v": batch["v"],
+                         "clustering": pa.array(np.round(out, 6),
+                                                pa.float64())})
+
+    return j.map_batches(cc, batch_format="pyarrow")

@@ -1,0 +1,110 @@
+"""Whole-graph statistics (graph/stats.py) vs NetworkX oracles."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+nx = pytest.importorskip("networkx")
+
+
+def _mk(src, dst, n=None, vids=None):
+    import ray.data as rd
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(np.asarray(src, np.int64), pa.int64()),
+        "dst": pa.array(np.asarray(dst, np.int64), pa.int64())}))
+    if vids is None:
+        vids = np.arange(n, dtype=np.int64)
+    verts = rd.from_arrow(pa.table({
+        "vertex_id": pa.array(np.asarray(vids, np.int64), pa.int64())}))
+    return edges, verts
+
+
+def _rand(n=80, m=400, seed=7, self_loops=False):
+    rng = np.random.RandomState(seed)
+    src = rng.randint(0, n, m)
+    dst = rng.randint(0, n, m)
+    if not self_loops:
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+    return src, dst
+
+
+def test_reciprocity_matches_networkx():
+    from metis_ray.graph.stats import reciprocity
+    src, dst = _rand(n=40, m=500, seed=11)      # dense => many reciprocals
+    edges, _ = _mk(src, dst, n=40)
+    got = reciprocity(edges)
+    g = nx.DiGraph()
+    g.add_edges_from(zip(src.tolist(), dst.tolist()))
+    assert got["edges"] == g.number_of_edges()
+    assert got["reciprocity"] == pytest.approx(
+        nx.overall_reciprocity(g), abs=1e-12)
+
+
+def test_reciprocity_self_loops_and_duplicates():
+    """Documented semantics: distinct edge set; self-loops reciprocated."""
+    from metis_ray.graph.stats import reciprocity
+    #       a<->b pair, c->d one-way, e self-loop, duplicate rows everywhere
+    src = [1, 2, 1, 3, 5, 5, 3]
+    dst = [2, 1, 2, 4, 5, 5, 4]
+    edges, _ = _mk(src, dst, n=6)
+    got = reciprocity(edges)
+    # distinct edges: (1,2),(2,1),(3,4),(5,5) => 4; reciprocated: 2 + 1
+    assert got == {"reciprocated": 3, "edges": 4, "reciprocity": 0.75}
+
+
+def test_assortativity_matches_networkx():
+    from metis_ray.graph.stats import degree_assortativity
+    src, dst = _rand(n=60, m=700, seed=5)
+    edges, _ = _mk(src, dst, n=60)
+    got = degree_assortativity(edges)
+    g = nx.DiGraph()
+    g.add_edges_from(zip(src.tolist(), dst.tolist()))
+    want = nx.degree_assortativity_coefficient(g, x="out", y="in")
+    assert got["edges"] == g.number_of_edges()
+    assert got["assortativity"] == pytest.approx(want, abs=1e-8)
+
+
+def test_assortativity_degenerate_regular_graph():
+    """A directed cycle is degree-regular: zero variance => NaN, not a
+    crash (NetworkX raises/warns here; we return NaN)."""
+    from metis_ray.graph.stats import degree_assortativity
+    n = 12
+    src = np.arange(n)
+    dst = (src + 1) % n
+    edges, _ = _mk(src, dst, n=n)
+    got = degree_assortativity(edges)
+    assert got["edges"] == n and np.isnan(got["assortativity"])
+
+
+def test_clustering_matches_networkx():
+    from metis_ray.graph.stats import clustering_coefficients
+    src, dst = _rand(n=50, m=300, seed=9)
+    vids = np.arange(55)                        # 5 isolated vertices
+    edges, verts = _mk(src, dst, vids=vids)
+    got = clustering_coefficients(edges, verts).to_pandas()
+    g = nx.Graph()
+    g.add_nodes_from(range(55))
+    g.add_edges_from(zip(src.tolist(), dst.tolist()))
+    want = nx.clustering(g)
+    assert len(got) == 55
+    for v, cc in zip(got["v"], got["clustering"]):
+        assert cc == pytest.approx(want[int(v)], abs=1.01e-6), int(v)
+
+
+def test_graph_summary_exact():
+    from metis_ray.graph.stats import graph_summary
+    src, dst = _rand(n=30, m=260, seed=3)
+    edges, verts = _mk(src, dst, n=30)
+    t = graph_summary(edges, verts).to_pandas()
+    g = nx.DiGraph()
+    g.add_nodes_from(range(30))
+    g.add_edges_from(zip(src.tolist(), dst.tolist()))
+    row = t.iloc[0]
+    assert row["n_vertices"] == 30
+    assert row["n_edges"] == g.number_of_edges()
+    assert row["density"] == pytest.approx(nx.density(g), abs=1e-6)
+    assert row["reciprocity"] == pytest.approx(
+        nx.overall_reciprocity(g), abs=1e-6)
+    assert row["assortativity"] == pytest.approx(
+        nx.degree_assortativity_coefficient(g, x="out", y="in"), abs=1e-6)

@@ -1,0 +1,86 @@
+"""Deterministic random walks (graph/walks.py) vs the sequential
+transcription of the exact recurrence."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def _mk_edges(src, dst):
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "src": pa.array(np.asarray(src, np.int64), pa.int64()),
+        "dst": pa.array(np.asarray(dst, np.int64), pa.int64())}))
+
+
+def _adj(src, dst, directed=True):
+    adj = {}
+    for a, b in zip(src, dst):
+        adj.setdefault(int(a), set()).add(int(b))
+        if not directed:
+            adj.setdefault(int(b), set()).add(int(a))
+    return adj
+
+
+def _got_rows(ds):
+    df = ds.to_pandas()
+    return sorted(zip(df["walk_id"].astype(int), df["step"].astype(int),
+                      df["v"].astype(int)))
+
+
+def test_walks_match_sequential_reference():
+    from metis_ray.graph.walks import random_walks, walks_reference
+    rng = np.random.RandomState(17)
+    n, m = 40, 300
+    src = rng.randint(0, n, m)
+    dst = rng.randint(0, n, m)
+    edges = _mk_edges(src, dst)
+    starts = [0, 3, 7, 11, 25, 39]
+    got = _got_rows(random_walks(edges, starts, length=8, seed=5))
+    want = walks_reference(_adj(src, dst), starts, length=8, seed=5)
+    assert got == want
+    # every consecutive hop is a real directed edge
+    e = set(zip(src.tolist(), dst.tolist()))
+    byw = {}
+    for w, s, v in got:
+        byw.setdefault(w, []).append((s, v))
+    for w, path in byw.items():
+        path.sort()
+        assert path[0] == (0, w)
+        for (s0, a), (s1, b) in zip(path, path[1:]):
+            assert s1 == s0 + 1 and (a, b) in e
+
+
+def test_walks_seed_changes_paths():
+    from metis_ray.graph.walks import random_walks
+    rng = np.random.RandomState(2)
+    src = rng.randint(0, 30, 250)
+    dst = rng.randint(0, 30, 250)
+    edges = _mk_edges(src, dst)
+    a = _got_rows(random_walks(edges, [1, 2, 3], length=6, seed=1))
+    b = _got_rows(random_walks(edges, [1, 2, 3], length=6, seed=2))
+    assert a != b                     # different seeds, different walks
+    a2 = _got_rows(random_walks(edges, [1, 2, 3], length=6, seed=1))
+    assert a == a2                    # same seed, bit-identical
+
+
+def test_walks_dead_end_stops():
+    from metis_ray.graph.walks import random_walks
+    # 1 -> 2 -> 3, 3 has no out-edges; walk from 1 must stop at step 2
+    edges = _mk_edges([1, 2], [2, 3])
+    got = _got_rows(random_walks(edges, [1, 3], length=10, seed=0))
+    assert got == [(1, 0, 1), (1, 1, 2), (1, 2, 3), (3, 0, 3)]
+
+
+def test_walks_undirected_reference():
+    from metis_ray.graph.walks import random_walks, walks_reference
+    rng = np.random.RandomState(8)
+    src = rng.randint(0, 25, 120)
+    dst = rng.randint(0, 25, 120)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    edges = _mk_edges(src, dst)
+    got = _got_rows(random_walks(edges, [0, 5, 9], length=5, seed=3,
+                                 directed=False))
+    want = walks_reference(_adj(src, dst, directed=False), [0, 5, 9],
+                           length=5, seed=3)
+    assert got == want
