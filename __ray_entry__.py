@@ -261,6 +261,23 @@ def _q_hyperball(sf_dir: str):
     return df.sort_values("v").reset_index(drop=True)
 
 
+def _q_betweenness(sf_dir: str):
+    """Brandes betweenness centrality approximated from the 16 smallest
+    vertex ids as sources (deterministic; exact when sources=all —
+    NetworkX-exact pytest oracles incl. a partition-decomposition proof,
+    tests/test_betweenness.py)."""
+    from metis_ray.graph.betweenness import betweenness_dataset
+    from metis_ray.pipelines.linkgraph import graph_vertices, ingest
+    res = ingest(_corpus_dir(sf_dir))
+    verts = graph_vertices(res.files)
+    vids = sorted(verts.to_pandas()["vertex_id"])[:16]
+    bc, _ = betweenness_dataset(res.edges_file, verts,
+                                sources=[int(v) for v in vids])
+    df = bc.to_pandas().sort_values("v").reset_index(drop=True)
+    df["betweenness"] = df["betweenness"].round(6)
+    return df
+
+
 def _q_random_walks(sf_dir: str):
     """Deterministic random-walk corpus sampling: one walk from each of
     the 32 smallest vertex ids, 8 steps, choice = argmin avalanche hash
@@ -615,6 +632,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic random-walk sampling (exact sequential golden
         # in pytest; hash rule not SQL-expressible)
         "graph_random_walks": _q_random_walks,
+        # k-source Brandes betweenness (NetworkX-exact pytest oracles;
+        # iterative multi-superstep => no SQL twin)
+        "graph_betweenness": _q_betweenness,
     }
 
 
