@@ -261,6 +261,20 @@ def _q_hyperball(sf_dir: str):
     return df.sort_values("v").reset_index(drop=True)
 
 
+def _q_modularity(sf_dir: str):
+    """Newman modularity of the LPA community partition (the certified
+    labelprop output) over the undirected corpus graph — exact integer
+    moments, float only at the two final divisions. DuckDB twin
+    recomputes from golden_labels + golden_edges_file; NetworkX
+    community.modularity pytest oracle."""
+    from metis_ray.graph.stats import modularity
+    from metis_ray.pipelines.linkgraph import ingest
+    import ray.data as rd
+    res = ingest(_corpus_dir(sf_dir))
+    labels = rd.from_pandas(_run_graph(sf_dir, "labelprop"))
+    return modularity(res.edges_file, labels).to_pandas()
+
+
 def _q_betweenness(sf_dir: str):
     """Brandes betweenness centrality approximated from the 16 smallest
     vertex ids as sources (deterministic; exact when sources=all —
@@ -635,6 +649,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # k-source Brandes betweenness (NetworkX-exact pytest oracles;
         # iterative multi-superstep => no SQL twin)
         "graph_betweenness": _q_betweenness,
+        # Newman modularity of the LPA partition (NetworkX pytest +
+        # DuckDB twin over golden_labels/golden_edges_file)
+        "graph_modularity": _q_modularity,
     }
 
 
@@ -1319,5 +1336,42 @@ def oracle_sql() -> dict[str, str]:
             FROM verts
             LEFT JOIN deg ON verts.v = deg.v
             LEFT JOIN tri ON verts.v = tri.v
+        """,
+        # Newman modularity of the golden LPA partition over the golden
+        # undirected edge set: identical integer moments, identical final
+        # float expression (sw/m - sdq/(4 m^2))
+        "graph_modularity": f"""
+            WITH und AS (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM read_parquet('{g}/golden_edges_file.parquet')
+                WHERE src <> dst
+            ),
+            lab AS (
+                SELECT v, label FROM read_parquet('{g}/golden_labels.parquet')
+            ),
+            mm AS (SELECT count(*) AS m FROM und),
+            sw AS (
+                SELECT count(*) AS sw FROM und
+                JOIN lab la ON und.a = la.v
+                JOIN lab lb ON und.b = lb.v
+                WHERE la.label = lb.label
+            ),
+            deg AS (
+                SELECT v, count(*) AS deg FROM (
+                    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+                ) GROUP BY v
+            ),
+            degc AS (
+                SELECT la.label, sum(deg.deg) AS dc
+                FROM deg JOIN lab la ON deg.v = la.v
+                GROUP BY la.label
+            ),
+            sdq AS (SELECT sum(dc * dc) AS s FROM degc),
+            nc AS (SELECT count(DISTINCT label) AS n FROM lab)
+            SELECT CAST(mm.m AS BIGINT) AS n_edges,
+                   CAST(nc.n AS BIGINT) AS n_communities,
+                   round(sw.sw * 1.0 / mm.m
+                         - sdq.s / (4.0 * mm.m * mm.m), 6) AS modularity
+            FROM mm, sw, sdq, nc
         """,
     }

@@ -147,6 +147,66 @@ def graph_summary(edges: rd.Dataset, vertices: rd.Dataset) -> pa.Table:
     })
 
 
+def modularity(edges: rd.Dataset, labels: rd.Dataset) -> pa.Table:
+    """Newman modularity of a vertex partition over the undirected view:
+    Q = Σ_c [ e_c/m − (deg_c / 2m)² ] = sw/m − Σ_c deg_c² / (4m²), with
+    sw = within-community edges, deg_c = community degree sum, m =
+    undirected edge count (NetworkX ``community.modularity``; graphs
+    without self-loops). ``labels`` is a (v, label) Dataset — e.g. the
+    LPA / CC / SCC output. Two label joins + one groupby(label); the
+    driver folds three exact integers; the only float ops are the two
+    final divisions. Returns one row (n_edges, n_communities,
+    modularity)."""
+    from ray.data.aggregate import Sum
+
+    from metis_ray.pipelines.dedup import _nonempty_blocks
+
+    parts = _join_parts()
+    canon = canonical_edges(edges)
+    lab = labels.select_columns(["v", "label"])
+
+    e, m = _nonempty_blocks(canon)
+    n_comm = (lab.groupby("label").aggregate(Count(alias_name="_n"))
+              .count())
+    if e is None or m == 0:
+        return pa.table({"n_edges": pa.array([0], pa.int64()),
+                         "n_communities": pa.array([n_comm], pa.int64()),
+                         "modularity": pa.array([float("nan")],
+                                                pa.float64())})
+
+    la = lab.map_batches(lambda t: t.rename_columns(["src", "label_a"]),
+                         batch_format="pyarrow")
+    lb = lab.map_batches(lambda t: t.rename_columns(["dst", "label_b"]),
+                         batch_format="pyarrow")
+    j = e.join(la, join_type="inner", num_partitions=parts, on=("src",))
+    j, _ = _nonempty_blocks(j)
+    j = j.join(lb, join_type="inner", num_partitions=parts, on=("dst",))
+
+    def within(batch: pa.Table) -> pa.Table:
+        a = batch["label_a"].to_numpy(zero_copy_only=False)
+        b = batch["label_b"].to_numpy(zero_copy_only=False)
+        return pa.table({"sw": pa.array([int((a == b).sum())], pa.int64())})
+
+    (sw,) = _fold_partials(j.map_batches(within, batch_format="pyarrow"),
+                           ["sw"])
+
+    deg = _degrees(canon)
+    dj = (deg.join(lab, join_type="inner", num_partitions=parts, on=("v",))
+          .groupby("label").aggregate(Sum("deg", alias_name="deg_c")))
+
+    def degsq(batch: pa.Table) -> pa.Table:
+        d = batch["deg_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"sq": pa.array([int((d * d).sum())], pa.int64())})
+
+    (sdq,) = _fold_partials(dj.map_batches(degsq, batch_format="pyarrow"),
+                            ["sq"])
+
+    q = sw / m - sdq / (4.0 * m * m)
+    return pa.table({"n_edges": pa.array([m], pa.int64()),
+                     "n_communities": pa.array([n_comm], pa.int64()),
+                     "modularity": pa.array([round(q, 6)], pa.float64())})
+
+
 def clustering_coefficients(edges: rd.Dataset,
                             vertices: rd.Dataset) -> rd.Dataset:
     """Per-vertex local clustering coefficient over the undirected view:

@@ -92,6 +92,39 @@ def test_clustering_matches_networkx():
         assert cc == pytest.approx(want[int(v)], abs=1.01e-6), int(v)
 
 
+def test_modularity_matches_networkx():
+    import ray.data as rd
+    from metis_ray.graph.stats import modularity
+    src, dst = _rand(n=45, m=260, seed=14)
+    edges, _ = _mk(src, dst, n=45)
+    lab = np.arange(45, dtype=np.int64) % 4           # fixed 4-way partition
+    labels = rd.from_arrow(pa.table({
+        "v": pa.array(np.arange(45, dtype=np.int64), pa.int64()),
+        "label": pa.array(lab, pa.int64())}))
+    t = modularity(edges, labels).to_pandas().iloc[0]
+    g = nx.Graph()
+    g.add_nodes_from(range(45))
+    g.add_edges_from(zip(src.tolist(), dst.tolist()))
+    comms = [set(np.flatnonzero(lab == c).tolist()) for c in range(4)]
+    assert t["n_edges"] == g.number_of_edges()
+    assert t["n_communities"] == 4
+    assert t["modularity"] == pytest.approx(
+        nx.community.modularity(g, comms), abs=1.01e-6)
+
+
+def test_modularity_no_edges():
+    import ray.data as rd
+    from metis_ray.graph.stats import modularity
+    edges = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                    "dst": pa.array([], pa.int64())}))
+    labels = rd.from_arrow(pa.table({
+        "v": pa.array([1, 2], pa.int64()),
+        "label": pa.array([1, 1], pa.int64())}))
+    t = modularity(edges, labels).to_pandas().iloc[0]
+    assert t["n_edges"] == 0 and t["n_communities"] == 1
+    assert np.isnan(t["modularity"])
+
+
 def test_graph_summary_exact():
     from metis_ray.graph.stats import graph_summary
     src, dst = _rand(n=30, m=260, seed=3)
