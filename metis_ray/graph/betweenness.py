@@ -70,9 +70,10 @@ def betweenness_dataset(edges: rd.Dataset, vertices: rd.Dataset, *,
     n = len(vid)
 
     g = edges.select_columns(["src", "dst"])
-    if not directed:
-        g = symmetrized(g)
-    g = distinct_edges(g).materialize()
+    # symmetrized() output is already distinct by construction; only the
+    # directed view needs the dedup shuffle
+    g = symmetrized(g) if not directed else distinct_edges(g)
+    g = g.materialize()
 
     if sources is None:
         src_ids = vid

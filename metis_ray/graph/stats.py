@@ -55,7 +55,10 @@ def reciprocity(edges: rd.Dataset) -> dict:
     distinct edge set (NetworkX ``overall_reciprocity``; self-loops, if
     present, count as reciprocated). One canonical-pair shuffle; the
     driver sees two integers."""
-    e = distinct_edges(edges)
+    return _reciprocity_distinct(distinct_edges(edges))
+
+
+def _reciprocity_distinct(e: rd.Dataset) -> dict:
 
     def canon(batch: pa.Table) -> pa.Table:
         s = batch["src"].to_numpy(zero_copy_only=False)
@@ -90,15 +93,22 @@ def degree_assortativity(edges: rd.Dataset) -> dict:
     correlation of (out-degree(src), in-degree(dst)) over the distinct
     edge set. Two count shuffles + two hash joins; per-batch int64 sums
     (n, Σx, Σy, Σx², Σy², Σxy) fold exactly on the driver."""
+    return _assortativity_distinct(distinct_edges(edges))
+
+
+def _assortativity_distinct(e: rd.Dataset) -> dict:
     from metis_ray.pipelines.dedup import _nonempty_blocks
 
-    e, n_edges = _nonempty_blocks(distinct_edges(edges))
+    e, n_edges = _nonempty_blocks(e)
     if e is None:
         return {"edges": 0, "assortativity": float("nan")}
     parts = _join_parts()
     outdeg = e.groupby("src").aggregate(Count(alias_name="xdeg"))
     indeg = e.groupby("dst").aggregate(Count(alias_name="ydeg"))
     j = e.join(outdeg, join_type="inner", num_partitions=parts, on=("src",))
+    j, _ = _nonempty_blocks(j)   # chained joins choke on empty partitions
+    if j is None:
+        return {"edges": 0, "assortativity": float("nan")}
     j = j.join(indeg, join_type="inner", num_partitions=parts, on=("dst",))
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -131,8 +141,9 @@ def graph_summary(edges: rd.Dataset, vertices: rd.Dataset) -> pa.Table:
     floats rounded to 6 dp so the DuckDB twin (same integer moments,
     same final expression) hashes identically."""
     n_vertices = vertices.count()
-    rec = reciprocity(edges)
-    asst = degree_assortativity(edges)
+    e = distinct_edges(edges).materialize()   # ONE dedup shuffle, shared
+    rec = _reciprocity_distinct(e)
+    asst = _assortativity_distinct(e)
     m = rec["edges"]
     density = (m / (n_vertices * (n_vertices - 1))
                if n_vertices > 1 else float("nan"))
@@ -147,12 +158,22 @@ def graph_summary(edges: rd.Dataset, vertices: rd.Dataset) -> pa.Table:
     })
 
 
+def _no_self_loops(edges: rd.Dataset) -> rd.Dataset:
+    """Self-loops never contribute to triangles / clustering / modularity
+    in the NetworkX semantics these functions mirror — drop them at the
+    read so degrees are not inflated."""
+    return edges.map_batches(
+        lambda t: t.filter(pc.not_equal(t["src"], t["dst"])),
+        batch_format="pyarrow")
+
+
 def modularity(edges: rd.Dataset, labels: rd.Dataset) -> pa.Table:
     """Newman modularity of a vertex partition over the undirected view:
     Q = Σ_c [ e_c/m − (deg_c / 2m)² ] = sw/m − Σ_c deg_c² / (4m²), with
     sw = within-community edges, deg_c = community degree sum, m =
-    undirected edge count (NetworkX ``community.modularity``; graphs
-    without self-loops). ``labels`` is a (v, label) Dataset — e.g. the
+    undirected edge count (NetworkX ``community.modularity``;
+    self-loops are dropped, and a label table that does not cover every
+    edge-incident vertex raises like NetworkX's NotAPartition). ``labels`` is a (v, label) Dataset — e.g. the
     LPA / CC / SCC output. Two label joins + one groupby(label); the
     driver folds three exact integers; the only float ops are the two
     final divisions. Returns one row (n_edges, n_communities,
@@ -162,7 +183,7 @@ def modularity(edges: rd.Dataset, labels: rd.Dataset) -> pa.Table:
     from metis_ray.pipelines.dedup import _nonempty_blocks
 
     parts = _join_parts()
-    canon = canonical_edges(edges)
+    canon = canonical_edges(_no_self_loops(edges))
     lab = labels.select_columns(["v", "label"])
 
     e, m = _nonempty_blocks(canon)
@@ -180,19 +201,36 @@ def modularity(edges: rd.Dataset, labels: rd.Dataset) -> pa.Table:
                          batch_format="pyarrow")
     j = e.join(la, join_type="inner", num_partitions=parts, on=("src",))
     j, _ = _nonempty_blocks(j)
-    j = j.join(lb, join_type="inner", num_partitions=parts, on=("dst",))
+    sw = 0
+    if j is not None:
+        j = j.join(lb, join_type="inner", num_partitions=parts, on=("dst",))
 
-    def within(batch: pa.Table) -> pa.Table:
-        a = batch["label_a"].to_numpy(zero_copy_only=False)
-        b = batch["label_b"].to_numpy(zero_copy_only=False)
-        return pa.table({"sw": pa.array([int((a == b).sum())], pa.int64())})
+        def within(batch: pa.Table) -> pa.Table:
+            a = batch["label_a"].to_numpy(zero_copy_only=False)
+            b = batch["label_b"].to_numpy(zero_copy_only=False)
+            return pa.table({"sw": pa.array([int((a == b).sum())],
+                                            pa.int64())})
 
-    (sw,) = _fold_partials(j.map_batches(within, batch_format="pyarrow"),
-                           ["sw"])
+        (sw,) = _fold_partials(
+            j.map_batches(within, batch_format="pyarrow"), ["sw"])
 
-    deg = _degrees(canon)
-    dj = (deg.join(lab, join_type="inner", num_partitions=parts, on=("v",))
-          .groupby("label").aggregate(Sum("deg", alias_name="deg_c")))
+    deg = _degrees(canon).materialize()
+    n_deg = deg.count()
+    dj_rows, n_cov = _nonempty_blocks(
+        deg.join(lab, join_type="inner", num_partitions=parts, on=("v",)))
+    # NetworkX raises NotAPartition here; a silent inner join would
+    # compute a plausible-looking wrong Q over the labeled subset
+    if n_cov != n_deg:
+        raise ValueError(
+            f"labels cover {n_cov} of {n_deg} edge-incident vertices — "
+            "not a partition of the graph")
+    dj = (dj_rows.groupby("label").aggregate(Sum("deg", alias_name="deg_c"))
+          if dj_rows is not None else None)
+    if dj is None:
+        return pa.table({"n_edges": pa.array([m], pa.int64()),
+                         "n_communities": pa.array([n_comm], pa.int64()),
+                         "modularity": pa.array([float("nan")],
+                                                pa.float64())})
 
     def degsq(batch: pa.Table) -> pa.Table:
         d = batch["deg_c"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -211,18 +249,23 @@ def clustering_coefficients(edges: rd.Dataset,
                             vertices: rd.Dataset) -> rd.Dataset:
     """Per-vertex local clustering coefficient over the undirected view:
     cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), 0 when deg < 2 (NetworkX
-    ``nx.clustering``). Reuses the degree-oriented triangle pipeline
+    ``nx.clustering``; self-loops dropped, as NetworkX ignores them). Reuses the degree-oriented triangle pipeline
     (skew-safe, SURVEY.md §7.4) and the canonical degree table; vertices
     outside any edge get 0 via a left join from the vertex table. Rounded
     to 6 dp (float-division boundary, same contract as pagerank)."""
     from metis_ray.pipelines.dedup import _nonempty_blocks
 
     parts = _join_parts()
-    tri = triangle_counts(edges)                       # (v, triangles) t>0
-    deg = _degrees(canonical_edges(edges))             # (v, deg) deg>=1
+    simple = _no_self_loops(edges)
+    tri = triangle_counts(simple)                      # (v, triangles) t>0
+    deg = _degrees(canonical_edges(simple))            # (v, deg) deg>=1
 
-    base = vertices.map_batches(
-        lambda t: pa.table({"v": t["vertex_id"]}), batch_format="pyarrow")
+    base, n_base = _nonempty_blocks(vertices.map_batches(
+        lambda t: pa.table({"v": t["vertex_id"]}), batch_format="pyarrow"))
+    if base is None:
+        return rd.from_arrow(pa.table({"v": pa.array([], pa.int64()),
+                                       "clustering": pa.array([],
+                                                              pa.float64())}))
     j = base.join(deg, join_type="left_outer", num_partitions=parts,
                   on=("v",))
     j, _ = _nonempty_blocks(j)

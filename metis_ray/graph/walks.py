@@ -53,9 +53,10 @@ def random_walks(edges: rd.Dataset, starts: list[int], *,
     from metis_ray.pipelines.dedup import _join_parts, _nonempty_blocks
 
     g = edges.select_columns(["src", "dst"])
-    if not directed:
-        g = symmetrized(g)
-    g = distinct_edges(g).materialize()
+    # symmetrized() output is already distinct by construction; only the
+    # directed view needs the dedup shuffle
+    g = symmetrized(g) if not directed else distinct_edges(g)
+    g = g.materialize()
     parts = _join_parts()
 
     s = np.asarray(sorted(set(int(v) for v in starts)), dtype=np.int64)

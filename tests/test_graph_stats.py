@@ -125,6 +125,65 @@ def test_modularity_no_edges():
     assert np.isnan(t["modularity"])
 
 
+def test_modularity_partial_labels_raise():
+    """Labels that do not cover every edge-incident vertex are not a
+    partition: NetworkX raises NotAPartition, we raise ValueError (an
+    inner join would silently compute a plausible wrong Q)."""
+    import ray.data as rd
+    from metis_ray.graph.stats import modularity
+    edges, _ = _mk([0, 1, 2], [1, 2, 3], n=4)
+    labels = rd.from_arrow(pa.table({
+        "v": pa.array([0, 1], pa.int64()),
+        "label": pa.array([0, 0], pa.int64())}))
+    with pytest.raises(ValueError, match="not a partition"):
+        modularity(edges, labels)
+
+
+def test_clustering_ignores_self_loops():
+    """nx.clustering ignores self-loops; degrees must not be inflated."""
+    from metis_ray.graph.stats import clustering_coefficients
+    # triangle 0-1-2 plus a self-loop on 0
+    src = [0, 1, 2, 0]
+    dst = [1, 2, 0, 0]
+    edges, verts = _mk(src, dst, n=3)
+    got = clustering_coefficients(edges, verts).to_pandas()
+    g = nx.Graph()
+    g.add_edges_from([(0, 1), (1, 2), (2, 0), (0, 0)])
+    want = nx.clustering(g)
+    for v, cc in zip(got["v"], got["clustering"]):
+        assert cc == pytest.approx(want[int(v)], abs=1.01e-6), int(v)
+
+
+def test_clustering_empty_vertex_block():
+    """graph_vertices() can emit zero-row blocks (all-quarantined input
+    partitions); the join left side must be compacted first."""
+    import ray.data as rd
+    from metis_ray.graph.stats import clustering_coefficients
+    src, dst = _rand(n=20, m=60, seed=1)
+    edges, _ = _mk(src, dst, n=20)
+    empty = rd.from_arrow(pa.table({
+        "vertex_id": pa.array([], pa.int64())}))
+    full = rd.from_arrow(pa.table({
+        "vertex_id": pa.array(np.arange(20, dtype=np.int64), pa.int64())}))
+    verts = empty.union(full)
+    got = clustering_coefficients(edges, verts).to_pandas()
+    assert len(got) == 20
+
+
+def test_assortativity_star_graph():
+    """Hub graph: fewer distinct src keys than join partitions must not
+    crash the chained join (empty-partition compaction between joins)."""
+    from metis_ray.graph.stats import degree_assortativity
+    n = 20
+    src = np.zeros(n - 1, dtype=np.int64)
+    dst = np.arange(1, n, dtype=np.int64)
+    edges, _ = _mk(src, dst, n=n)
+    got = degree_assortativity(edges)
+    assert got["edges"] == n - 1
+    # all x = n-1, all y = 1: zero variance on both axes => NaN
+    assert np.isnan(got["assortativity"])
+
+
 def test_graph_summary_exact():
     from metis_ray.graph.stats import graph_summary
     src, dst = _rand(n=30, m=260, seed=3)
