@@ -261,6 +261,18 @@ def _q_hyperball(sf_dir: str):
     return df.sort_values("v").reset_index(drop=True)
 
 
+def _q_avg_neighbor_degree(sf_dir: str):
+    """Average neighbor degree per vertex (degree-correlation profile /
+    GNN neighbor-aggregation primitive). Degree sums are exact ints —
+    deterministic at any partitioning; NetworkX pytest oracle + exact
+    DuckDB twin over the golden edge table."""
+    from metis_ray.graph.stats import average_neighbor_degree
+    from metis_ray.pipelines.linkgraph import graph_vertices, ingest
+    res = ingest(_corpus_dir(sf_dir))
+    out = average_neighbor_degree(res.edges_file, graph_vertices(res.files))
+    return out.to_pandas().sort_values("v").reset_index(drop=True)
+
+
 def _q_modularity(sf_dir: str):
     """Newman modularity of the LPA community partition (the certified
     labelprop output) over the undirected corpus graph — exact integer
@@ -652,6 +664,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Newman modularity of the LPA partition (NetworkX pytest +
         # DuckDB twin over golden_labels/golden_edges_file)
         "graph_modularity": _q_modularity,
+        # average neighbor degree (NetworkX pytest + exact DuckDB twin)
+        "graph_avg_neighbor_degree": _q_avg_neighbor_degree,
     }
 
 
@@ -1373,5 +1387,35 @@ def oracle_sql() -> dict[str, str]:
                    round(sw.sw * 1.0 / mm.m
                          - sdq.s / (4.0 * mm.m * mm.m), 6) AS modularity
             FROM mm, sw, sdq, nc
+        """,
+        # average neighbor degree: exact integer degree sums over the
+        # golden undirected edge set; the only float op is the final
+        # division (identical op order to the engine)
+        "graph_avg_neighbor_degree": f"""
+            WITH und AS (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM read_parquet('{g}/golden_edges_file.parquet')
+                WHERE src <> dst
+            ),
+            sym AS (
+                SELECT a AS v, b AS n FROM und
+                UNION ALL SELECT b AS v, a AS n FROM und
+            ),
+            deg AS (SELECT v, count(*) AS deg FROM sym GROUP BY v),
+            agg AS (
+                SELECT sym.v, sum(dn.deg) AS s, count(*) AS c
+                FROM sym JOIN deg dn ON sym.n = dn.v
+                GROUP BY sym.v
+            ),
+            verts AS (
+                SELECT vertex_id AS v
+                FROM read_parquet('{g}/golden_files.parquet')
+                WHERE NOT quarantined
+            )
+            SELECT verts.v,
+                   CASE WHEN coalesce(agg.c, 0) > 0
+                        THEN agg.s * 1.0 / agg.c
+                        ELSE 0.0 END AS avg_neighbor_degree
+            FROM verts LEFT JOIN agg ON verts.v = agg.v
         """,
     }

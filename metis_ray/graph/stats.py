@@ -245,6 +245,71 @@ def modularity(edges: rd.Dataset, labels: rd.Dataset) -> pa.Table:
                      "modularity": pa.array([round(q, 6)], pa.float64())})
 
 
+def average_neighbor_degree(edges: rd.Dataset,
+                            vertices: rd.Dataset) -> rd.Dataset:
+    """Average neighbor degree per vertex over the undirected view
+    (NetworkX ``average_neighbor_degree``; self-loops dropped, isolated
+    vertices get 0.0) — the degree-correlation profile behind
+    assortativity, and the GNN-style neighbor-aggregation primitive
+    (join features onto the symmetrized incidence, groupby the center).
+    Degree sums are exact integers, so the result is deterministic at any
+    partitioning; the only float op is the final IEEE division, emitted
+    UNROUNDED — s/c from exact ints is bit-identical in numpy and DuckDB,
+    while rounding would race the half-even/half-up boundary that ratios
+    of small ints (power-of-two denominators) can hit exactly."""
+    from ray.data.aggregate import Sum
+
+    from metis_ray.graph.partition import symmetrized
+    from metis_ray.pipelines.dedup import _nonempty_blocks
+
+    parts = _join_parts()
+    simple = _no_self_loops(edges.select_columns(["src", "dst"]))
+    deg = _degrees(canonical_edges(simple))            # (v, deg) exact
+    sym = symmetrized(simple)                          # (src=v, dst=n)
+
+    base, n_base = _nonempty_blocks(vertices.map_batches(
+        lambda t: pa.table({"v": t["vertex_id"]}), batch_format="pyarrow"))
+    empty = pa.table({"v": pa.array([], pa.int64()),
+                      "avg_neighbor_degree": pa.array([], pa.float64())})
+    if base is None:
+        return rd.from_arrow(empty)
+
+    nd = deg.map_batches(lambda t: t.rename_columns(["dst", "deg_n"]),
+                         batch_format="pyarrow")
+    sym_ne, n_sym = _nonempty_blocks(sym)
+    if sym_ne is not None:
+        j = sym_ne.join(nd, join_type="inner", num_partitions=parts,
+                        on=("dst",))
+        j, _ = _nonempty_blocks(j)
+    else:
+        j = None
+    if j is None:
+        # no edges at all: every vertex is isolated
+        return base.map_batches(
+            lambda t: pa.table({
+                "v": t["v"],
+                "avg_neighbor_degree": pa.array(
+                    np.zeros(t.num_rows), pa.float64())}),
+            batch_format="pyarrow")
+
+    agg = (j.map_batches(
+               lambda t: pa.table({"v": t["src"], "deg_n": t["deg_n"]}),
+               batch_format="pyarrow")
+           .groupby("v").aggregate(Sum("deg_n", alias_name="s"),
+                                   Count(alias_name="c")))
+    out = base.join(agg, join_type="left_outer", num_partitions=parts,
+                    on=("v",))
+
+    def mean(batch: pa.Table) -> pa.Table:
+        s = pc.fill_null(batch["s"], 0).to_numpy(zero_copy_only=False)
+        c = pc.fill_null(batch["c"], 0).to_numpy(zero_copy_only=False)
+        m = np.where(c > 0, s / np.where(c > 0, c, 1), 0.0)
+        return pa.table({"v": batch["v"],
+                         "avg_neighbor_degree": pa.array(m, pa.float64())})
+
+    return out.map_batches(mean, batch_format="pyarrow")
+
+
 def clustering_coefficients(edges: rd.Dataset,
                             vertices: rd.Dataset) -> rd.Dataset:
     """Per-vertex local clustering coefficient over the undirected view:

@@ -184,6 +184,32 @@ def test_assortativity_star_graph():
     assert np.isnan(got["assortativity"])
 
 
+def test_average_neighbor_degree_matches_networkx():
+    from metis_ray.graph.stats import average_neighbor_degree
+    src, dst = _rand(n=40, m=200, seed=19)
+    vids = np.arange(44)                     # 4 isolated vertices
+    edges, verts = _mk(src, dst, vids=vids)
+    got = average_neighbor_degree(edges, verts).to_pandas()
+    g = nx.Graph()
+    g.add_nodes_from(range(44))
+    g.add_edges_from(zip(src.tolist(), dst.tolist()))
+    want = nx.average_neighbor_degree(g)
+    assert len(got) == 44
+    for v, m in zip(got["v"], got["avg_neighbor_degree"]):
+        assert m == pytest.approx(want[int(v)], abs=1.01e-6), int(v)
+
+
+def test_average_neighbor_degree_no_edges():
+    import ray.data as rd
+    from metis_ray.graph.stats import average_neighbor_degree
+    edges = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                    "dst": pa.array([], pa.int64())}))
+    verts = rd.from_arrow(pa.table({
+        "vertex_id": pa.array(np.arange(3, dtype=np.int64), pa.int64())}))
+    got = average_neighbor_degree(edges, verts).to_pandas()
+    assert got["avg_neighbor_degree"].tolist() == [0.0, 0.0, 0.0]
+
+
 def test_graph_summary_exact():
     from metis_ray.graph.stats import graph_summary
     src, dst = _rand(n=30, m=260, seed=3)
