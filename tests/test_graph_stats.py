@@ -210,6 +210,99 @@ def test_average_neighbor_degree_no_edges():
     assert got["avg_neighbor_degree"].tolist() == [0.0, 0.0, 0.0]
 
 
+def test_stats_on_real_corpus_graph(tiny_corpus_dir):
+    """The new statistics vs NetworkX over the ACTUAL ingested corpus
+    graph (not synthetic edge lists): summary scalars, clustering and
+    average neighbor degree must all match on the real edge table."""
+    from metis_ray.graph.stats import (average_neighbor_degree,
+                                       clustering_coefficients,
+                                       graph_summary)
+    from metis_ray.pipelines.linkgraph import graph_vertices, ingest
+
+    res = ingest(tiny_corpus_dir)
+    verts = graph_vertices(res.files)
+    edf = res.edges_file.select_columns(["src", "dst"]).to_pandas()
+    vids = verts.to_pandas()["vertex_id"].tolist()
+
+    g = nx.DiGraph()
+    g.add_nodes_from(int(v) for v in vids)
+    g.add_edges_from(zip(edf["src"], edf["dst"]))
+
+    row = graph_summary(res.edges_file, verts).to_pandas().iloc[0]
+    assert row["n_vertices"] == len(vids)
+    assert row["n_edges"] == g.number_of_edges()
+    assert row["density"] == pytest.approx(nx.density(g), abs=1e-6)
+    assert row["reciprocity"] == pytest.approx(
+        nx.overall_reciprocity(g), abs=1e-6)
+    want_r = nx.degree_assortativity_coefficient(g, x="out", y="in")
+    assert row["assortativity"] == pytest.approx(want_r, abs=1e-6)
+
+    u = g.to_undirected()
+    cc = clustering_coefficients(res.edges_file, verts).to_pandas()
+    want_cc = nx.clustering(u)
+    assert len(cc) == len(vids)
+    for v, c in zip(cc["v"], cc["clustering"]):
+        assert c == pytest.approx(want_cc[int(v)], abs=1.01e-6), int(v)
+
+    nd = average_neighbor_degree(res.edges_file, verts).to_pandas()
+    want_nd = nx.average_neighbor_degree(u)
+    for v, m in zip(nd["v"], nd["avg_neighbor_degree"]):
+        assert m == pytest.approx(want_nd[int(v)], abs=1e-9), int(v)
+
+
+def _brandes_reference(adj, nodes, sources):
+    """Textbook sequential Brandes (unweighted, exact int σ), restricted
+    to the given source set — the independent oracle for k-source runs."""
+    import collections
+    bc = {v: 0.0 for v in nodes}
+    for s in sources:
+        dist = {s: 0}
+        sigma = collections.defaultdict(int)
+        sigma[s] = 1
+        order = [s]
+        dq = collections.deque([s])
+        while dq:
+            u = dq.popleft()
+            for w in adj.get(u, ()):
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    order.append(w)
+                    dq.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+        delta = collections.defaultdict(float)
+        for w in reversed(order):
+            for x in adj.get(w, ()):
+                if dist.get(x) == dist[w] + 1:
+                    delta[w] += sigma[w] / sigma[x] * (1.0 + delta[x])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
+def test_betweenness_on_real_corpus_graph(tiny_corpus_dir):
+    """k-source betweenness over the real corpus graph vs a sequential
+    Brandes transcription restricted to the same source set."""
+    from metis_ray.graph.betweenness import betweenness_dataset
+    from metis_ray.pipelines.linkgraph import graph_vertices, ingest
+
+    res = ingest(tiny_corpus_dir)
+    verts = graph_vertices(res.files)
+    vids = sorted(int(v) for v in verts.to_pandas()["vertex_id"])
+    sources = vids[:8]
+    got = betweenness_dataset(res.edges_file, verts,
+                              sources=sources)[0].to_pandas()
+    got = dict(zip(got["v"].astype(int), got["betweenness"]))
+
+    edf = res.edges_file.select_columns(["src", "dst"]).to_pandas()
+    adj = {}
+    for a, b in zip(edf["src"], edf["dst"]):
+        adj.setdefault(int(a), set()).add(int(b))
+    want = _brandes_reference(adj, vids, sources)
+    for v in vids:
+        assert got[v] == pytest.approx(want[v], abs=1e-6), v
+
+
 def test_graph_summary_exact():
     from metis_ray.graph.stats import graph_summary
     src, dst = _rand(n=30, m=260, seed=3)
