@@ -319,6 +319,21 @@ def _q_random_walks(sf_dir: str):
             .reset_index(drop=True))
 
 
+def _q_random_walks_weighted(sf_dir: str):
+    """Multiplicity-weighted random walks (P(next) ∝ edge multiplicity
+    via a deterministic exponential race — the import count becomes
+    load-bearing). Exact sequential oracle + statistical bias test in
+    tests/test_walks.py."""
+    from metis_ray.graph.walks import random_walks
+    from metis_ray.pipelines.linkgraph import graph_vertices, ingest
+    res = ingest(_corpus_dir(sf_dir))
+    vids = sorted(graph_vertices(res.files).to_pandas()["vertex_id"])[:32]
+    out = random_walks(res.edges_file, [int(v) for v in vids],
+                       length=8, seed=42, weight_col="multiplicity")
+    return (out.to_pandas().sort_values(["walk_id", "step"])
+            .reset_index(drop=True))
+
+
 def _q_kcore(sf_dir: str):
     """k-core decomposition (core number per vertex) over the corpus link
     graph, by the superstep-parallel h-index iteration in the Dataset
@@ -666,6 +681,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_modularity": _q_modularity,
         # average neighbor degree (NetworkX pytest + exact DuckDB twin)
         "graph_avg_neighbor_degree": _q_avg_neighbor_degree,
+        # multiplicity-weighted random walks (exponential-race choice;
+        # exact sequential oracle + bias test in pytest)
+        "graph_random_walks_weighted": _q_random_walks_weighted,
     }
 
 

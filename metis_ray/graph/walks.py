@@ -40,22 +40,46 @@ def _mix(walk_id: np.ndarray, step: int, neigh: np.ndarray,
     return x
 
 
+def _race_keys(h: np.ndarray, weights: np.ndarray) -> np.ndarray:
+    """Exponential-race keys: -ln(U)/w with U = hash mapped into (0, 1].
+    argmin over neighbors == weighted-proportional choice; identical
+    arithmetic in the sequential reference => bit-deterministic."""
+    u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0   # (0, 1]
+    return -np.log(u) / weights.astype(np.float64)
+
+
 def random_walks(edges: rd.Dataset, starts: list[int], *,
                  length: int = 10, seed: int = 0,
-                 directed: bool = True) -> rd.Dataset:
+                 directed: bool = True,
+                 weight_col: str | None = None) -> rd.Dataset:
     """Walks of at most ``length`` steps from each start vertex (one walk
     per start; ``walk_id`` = start vertex id). Returns a Dataset
     (walk_id, step, v) with step 0 = the start. Choice rule documented in
-    the module docstring; neighbor multiplicity does NOT bias the choice
-    (the walk sees the distinct out-neighbor set)."""
+    the module docstring. Unweighted walks choose uniformly over the
+    DISTINCT out-neighbor set; with ``weight_col`` (e.g. the edge
+    ``multiplicity``) the choice is weighted-proportional via a
+    deterministic exponential race (Efraimidis-Spirakis): each neighbor
+    draws key = -ln(U)/w with U = its avalanche hash as uniform(0,1],
+    and the walk takes the argmin key — P(choose i) = w_i/Σw, still
+    coordination-free and parallelism-independent. ``weight_col`` is
+    only supported on directed walks (the undirected view has no
+    canonical per-direction weight)."""
     from metis_ray.graph.partition import symmetrized
     from metis_ray.graph.stats import distinct_edges
     from metis_ray.pipelines.dedup import _join_parts, _nonempty_blocks
 
-    g = edges.select_columns(["src", "dst"])
-    # symmetrized() output is already distinct by construction; only the
-    # directed view needs the dedup shuffle
-    g = symmetrized(g) if not directed else distinct_edges(g)
+    if weight_col is not None:
+        if not directed:
+            raise ValueError("weight_col requires directed=True")
+        g = edges.select_columns(["src", "dst", weight_col]).map_batches(
+            lambda t, _w=weight_col: pa.table(
+                {"src": t["src"], "dst": t["dst"], "w": t[_w]}),
+            batch_format="pyarrow")
+    else:
+        g = edges.select_columns(["src", "dst"])
+        # symmetrized() output is already distinct by construction; only
+        # the directed view needs the dedup shuffle
+        g = symmetrized(g) if not directed else distinct_edges(g)
     g = g.materialize()
     parts = _join_parts()
 
@@ -82,9 +106,14 @@ def random_walks(edges: rd.Dataset, starts: list[int], *,
             w = group["walk_id"].to_numpy(zero_copy_only=False)
             d = group["dst"].to_numpy(zero_copy_only=False)
             h = _mix(w, _step, d, seed)
-            # argmin by (hash, dst): ties (hash collisions) break to the
-            # smaller neighbor id so the walk is fully deterministic
-            i = np.lexsort((d, h))[0]
+            if "w" in group.column_names:
+                wt = group["w"].to_numpy(zero_copy_only=False)
+                k = _race_keys(h, wt)
+                i = np.lexsort((d, k))[0]
+            else:
+                # argmin by (hash, dst): ties (hash collisions) break to
+                # the smaller neighbor id, fully deterministic
+                i = np.lexsort((d, h))[0]
             return pa.table({"walk_id": pa.array([int(w[i])], pa.int64()),
                              "v": pa.array([int(d[i])], pa.int64())})
 
@@ -106,9 +135,11 @@ def random_walks(edges: rd.Dataset, starts: list[int], *,
 
 
 def walks_reference(adj: dict[int, set[int]], starts: list[int], *,
-                    length: int = 10, seed: int = 0) -> list[tuple]:
+                    length: int = 10, seed: int = 0,
+                    weights: dict[tuple[int, int], float] | None = None,
+                    ) -> list[tuple]:
     """Sequential transcription of the EXACT walk recurrence (the pytest
-    golden): same mix, same (hash, dst) tie order. Returns sorted
+    golden): same mix, same race keys, same tie order. Returns sorted
     (walk_id, step, v) tuples."""
     rows = []
     for s in sorted(set(int(v) for v in starts)):
@@ -120,7 +151,11 @@ def walks_reference(adj: dict[int, set[int]], starts: list[int], *,
                 break
             d = np.asarray(nbrs, dtype=np.int64)
             h = _mix(np.full(len(d), s, np.int64), step, d, seed)
-            i = np.lexsort((d, h))[0]
+            if weights is not None:
+                wt = np.asarray([weights[(cur, int(x))] for x in d])
+                i = np.lexsort((d, _race_keys(h, wt)))[0]
+            else:
+                i = np.lexsort((d, h))[0]
             cur = int(d[i])
             rows.append((s, step, cur))
     return sorted(rows)

@@ -71,6 +71,56 @@ def test_walks_dead_end_stops():
     assert got == [(1, 0, 1), (1, 1, 2), (1, 2, 3), (3, 0, 3)]
 
 
+def test_weighted_walks_match_reference_and_bias():
+    from metis_ray.graph.walks import random_walks, walks_reference
+    import ray.data as rd
+    rng = np.random.RandomState(31)
+    n, m = 20, 120
+    src = rng.randint(0, n, m)
+    dst = rng.randint(0, n, m)
+    wts = rng.randint(1, 9, m).astype(np.int64)
+    # dedupe (src,dst) keeping the first weight, like an edge table
+    seen, keep = set(), []
+    for idx, (a, b) in enumerate(zip(src, dst)):
+        if (int(a), int(b)) not in seen:
+            seen.add((int(a), int(b)))
+            keep.append(idx)
+    src, dst, wts = src[keep], dst[keep], wts[keep]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64()),
+        "multiplicity": pa.array(wts, pa.int64())}))
+    weights = {(int(a), int(b)): float(w)
+               for a, b, w in zip(src, dst, wts)}
+    starts = [0, 4, 9, 13]
+    got = _got_rows(random_walks(edges, starts, length=7, seed=11,
+                                 weight_col="multiplicity"))
+    want = walks_reference(_adj(src, dst), starts, length=7, seed=11,
+                           weights=weights)
+    assert got == want
+    # statistical bias check: 40 independent walkers (the hash mixes the
+    # walk id) each face a 2-neighbor choice weighted (1, 9); the heavy
+    # neighbor must win ~90% of the time
+    trials = 40
+    hubs = np.arange(trials, dtype=np.int64)
+    hub = rd.from_arrow(pa.table({
+        "src": pa.array(np.repeat(hubs, 2), pa.int64()),
+        "dst": pa.array(np.tile([1000, 2000], trials), pa.int64()),
+        "multiplicity": pa.array(np.tile([1, 9], trials), pa.int64())}))
+    rows = _got_rows(random_walks(hub, hubs.tolist(), length=1, seed=7,
+                                  weight_col="multiplicity"))
+    heavy = sum(1 for (_, st, v) in rows if st == 1 and v == 2000)
+    assert heavy >= 30                      # E[heavy] = 36, σ ≈ 1.9
+
+
+def test_weighted_walks_require_directed():
+    from metis_ray.graph.walks import random_walks
+    import pytest as _pytest
+    edges = _mk_edges([1], [2])
+    with _pytest.raises(ValueError):
+        random_walks(edges, [1], directed=False, weight_col="w")
+
+
 def test_walks_undirected_reference():
     from metis_ray.graph.walks import random_walks, walks_reference
     rng = np.random.RandomState(8)
