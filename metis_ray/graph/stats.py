@@ -195,6 +195,28 @@ def modularity(edges: rd.Dataset, labels: rd.Dataset) -> pa.Table:
                          "modularity": pa.array([float("nan")],
                                                 pa.float64())})
 
+    # Validate the partition BEFORE the expensive within-community joins.
+    # A duplicate v row would both double-count deg_c/sw and make the
+    # coverage row count below lie (rows == distinct vertices only when
+    # v is unique), so uniqueness is checked first.
+    n_lab = lab.count()
+    n_lab_v = lab.groupby("v").aggregate(Count(alias_name="_n")).count()
+    if n_lab != n_lab_v:
+        raise ValueError(
+            f"labels hold {n_lab} rows over {n_lab_v} distinct vertices — "
+            "duplicate vertex rows, not a partition of the graph")
+
+    deg = _degrees(e).materialize()          # reuse the materialized edges
+    n_deg = deg.count()
+    dj_rows, n_cov = _nonempty_blocks(
+        deg.join(lab, join_type="inner", num_partitions=parts, on=("v",)))
+    # NetworkX raises NotAPartition here; a silent inner join would
+    # compute a plausible-looking wrong Q over the labeled subset
+    if n_cov != n_deg:
+        raise ValueError(
+            f"labels cover {n_cov} of {n_deg} edge-incident vertices — "
+            "not a partition of the graph")
+
     la = lab.map_batches(lambda t: t.rename_columns(["src", "label_a"]),
                          batch_format="pyarrow")
     lb = lab.map_batches(lambda t: t.rename_columns(["dst", "label_b"]),
@@ -213,17 +235,6 @@ def modularity(edges: rd.Dataset, labels: rd.Dataset) -> pa.Table:
 
         (sw,) = _fold_partials(
             j.map_batches(within, batch_format="pyarrow"), ["sw"])
-
-    deg = _degrees(canon).materialize()
-    n_deg = deg.count()
-    dj_rows, n_cov = _nonempty_blocks(
-        deg.join(lab, join_type="inner", num_partitions=parts, on=("v",)))
-    # NetworkX raises NotAPartition here; a silent inner join would
-    # compute a plausible-looking wrong Q over the labeled subset
-    if n_cov != n_deg:
-        raise ValueError(
-            f"labels cover {n_cov} of {n_deg} edge-incident vertices — "
-            "not a partition of the graph")
     dj = (dj_rows.groupby("label").aggregate(Sum("deg", alias_name="deg_c"))
           if dj_rows is not None else None)
     if dj is None:
@@ -259,13 +270,24 @@ def average_neighbor_degree(edges: rd.Dataset,
     of small ints (power-of-two denominators) can hit exactly."""
     from ray.data.aggregate import Sum
 
-    from metis_ray.graph.partition import symmetrized
     from metis_ray.pipelines.dedup import _nonempty_blocks
 
     parts = _join_parts()
     simple = _no_self_loops(edges.select_columns(["src", "dst"]))
-    deg = _degrees(canonical_edges(simple))            # (v, deg) exact
-    sym = symmetrized(simple)                          # (src=v, dst=n)
+    # ONE dedup shuffle, shared: degrees and the symmetrized view both
+    # derive from the same materialized canonical pairs (symmetrized()
+    # would re-run canonical_edges from scratch)
+    canon = canonical_edges(simple).materialize()
+    deg = _degrees(canon)                              # (v, deg) exact
+
+    def _both(batch: pa.Table) -> pa.Table:
+        a = batch["src"].to_numpy(zero_copy_only=False)
+        b = batch["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(np.concatenate([a, b]), pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), pa.int64())})
+
+    sym = canon.map_batches(_both, batch_format="pyarrow")  # (src=v, dst=n)
 
     base, n_base = _nonempty_blocks(vertices.map_batches(
         lambda t: pa.table({"v": t["vertex_id"]}), batch_format="pyarrow"))

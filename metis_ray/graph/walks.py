@@ -61,7 +61,9 @@ def random_walks(edges: rd.Dataset, starts: list[int], *,
     deterministic exponential race (Efraimidis-Spirakis): each neighbor
     draws key = -ln(U)/w with U = its avalanche hash as uniform(0,1],
     and the walk takes the argmin key — P(choose i) = w_i/Σw, still
-    coordination-free and parallelism-independent. ``weight_col`` is
+    coordination-free and parallelism-independent. Duplicate (src, dst)
+    rows are summed before the race (additive multiplicity — weights
+    must be positive and finite, enforced). ``weight_col`` is
     only supported on directed walks (the undirected view has no
     canonical per-direction weight)."""
     from metis_ray.graph.partition import symmetrized
@@ -71,10 +73,25 @@ def random_walks(edges: rd.Dataset, starts: list[int], *,
     if weight_col is not None:
         if not directed:
             raise ValueError("weight_col requires directed=True")
-        g = edges.select_columns(["src", "dst", weight_col]).map_batches(
-            lambda t, _w=weight_col: pa.table(
-                {"src": t["src"], "dst": t["dst"], "w": t[_w]}),
-            batch_format="pyarrow")
+        from ray.data.aggregate import Sum
+
+        def to_w(t: pa.Table, _w=weight_col) -> pa.Table:
+            w = t[_w].to_numpy(zero_copy_only=False).astype(np.float64)
+            # a zero weight would make the edge silently unreachable
+            # (inf/NaN race key) and a negative one would always win —
+            # turn silent bias into a loud error
+            if t.num_rows and (not np.isfinite(w).all() or (w <= 0).any()):
+                raise ValueError(
+                    f"weight_col {_w!r} must be positive and finite")
+            return pa.table({"src": t["src"], "dst": t["dst"],
+                             "w": pa.array(w, pa.float64())})
+
+        # duplicate (src, dst) rows act ADDITIVELY (P ∝ summed weight),
+        # mirroring the unweighted path's distinct_edges(); without this
+        # groupby a duplicate edge would race as max(w), not sum(w)
+        g = (edges.select_columns(["src", "dst", weight_col])
+             .map_batches(to_w, batch_format="pyarrow")
+             .groupby(["src", "dst"]).aggregate(Sum("w", alias_name="w")))
     else:
         g = edges.select_columns(["src", "dst"])
         # symmetrized() output is already distinct by construction; only

@@ -319,3 +319,18 @@ def test_graph_summary_exact():
         nx.overall_reciprocity(g), abs=1e-6)
     assert row["assortativity"] == pytest.approx(
         nx.degree_assortativity_coefficient(g, x="out", y="in"), abs=1e-6)
+
+
+def test_modularity_duplicate_labels_raise():
+    """A duplicate vertex row in the label table is not a partition: the
+    row-count coverage check alone would be fooled (3 join rows == 3
+    edge-incident vertices with vertex 2 unlabeled and vertex 0 doubled),
+    silently double-counting deg_c/sw. NetworkX raises NotAPartition."""
+    import ray.data as rd
+    from metis_ray.graph.stats import modularity
+    edges, _ = _mk([0, 1], [1, 2], n=3)
+    labels = rd.from_arrow(pa.table({
+        "v": pa.array([0, 0, 1], pa.int64()),
+        "label": pa.array([0, 0, 0], pa.int64())}))
+    with pytest.raises(ValueError, match="not a partition"):
+        modularity(edges, labels)

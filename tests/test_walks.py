@@ -134,3 +134,44 @@ def test_walks_undirected_reference():
     want = walks_reference(_adj(src, dst, directed=False), [0, 5, 9],
                            length=5, seed=3)
     assert got == want
+
+
+def test_weighted_walks_duplicate_edges_sum():
+    """Duplicate (src, dst) rows act additively: the race must see
+    sum(w), not max(w) — a raw (non-pre-aggregated) edge list with rows
+    (s,d,1) and (s,d,5) competes with weight 6."""
+    import ray.data as rd
+    from metis_ray.graph.walks import random_walks, walks_reference
+    rng = np.random.RandomState(23)
+    n, m = 15, 90
+    src = rng.randint(0, n, m)
+    dst = rng.randint(0, n, m)
+    wts = rng.randint(1, 6, m).astype(np.int64)
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()),
+        "dst": pa.array(dst, pa.int64()),
+        "multiplicity": pa.array(wts, pa.int64())}))
+    summed = {}
+    for a, b, w in zip(src, dst, wts):
+        summed[(int(a), int(b))] = summed.get((int(a), int(b)), 0.0) + float(w)
+    starts = [0, 3, 8]
+    got = _got_rows(random_walks(edges, starts, length=6, seed=4,
+                                 weight_col="multiplicity"))
+    want = walks_reference(_adj(src, dst), starts, length=6, seed=4,
+                           weights=summed)
+    assert got == want
+
+
+def test_weighted_walks_reject_nonpositive():
+    """A zero weight would make its edge silently unreachable (inf race
+    key) and a negative one would always win — both must raise."""
+    import ray.data as rd
+    import pytest as _pytest
+    from metis_ray.graph.walks import random_walks
+    for bad in (0, -2):
+        edges = rd.from_arrow(pa.table({
+            "src": pa.array([1, 1], pa.int64()),
+            "dst": pa.array([2, 3], pa.int64()),
+            "w": pa.array([1, bad], pa.int64())}))
+        with _pytest.raises(Exception, match="positive and finite"):
+            random_walks(edges, [1], length=1, weight_col="w").materialize()
