@@ -354,8 +354,13 @@ def _q_export_shards(sf_dir: str):
     import shutil
 
     from metis_ray.pipelines.scan import export_packed
-    out = os.path.join("/tmp", "metis_ray_export",
-                       os.path.basename(sf_dir.rstrip("/")))
+    # export_packed's contract: out_dir must be SHARED storage on a
+    # multi-node cluster (workers os.replace into it, the driver scans
+    # it on resume). Node-local /tmp is valid only in this single-node
+    # sandbox; METIS_RAY_EXPORT_DIR overrides for real deployments.
+    root = os.environ.get("METIS_RAY_EXPORT_DIR",
+                          os.path.join("/tmp", "metis_ray_export"))
+    out = os.path.join(root, os.path.basename(sf_dir.rstrip("/")))
     shutil.rmtree(out, ignore_errors=True)
     return export_packed(sf_dir, out, budget=4096)
 

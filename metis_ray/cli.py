@@ -94,51 +94,55 @@ def cmd_query(args) -> int:
     import os
 
     ray = _ray_session(args.num_cpus)
-    manifest = os.path.join(args.out, "_SUCCESS.json")
-    if os.path.exists(manifest):
-        print(json.dumps({"query": args.name, "out": args.out,
-                          "skipped": "already complete"}))
-        ray.shutdown()
+    try:
+        manifest = os.path.join(args.out, "_SUCCESS.json")
+        if os.path.exists(manifest):
+            print(json.dumps({"query": args.name, "out": args.out,
+                              "skipped": "already complete"}))
+            return 0
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "_metis_entry", os.path.join(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))),
+                "__ray_entry__.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        qs = mod.queries()
+        if args.name not in qs:
+            print(json.dumps({"error": f"unknown query '{args.name}'",
+                              "available": sorted(qs)}), file=sys.stderr)
+            return 2
+        res = qs[args.name](args.sf_dir)
+        tmp = args.out + ".tmp"
+        import shutil
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        import ray.data as rd
+        if isinstance(res, rd.Dataset):
+            res.write_parquet(tmp)
+            n = sum(1 for f in os.listdir(tmp) if f.endswith(".parquet"))
+            rows = None
+        else:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            table = (res if isinstance(res, pa.Table)
+                     else pa.Table.from_pandas(res))
+            pq.write_table(table, os.path.join(tmp, "part-0.parquet"))
+            n, rows = 1, table.num_rows
+        with open(os.path.join(tmp, "_SUCCESS.json"), "w") as fh:
+            json.dump({"query": args.name, "sf_dir": args.sf_dir,
+                       "files": n, "rows": rows}, fh)
+        if os.path.exists(args.out):
+            shutil.rmtree(args.out)
+        os.replace(tmp, args.out)
+        print(json.dumps({"query": args.name, "out": args.out, "files": n,
+                          "rows": rows}))
         return 0
-    import importlib.util
-    spec = importlib.util.spec_from_file_location(
-        "_metis_entry", os.path.join(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__))), "__ray_entry__.py"))
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    qs = mod.queries()
-    if args.name not in qs:
-        print(json.dumps({"error": f"unknown query '{args.name}'",
-                          "available": sorted(qs)}), file=sys.stderr)
+    finally:
+        # a failing query callable must not leak the Ray session (in-process
+        # callers like tests/test_cli.py would inherit the orphaned cluster)
         ray.shutdown()
-        return 2
-    res = qs[args.name](args.sf_dir)
-    tmp = args.out + ".tmp"
-    import shutil
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    os.makedirs(tmp)
-    import ray.data as rd
-    if isinstance(res, rd.Dataset):
-        res.write_parquet(tmp)
-        n = sum(1 for f in os.listdir(tmp) if f.endswith(".parquet"))
-        rows = None
-    else:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        table = res if isinstance(res, pa.Table) else pa.Table.from_pandas(res)
-        pq.write_table(table, os.path.join(tmp, "part-0.parquet"))
-        n, rows = 1, table.num_rows
-    with open(os.path.join(tmp, "_SUCCESS.json"), "w") as fh:
-        json.dump({"query": args.name, "sf_dir": args.sf_dir,
-                   "files": n, "rows": rows}, fh)
-    if os.path.exists(args.out):
-        shutil.rmtree(args.out)
-    os.replace(tmp, args.out)
-    print(json.dumps({"query": args.name, "out": args.out, "files": n,
-                      "rows": rows}))
-    ray.shutdown()
-    return 0
 
 
 def cmd_bench_graph(args) -> int:

@@ -104,7 +104,10 @@ def adamic_adar(edges: rd.Dataset, *, k: int = 100,
     by definition (counted in ``stats['dropped_hubs']`` when given).
     Centers of degree 1 contribute no wedge; degree >= 2 makes ln(deg) > 0.
     """
-    canon = canonical_edges(edges)
+    # ONE dedup shuffle, shared: canon feeds both the wedge machinery and
+    # the anti-join side — without materialize() each consumer re-executes
+    # the groupby-distinct over the whole edge table
+    canon = canonical_edges(edges).materialize()
     sym = _symmetrize(canon)
     pairs = _wedge_pairs(sym, max_hub_degree, stats)
 
@@ -153,7 +156,9 @@ def jaccard_neighbors(edges: rd.Dataset, *, k: int = 100,
     """
     from metis_ray.pipelines.dedup import _join_parts, _nonempty_blocks
 
-    canon = canonical_edges(edges)
+    # ONE dedup shuffle, shared across wedges / degrees / the anti-join
+    # side (same rationale as adamic_adar)
+    canon = canonical_edges(edges).materialize()
     sym = _symmetrize(canon)
     pairs = _wedge_pairs(sym, max_hub_degree, stats)
 
@@ -183,6 +188,11 @@ def jaccard_neighbors(edges: rd.Dataset, *, k: int = 100,
     withdeg = left.join(deg_a, join_type="inner", on=("a",),
                         num_partitions=nparts)
     left, _ = _nonempty_blocks(withdeg)
+    if left is None:
+        return rd.from_arrow(pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()),
+             ("common_neighbors", pa.int64()),
+             ("jaccard", pa.float64())]).empty_table())
     deg_b = deg.rename_columns({"v": "b", "deg": "deg_b"})
     withdeg = left.join(deg_b, join_type="inner", on=("b",),
                         num_partitions=nparts)

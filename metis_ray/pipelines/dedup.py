@@ -513,6 +513,12 @@ def decontaminate(sf_dir: str, *, n: int = 8,
 
     from metis_ray.functions.hashing import hash64
 
+    def is_bench_doc(doc_id) -> bool:
+        # THE benchmark-membership predicate — single definition so the
+        # gram rows and the verdict rows can never desynchronize
+        return (hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+                < bench_prefix_lt)
+
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def grams(batch: pa.Table) -> pa.Table:
@@ -523,7 +529,7 @@ def decontaminate(sf_dir: str, *, n: int = 8,
         for i, t in zip(ids, batch["text"].to_pylist()):
             w = t.lower().split()
             uniq = {" ".join(w[j:j + n]) for j in range(len(w) - n + 1)}
-            is_b = hashlib.md5(str(i).encode()).hexdigest()[:2] < bench_prefix_lt
+            is_b = is_bench_doc(i)
             out_ids.extend([i] * len(uniq))
             bench.extend([is_b] * len(uniq))
             gs.extend(uniq)
@@ -552,9 +558,8 @@ def decontaminate(sf_dir: str, *, n: int = 8,
         ids = batch["doc_id"].to_pylist()
         return pa.table({
             "doc_id": batch["doc_id"],
-            "is_benchmark": pa.array(
-                [hashlib.md5(str(i).encode()).hexdigest()[:2] < bench_prefix_lt
-                 for i in ids], pa.bool_())})
+            "is_benchmark": pa.array([is_bench_doc(i) for i in ids],
+                                     pa.bool_())})
 
     all_docs = docs.select_columns(["doc_id"]).map_batches(
         doc_flags, batch_format="pyarrow")

@@ -558,6 +558,9 @@ def events_value_quantiles(sf_dir: str, *, k: int = 256,
     ev = read_table(sf_dir, "events", columns=["event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:       # empty blocks: cuts=[0] would index et[0]
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "sk": pa.array([], pa.large_binary())})
         idx = pc.sort_indices(batch["event_type"])
         et = batch["event_type"].take(idx).to_numpy(zero_copy_only=False)
         val = batch["value"].take(idx).to_numpy(zero_copy_only=False)
