@@ -689,6 +689,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multiplicity-weighted random walks (exponential-race choice;
         # exact sequential oracle + bias test in pytest)
         "graph_random_walks_weighted": _q_random_walks_weighted,
+        # per-doc mean unigram log-probability under the corpus's own
+        # term distribution — the perplexity-style curation filter
+        # (exact DuckDB twin + brute-force pytest oracle)
+        "docs_unigram_logprob": textstats.unigram_logprob,
     }
 
 
@@ -1203,6 +1207,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source, n_chars,
                    md5(concat('42:', CAST(doc_id AS VARCHAR))) AS shuffle_key
             FROM documents ORDER BY shuffle_key
+        """,
+        # same tokenization as docs_token_count (trim + split on \s+,
+        # lowercased); the inner join drops zero-token docs on both sides
+        "docs_unigram_logprob": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(lower(text)),
+                                                    '\s+')) AS term
+                FROM documents WHERE trim(text) <> ''
+            ),
+            cnt AS (
+                SELECT term, COUNT(*)::BIGINT AS c FROM tok GROUP BY term
+            ),
+            tot AS (SELECT SUM(c)::BIGINT AS total FROM cnt)
+            SELECT t.doc_id,
+                   COUNT(*)::BIGINT AS n_tokens,
+                   ROUND(SUM(LN(c.c)) / COUNT(*)
+                         - LN((SELECT total FROM tot)), 6) AS mean_logprob
+            FROM tok t JOIN cnt c USING (term)
+            GROUP BY t.doc_id
         """,
         "docs_pii_scrub": r"""
             WITH s1 AS (

@@ -415,6 +415,92 @@ def shuffle_docs(sf_dir: str, *, seed: int = 42) -> rd.Dataset:
     return docs.map_batches(key, batch_format="pyarrow").sort("shuffle_key")
 
 
+def _doc_term_counts(batch: pa.Table) -> pa.Table:
+    """(doc_id, term, tf) rows: within-document term counts, exact — one
+    document is one input row, so the per-doc numpy unique never splits a
+    document across batches. Shared by TF-IDF and the unigram-LM scorer."""
+    ids: list[int] = []
+    terms: list[str] = []
+    tfs: list[int] = []
+    for i, t in zip(batch["doc_id"].to_pylist(),
+                    batch["text"].to_pylist()):
+        w = t.lower().split()
+        if not w:
+            continue
+        u, c = np.unique(np.asarray(w, dtype=object), return_counts=True)
+        ids.extend([i] * len(u))
+        terms.extend(str(x) for x in u)
+        tfs.extend(int(x) for x in c)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "term": pa.array(terms, pa.string()),
+                     "tf": pa.array(tfs, pa.int64())})
+
+
+def unigram_logprob(sf_dir: str) -> rd.Dataset:
+    """(doc_id, n_tokens, mean_logprob): per-document mean token
+    log-probability under the corpus's OWN unigram distribution — the
+    perplexity-style curation filter (docs far below the corpus mean are
+    boilerplate/noise candidates; far above are over-represented
+    duplicates). mean_logprob = (Σ_t tf_t·ln c_t)/n − ln C for p(term) =
+    c_term/C over corpus term counts c and total token count C.
+
+    Distributed shape: one pass emits exact (doc_id, term, tf) partials
+    (per-doc numpy unique — no global vocabulary anywhere); corpus counts
+    are a ``groupby(term)`` over pre-counted ints (Zipf makes partials
+    tiny); the scalar C folds via ``Dataset.sum``; scores attach by a
+    hash-partitioned join on term (the vocabulary can outgrow a
+    broadcast) and reduce by ``groupby(doc_id)`` — every stage a
+    shuffle-or-map. Documents with zero tokens produce no row (the SQL
+    twin's inner join drops them identically). Rounded to 6 dp."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from metis_ray.pipelines.dedup import _join_parts, _nonempty_blocks
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_tokens": pa.array([], pa.int64()),
+                      "mean_logprob": pa.array([], pa.float64())})
+    dt, _ = _nonempty_blocks(docs.map_batches(_doc_term_counts,
+                                              batch_format="pyarrow"))
+    if dt is None:
+        return rd.from_arrow(empty)
+
+    cnt, _ = _nonempty_blocks(
+        dt.groupby("term").aggregate(Sum("tf", alias_name="c")))
+    total = int(dt.sum("tf"))
+    ln_total = math.log(total)
+
+    j = dt.join(cnt, join_type="inner", num_partitions=_join_parts(),
+                on=("term",))
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        tf = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n": batch["tf"],
+                         "w": pa.array(tf * np.log(c), pa.float64())})
+
+    agg, _ = _nonempty_blocks(
+        j.map_batches(weigh, batch_format="pyarrow")
+         .groupby("doc_id").aggregate(Sum("n", alias_name="n_tokens"),
+                                      Sum("w", alias_name="s")))
+    if agg is None:
+        return rd.from_arrow(empty)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        lp = np.round(s / n.astype(np.float64) - ln_total, 6)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_tokens": batch["n_tokens"],
+                         "mean_logprob": pa.array(lp, pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def tfidf_top_terms(sf_dir: str, *, top: int = 3) -> rd.Dataset:
     """(doc_id, term, tfidf, rnk): the ``top`` highest-TF-IDF terms per
     document (tf = in-doc count, idf = ln(N/df), ties broken term-asc) —
@@ -434,28 +520,11 @@ def tfidf_top_terms(sf_dir: str, *, top: int = 3) -> rd.Dataset:
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     n_docs = docs.count()
 
-    def tf_stage(batch: pa.Table) -> pa.Table:
-        ids: list[int] = []
-        terms: list[str] = []
-        tfs: list[int] = []
-        for i, t in zip(batch["doc_id"].to_pylist(),
-                        batch["text"].to_pylist()):
-            w = t.lower().split()
-            if not w:
-                continue
-            u, c = np.unique(np.asarray(w, dtype=object), return_counts=True)
-            ids.extend([i] * len(u))
-            terms.extend(str(x) for x in u)
-            tfs.extend(int(x) for x in c)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "term": pa.array(terms, pa.string()),
-                         "tf": pa.array(tfs, pa.int64())})
-
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
                       "term": pa.array([], pa.string()),
                       "tfidf": pa.array([], pa.float64()),
                       "rnk": pa.array([], pa.int64())})
-    tft, _ = _nonempty_blocks(docs.map_batches(tf_stage,
+    tft, _ = _nonempty_blocks(docs.map_batches(_doc_term_counts,
                                                batch_format="pyarrow"))
     if tft is None:
         return rd.from_arrow(empty)

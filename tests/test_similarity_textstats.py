@@ -447,3 +447,60 @@ def test_export_packed_resumable(tmp_path):
     rewritten = man3[man3["rows"] > 0]
     assert len(rewritten) == 1
     assert f"bin_id={int(rewritten['bin_id'].iloc[0])}" == victim
+
+
+def test_unigram_logprob_matches_bruteforce():
+    """unigram_logprob vs a sequential Counter transcription: exact ints
+    for n_tokens, 1e-9 for the mean (the engine sums k·ln(c) in shuffle
+    order; the transcription in doc order — ULP-level only)."""
+    import pandas as pd
+    from collections import Counter
+
+    got = (textstats.unigram_logprob(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+    corpus: Counter = Counter()
+    per_doc = {}
+    for r in docs.itertuples():
+        cnt = Counter(r.text.lower().split())
+        per_doc[r.doc_id] = cnt
+        corpus.update(cnt)
+    total = sum(corpus.values())
+    rows = []
+    for did, cnt in sorted(per_doc.items()):
+        n = sum(cnt.values())
+        if n == 0:
+            continue
+        s = sum(k * np.log(corpus[t]) for t, k in cnt.items())
+        rows.append((did, n, round(s / n - np.log(total), 6)))
+    want = pd.DataFrame(rows, columns=["doc_id", "n_tokens",
+                                       "mean_logprob"])
+
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
+    np.testing.assert_allclose(got["mean_logprob"], want["mean_logprob"],
+                               atol=2e-6)
+
+
+def test_unigram_logprob_empty_and_degenerate_docs():
+    """Zero-token docs produce no row; a single-doc corpus scores
+    mean_logprob = Σ k·ln(k)/n − ln(n) exactly."""
+    import os
+    import tempfile
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a a b", "   ", ""], pa.string())})
+        pq.write_table(t, os.path.join(d, "documents.parquet"))
+        got = (textstats.unigram_logprob(d).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        assert got["doc_id"].tolist() == [1]
+        assert got["n_tokens"].tolist() == [3]
+        # corpus: a->2, b->1, C=3; mean = (2 ln2 + 1 ln1)/3 - ln3
+        want = (2 * np.log(2)) / 3 - np.log(3)
+        assert abs(got["mean_logprob"][0] - round(want, 6)) < 1e-12
