@@ -693,6 +693,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # term distribution — the perplexity-style curation filter
         # (exact DuckDB twin + brute-force pytest oracle)
         "docs_unigram_logprob": textstats.unigram_logprob,
+        # distributed PCA projection of the embeddings (single-pass d×d
+        # moment partials + tree-merge; full-matrix numpy transcription
+        # oracle in pytest; eigendecomposition not SQL-expressible)
+        "emb_pca": similarity.pca_project,
     }
 
 

@@ -363,3 +363,91 @@ def kmeans_clusters(sf_dir: str, *, k: int = 8, iters: int = 5):
             "cluster": pa.array(np.argmax(mat @ cc.T, axis=1), pa.int64())})
 
     return emb.map_batches(assign_stage, batch_format="pyarrow")
+
+
+def pca_project(sf_dir: str, *, n_components: int = 8) -> rd.Dataset:
+    """(vec_id, pc0..pc{k-1}): project every embedding onto the corpus's
+    top ``n_components`` principal components — the standard
+    dimensionality-reduction step before ANN indexing / clustering.
+
+    Distributed shape: ONE streaming pass emits per-block second-moment
+    partials (count, column sum, d×d Gram matrix — d² floats per block,
+    independent of row count); a distributed tree-merge level folds
+    partials so the driver sees ceil(#blocks / 64) rows (the heavy_terms
+    pattern — sums are associative, any fold shape is exact up to float
+    ULPs); the driver eigendecomposes the tiny d×d covariance; a second
+    pass projects each batch against the broadcast (mean, components)
+    via one BLAS matmul. Eigenvector sign is fixed deterministically
+    (the largest-|entry| coordinate is made positive, first index on
+    ties) so results are reproducible run-to-run. Rounded to 6 dp.
+    Oracle: full-matrix numpy PCA transcription in pytest."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        m = _embedding_matrix(batch["embedding"])
+        if m.size == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.large_binary()),
+                             "ss": pa.array([], pa.large_binary())})
+        return pa.table({
+            "n": pa.array([m.shape[0]], pa.int64()),
+            "s": pa.array([m.sum(axis=0).tobytes()], pa.large_binary()),
+            "ss": pa.array([np.ascontiguousarray(m.T @ m).tobytes()],
+                           pa.large_binary())})
+
+    def merge_level(batch: pa.Table) -> pa.Table:
+        ns = batch["n"].to_numpy(zero_copy_only=False)
+        if len(ns) == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.large_binary()),
+                             "ss": pa.array([], pa.large_binary())})
+        s = None
+        ss = None
+        for sb, ssb in zip(batch["s"].to_pylist(), batch["ss"].to_pylist()):
+            sv = np.frombuffer(sb, np.float64)
+            ssv = np.frombuffer(ssb, np.float64)
+            s = sv if s is None else s + sv
+            ss = ssv if ss is None else ss + ssv
+        return pa.table({
+            "n": pa.array([int(ns.sum())], pa.int64()),
+            "s": pa.array([s.tobytes()], pa.large_binary()),
+            "ss": pa.array([ss.tobytes()], pa.large_binary())})
+
+    rows = (emb.map_batches(moments, batch_format="pyarrow")
+            .map_batches(merge_level, batch_format="pyarrow", batch_size=64)
+            .to_pandas())                            # few tiny rows
+    if rows.empty or rows["n"].sum() == 0:
+        cols = {"vec_id": pa.array([], pa.int64())}
+        for i in range(n_components):
+            cols[f"pc{i}"] = pa.array([], pa.float64())
+        return rd.from_arrow(pa.table(cols))
+
+    n_total = int(rows["n"].sum())
+    s = np.sum([np.frombuffer(b, np.float64) for b in rows["s"]], axis=0)
+    d = len(s)
+    gram = np.sum([np.frombuffer(b, np.float64).reshape(d, d)
+                   for b in rows["ss"]], axis=0)
+    mean = s / n_total
+    cov = gram / n_total - np.outer(mean, mean)
+    k = min(n_components, d)
+    evals, evecs = np.linalg.eigh(cov)               # ascending
+    comps = evecs[:, ::-1][:, :k].T                  # (k, d), desc variance
+    # deterministic sign: largest-|entry| coordinate positive (ties ->
+    # the first such index) — removes eigh's sign ambiguity
+    for i in range(k):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+
+    ref = ray.put((mean, comps))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mu, cc = ray.get(ref)
+        m = _embedding_matrix(batch["embedding"])
+        p = (m - mu) @ cc.T if m.size else np.empty((0, cc.shape[0]))
+        cols = {"vec_id": batch["vec_id"]}
+        for i in range(cc.shape[0]):
+            cols[f"pc{i}"] = pa.array(np.round(p[:, i], 6), pa.float64())
+        return pa.table(cols)
+
+    return emb.map_batches(project, batch_format="pyarrow")

@@ -504,3 +504,53 @@ def test_unigram_logprob_empty_and_degenerate_docs():
         # corpus: a->2, b->1, C=3; mean = (2 ln2 + 1 ln1)/3 - ln3
         want = (2 * np.log(2)) / 3 - np.log(3)
         assert abs(got["mean_logprob"][0] - round(want, 6)) < 1e-12
+
+
+def test_pca_project_matches_numpy():
+    """pca_project vs a full-matrix numpy PCA with the same deterministic
+    sign rule — projections equal to 1e-6 (the engine folds d×d partials
+    block-wise; the transcription computes the covariance in one shot)."""
+    import pandas as pd
+    from metis_ray.pipelines import similarity
+
+    k = 6
+    got = (similarity.pca_project(SF, n_components=k).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    m = np.vstack([np.asarray(v, np.float64) for v in emb["embedding"]])
+    mean = m.mean(axis=0)
+    cov = (m.T @ m) / len(m) - np.outer(mean, mean)
+    _, evecs = np.linalg.eigh(cov)
+    comps = evecs[:, ::-1][:, :k].T
+    for i in range(k):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    want = (m - mean) @ comps.T
+
+    order = np.argsort(emb["vec_id"].to_numpy())
+    assert got["vec_id"].tolist() == emb["vec_id"].to_numpy()[order].tolist()
+    for i in range(k):
+        np.testing.assert_allclose(got[f"pc{i}"], want[order, i], atol=2e-6)
+    # variance ordering: pc0 must carry the most variance
+    vs = [got[f"pc{i}"].var() for i in range(k)]
+    assert vs == sorted(vs, reverse=True)
+
+
+def test_pca_project_empty_table():
+    import os
+    import tempfile
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from metis_ray.pipelines import similarity
+
+    with tempfile.TemporaryDirectory() as d:
+        t = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "embedding": pa.array([], pa.list_(pa.float32())),
+                      "label": pa.array([], pa.int32())})
+        pq.write_table(t, os.path.join(d, "embeddings.parquet"))
+        ds = similarity.pca_project(d, n_components=4)
+        assert ds.count() == 0
+        assert ds.schema().names == ["vec_id", "pc0", "pc1", "pc2", "pc3"]
