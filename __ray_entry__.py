@@ -334,6 +334,20 @@ def _q_random_walks_weighted(sf_dir: str):
             .reset_index(drop=True))
 
 
+def _q_ktruss(sf_dir: str, k: int = 4):
+    """k-truss subgraph edges (every edge in >= k-2 triangles within the
+    subgraph) over the undirected corpus link graph — the edge-cohesion
+    curation filter, one level denser than k-core. Iterative support
+    peel over the skew-safe oriented triangle pipeline. Pytest oracle:
+    NetworkX nx.k_truss edge-set equality for k = 2..6 plus a synthetic
+    multi-round peel (tests/test_graph.py)."""
+    from metis_ray.graph.triangles import k_truss
+    from metis_ray.pipelines.linkgraph import ingest
+    res = ingest(_corpus_dir(sf_dir))
+    return (k_truss(res.edges_file, k).to_pandas()
+            .sort_values(["src", "dst"]).reset_index(drop=True))
+
+
 def _q_kcore(sf_dir: str):
     """k-core decomposition (core number per vertex) over the corpus link
     graph, by the superstep-parallel h-index iteration in the Dataset
@@ -697,6 +711,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # moment partials + tree-merge; full-matrix numpy transcription
         # oracle in pytest; eigendecomposition not SQL-expressible)
         "emb_pca": similarity.pca_project,
+        # k-truss subgraph edges (iterative support peel; NetworkX
+        # edge-set-equality pytest oracle; iterative => no SQL twin)
+        "graph_ktruss": _q_ktruss,
     }
 
 

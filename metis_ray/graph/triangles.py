@@ -257,3 +257,134 @@ def total_triangles(per_vertex: rd.Dataset) -> int:
     """Global triangle count = sum(per-vertex)/3."""
     s = per_vertex.sum("triangles")
     return int(s) // 3
+
+
+def edge_support(canon: rd.Dataset,
+                 num_partitions: int | None = None) -> rd.Dataset:
+    """Per-edge triangle support over a CANONICAL (src < dst, distinct)
+    edge set: (src, dst, support) — the number of triangles the edge
+    participates in. Edges in zero triangles are ABSENT (the k-truss
+    peel drops them implicitly). Same skew-safe oriented-wedge shape as
+    ``triangle_counts(strategy='join')``: each triangle (u, v, w) found
+    at its oriented wedge credits all three canonical edges."""
+    import ray as _ray
+
+    from metis_ray.pipelines.dedup import _nonempty_blocks
+    if num_partitions is None:
+        num_partitions = max(2, min(16, int(
+            _ray.cluster_resources().get("CPU", 8)) - 2))
+    empty = pa.table({"src": pa.array([], pa.int64()),
+                      "dst": pa.array([], pa.int64()),
+                      "support": pa.array([], pa.int64())})
+    deg = _degrees(canon)
+    e1 = canon.join(deg.rename_columns({"v": "src", "deg": "deg_src"}),
+                    join_type="inner", num_partitions=num_partitions,
+                    on=("src",))
+    e1, _ = _nonempty_blocks(e1)
+    if e1 is None:
+        return rd.from_arrow(empty)
+    e2 = e1.join(deg.rename_columns({"v": "dst", "deg": "deg_dst"}),
+                 join_type="inner", num_partitions=num_partitions,
+                 on=("dst",))
+    # late k-truss peel rounds leave many zero-row (schema-less) blocks;
+    # joins choke on them -> compact before every join below
+    oriented, _ = _nonempty_blocks(
+        e2.map_batches(_orient, batch_format="pyarrow"))
+    if oriented is None:
+        return rd.from_arrow(empty)
+    adj, _ = _nonempty_blocks(_adjacency(oriented))
+    if adj is None:
+        return rd.from_arrow(empty)
+
+    w1 = oriented.join(adj.rename_columns({"u": "u", "neigh": "neigh_u"}),
+                       join_type="inner", num_partitions=num_partitions,
+                       on=("u",))
+    w1, _ = _nonempty_blocks(w1)
+    if w1 is None:
+        return rd.from_arrow(empty)
+    w2 = w1.join(adj.rename_columns({"u": "v", "neigh": "neigh_v"}),
+                 join_type="inner", num_partitions=num_partitions,
+                 on=("v",))
+
+    def credits(batch: pa.Table) -> pa.Table:
+        us = batch["u"].to_numpy(zero_copy_only=False)
+        vs = batch["v"].to_numpy(zero_copy_only=False)
+        nu = batch["neigh_u"].to_pylist()
+        nv = batch["neigh_v"].to_pylist()
+        a_out: list[int] = []
+        b_out: list[int] = []
+        for u, v, a, b in zip(us, vs, nu, nv):
+            if not a or not b:
+                continue
+            common = np.intersect1d(np.frombuffer(a, np.int64),
+                                    np.frombuffer(b, np.int64),
+                                    assume_unique=True)
+            if len(common) == 0:
+                continue
+            u, v = int(u), int(v)
+            lo, hi = (u, v) if u < v else (v, u)
+            for w in common:
+                w = int(w)
+                a_out.extend((lo, min(u, w), min(v, w)))
+                b_out.extend((hi, max(u, w), max(v, w)))
+        t = pa.table({"src": pa.array(a_out, pa.int64()),
+                      "dst": pa.array(b_out, pa.int64())})
+        # local combine before the shuffle
+        g = t.group_by(["src", "dst"]).aggregate([([], "count_all")])
+        return g.rename_columns(["src", "dst", "support"])
+
+    return (w2.map_batches(credits, batch_format="pyarrow")
+            .groupby(["src", "dst"])
+            .aggregate(Sum("support", alias_name="support")))
+
+
+def k_truss(edges: rd.Dataset, k: int, *,
+            max_iters: int = 1000) -> rd.Dataset:
+    """Canonical edges (src < dst) of the k-truss subgraph: the maximal
+    subgraph whose every edge participates in >= k-2 triangles WITHIN the
+    subgraph (NetworkX ``nx.k_truss`` edge semantics; self-loops dropped).
+    The edge-cohesion curation primitive — denser than k-core, standard
+    for link-spam / community filtering.
+
+    Iterative peel: recompute per-edge support over the surviving edge
+    set, drop edges below k-2, repeat to fixpoint. Every round is the
+    skew-safe oriented support pipeline (hash-partitioned joins, never a
+    broadcast of the edge set); the driver sees one edge count per round.
+    At 100 TB each round re-shuffles the surviving edges — the peel count
+    is bounded by the support diameter (tens of rounds in practice), and
+    the edge set shrinks monotonically."""
+    if k < 2:
+        raise ValueError("k-truss requires k >= 2")
+    from metis_ray.pipelines.dedup import _nonempty_blocks
+
+    def no_self(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        return t.filter(_pc.not_equal(t["src"], t["dst"]))
+
+    cur = canonical_edges(
+        edges.select_columns(["src", "dst"])
+             .map_batches(no_self, batch_format="pyarrow")).materialize()
+    empty = pa.table({"src": pa.array([], pa.int64()),
+                      "dst": pa.array([], pa.int64())})
+    cur_ne, n = _nonempty_blocks(cur)
+    if cur_ne is None:
+        return rd.from_arrow(empty)
+    if k == 2:        # support >= 0: every (non-self-loop) edge survives
+        return cur_ne
+    need = k - 2
+    for _ in range(max_iters):
+        sup = edge_support(cur_ne)
+
+        def keep(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+            kept = t.filter(_pc.greater_equal(t["support"], need))
+            return kept.select(["src", "dst"])
+
+        nxt, m = _nonempty_blocks(
+            sup.map_batches(keep, batch_format="pyarrow"))
+        if nxt is None:
+            return rd.from_arrow(empty)
+        if m == n:
+            return nxt
+        cur_ne, n = nxt.materialize(), m
+    raise RuntimeError(f"k_truss did not converge in {max_iters} rounds")

@@ -302,3 +302,60 @@ def test_layout_persisted_and_self_healing(dir_graph):
         r.shutdown()
     for pid in range(P):
         assert load_layout(dir_graph, pid, P) is not None
+
+
+def test_ktruss_matches_networkx(ingested, nxg):
+    """k_truss edge sets == NetworkX nx.k_truss on the undirected view,
+    for every k from 2 up past the graph's trussness (empty result)."""
+    from metis_ray.graph.triangles import k_truss
+
+    und = nxg.to_undirected()
+    und.remove_edges_from(nx.selfloop_edges(und))
+    for k in (2, 3, 4, 5, 6):
+        want = {(min(a, b), max(a, b))
+                for a, b in nx.k_truss(und, k).edges()}
+        got_df = k_truss(ingested.edges_file, k).to_pandas()
+        got = (set(zip(got_df["src"], got_df["dst"]))
+               if len(got_df) else set())
+        assert got == want, f"k={k}: {len(got)} vs {len(want)} edges"
+
+
+def test_ktruss_synthetic_peel():
+    """Two K4s sharing a vertex plus a tail: 4-truss keeps both K4s and
+    drops the tail; 5-truss is empty. Exercises a genuine multi-round
+    peel (the tail edge's removal cannot change K4 support, but a
+    wedge-only edge dies in round one and its wedges in round two)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from metis_ray.graph.triangles import edge_support, k_truss
+
+    k4a = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    k4b = [(3, 4), (3, 5), (3, 6), (4, 5), (4, 6), (5, 6)]
+    extra = [(6, 7), (7, 8), (8, 6),      # a triangle off vertex 6
+             (8, 9)]                      # a pendant edge
+    edges = k4a + k4b + extra
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in edges], pa.int64()),
+        "dst": pa.array([b for _, b in edges], pa.int64())}))
+
+    sup = edge_support(
+        rd.from_arrow(pa.table({
+            "src": pa.array([a for a, _ in edges], pa.int64()),
+            "dst": pa.array([b for _, b in edges], pa.int64())}))
+    ).to_pandas()
+    smap = {(a, b): s for a, b, s in
+            zip(sup["src"], sup["dst"], sup["support"])}
+    assert smap[(0, 1)] == 2 and smap[(6, 7)] == 1
+    assert (8, 9) not in smap                       # zero triangles
+
+    t4 = set(zip(*[iter([])] * 2)) | {
+        tuple(r) for r in k_truss(ds, 4).to_pandas().values}
+    assert t4 == set(k4a) | set(k4b)
+    t5 = k_truss(ds, 5).to_pandas()
+    assert len(t5) == 0
+
+    g = nx.Graph(edges)
+    for k in (2, 3, 4):
+        want = {(min(a, b), max(a, b)) for a, b in nx.k_truss(g, k).edges()}
+        got = {tuple(r) for r in k_truss(ds, k).to_pandas().values}
+        assert got == want, k
