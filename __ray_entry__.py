@@ -1229,17 +1229,21 @@ def oracle_sql() -> dict[str, str]:
                    md5(concat('42:', CAST(doc_id AS VARCHAR))) AS shuffle_key
             FROM documents ORDER BY shuffle_key
         """,
-        # same tokenization as docs_token_count (trim + split on \s+,
-        # lowercased); the inner join drops zero-token docs on both sides
+        # Python str.split() semantics: split on \s+ and drop empty
+        # terms — this also handles leading/trailing tabs/newlines that
+        # SQL trim() (spaces only) would leave as '' terms, and drops
+        # whitespace-only docs entirely; the inner join then drops
+        # zero-token docs on both sides
         "docs_unigram_logprob": r"""
             WITH tok AS (
                 SELECT doc_id,
-                       unnest(regexp_split_to_array(trim(lower(text)),
+                       unnest(regexp_split_to_array(lower(text),
                                                     '\s+')) AS term
-                FROM documents WHERE trim(text) <> ''
+                FROM documents
             ),
             cnt AS (
-                SELECT term, COUNT(*)::BIGINT AS c FROM tok GROUP BY term
+                SELECT term, COUNT(*)::BIGINT AS c FROM tok
+                WHERE term <> '' GROUP BY term
             ),
             tot AS (SELECT SUM(c)::BIGINT AS total FROM cnt)
             SELECT t.doc_id,

@@ -91,36 +91,19 @@ def triangle_counts(edges: rd.Dataset, *, num_partitions: int | None = None,
 
     ``auto`` picks broadcast below ``broadcast_max_edges`` canonical edges.
     """
-    import ray as _ray
     if num_partitions is None:
-        # join aggregator actors must FIT the cluster: more partitions than
-        # available CPUs leaves aggregators pending forever (a deadlock, not
-        # slowness)
-        num_partitions = max(2, min(16, int(
-            _ray.cluster_resources().get("CPU", 8)) - 2))
+        num_partitions = _default_partitions()
     canon = canonical_edges(edges).materialize()
     if strategy == "auto":
         strategy = ("broadcast" if canon.count() <= broadcast_max_edges
                     else "join")
     if strategy == "broadcast":
         return _triangles_broadcast(canon)
-    deg = _degrees(canon)
-
-    e1 = canon.join(deg.rename_columns({"v": "src", "deg": "deg_src"}),
-                    join_type="inner", num_partitions=num_partitions,
-                    on=("src",))
-    e2 = e1.join(deg.rename_columns({"v": "dst", "deg": "deg_dst"}),
-                 join_type="inner", num_partitions=num_partitions,
-                 on=("dst",))
-    oriented = e2.map_batches(_orient, batch_format="pyarrow")
-    adj = _adjacency(oriented).materialize()
-
-    w1 = oriented.join(adj.rename_columns({"u": "u", "neigh": "neigh_u"}),
-                       join_type="inner", num_partitions=num_partitions,
-                       on=("u",))
-    w2 = w1.join(adj.rename_columns({"u": "v", "neigh": "neigh_v"}),
-                 join_type="inner", num_partitions=num_partitions,
-                 on=("v",))
+    w2 = _oriented_wedges(canon, num_partitions)
+    if w2 is None:
+        return rd.from_arrow(pa.table({"v": pa.array([], pa.int64()),
+                                       "triangles": pa.array([],
+                                                             pa.int64())}))
 
     def intersect(batch: pa.Table) -> pa.Table:
         us = batch["u"].to_numpy(zero_copy_only=False)
@@ -155,6 +138,51 @@ def triangle_counts(edges: rd.Dataset, *, num_partitions: int | None = None,
     per_vertex = (credits.map_batches(partial, batch_format="pyarrow")
                   .groupby("v").aggregate(Sum("triangles", alias_name="triangles")))
     return per_vertex
+
+
+def _default_partitions() -> int:
+    """Join aggregator actors must FIT the cluster: more partitions than
+    available CPUs leaves aggregators pending forever (a deadlock, not
+    slowness)."""
+    import ray as _ray
+    return max(2, min(16, int(_ray.cluster_resources().get("CPU", 8)) - 2))
+
+
+def _oriented_wedges(canon: rd.Dataset, num_partitions: int):
+    """The shared wedge-join pipeline behind ``triangle_counts`` (join
+    strategy) and ``edge_support``: degree joins -> (deg, id) orientation
+    -> adjacency joins onto both endpoints. Returns the compacted
+    (u, v, neigh_u, neigh_v) Dataset, or None when any stage degenerates
+    to zero rows (sparse k-truss peel rounds leave many zero-row
+    schema-less blocks; joins choke on them, so compact before each)."""
+    from metis_ray.pipelines.dedup import _nonempty_blocks
+
+    deg = _degrees(canon)
+    e1 = canon.join(deg.rename_columns({"v": "src", "deg": "deg_src"}),
+                    join_type="inner", num_partitions=num_partitions,
+                    on=("src",))
+    e1, _ = _nonempty_blocks(e1)
+    if e1 is None:
+        return None
+    e2 = e1.join(deg.rename_columns({"v": "dst", "deg": "deg_dst"}),
+                 join_type="inner", num_partitions=num_partitions,
+                 on=("dst",))
+    oriented, _ = _nonempty_blocks(
+        e2.map_batches(_orient, batch_format="pyarrow"))
+    if oriented is None:
+        return None
+    adj, _ = _nonempty_blocks(_adjacency(oriented))
+    if adj is None:
+        return None
+    w1 = oriented.join(adj.rename_columns({"u": "u", "neigh": "neigh_u"}),
+                       join_type="inner", num_partitions=num_partitions,
+                       on=("u",))
+    w1, _ = _nonempty_blocks(w1)
+    if w1 is None:
+        return None
+    return w1.join(adj.rename_columns({"u": "v", "neigh": "neigh_v"}),
+                   join_type="inner", num_partitions=num_partitions,
+                   on=("v",))
 
 
 def _pack_oriented_csr(*tables):
@@ -267,44 +295,14 @@ def edge_support(canon: rd.Dataset,
     peel drops them implicitly). Same skew-safe oriented-wedge shape as
     ``triangle_counts(strategy='join')``: each triangle (u, v, w) found
     at its oriented wedge credits all three canonical edges."""
-    import ray as _ray
-
-    from metis_ray.pipelines.dedup import _nonempty_blocks
     if num_partitions is None:
-        num_partitions = max(2, min(16, int(
-            _ray.cluster_resources().get("CPU", 8)) - 2))
-    empty = pa.table({"src": pa.array([], pa.int64()),
-                      "dst": pa.array([], pa.int64()),
-                      "support": pa.array([], pa.int64())})
-    deg = _degrees(canon)
-    e1 = canon.join(deg.rename_columns({"v": "src", "deg": "deg_src"}),
-                    join_type="inner", num_partitions=num_partitions,
-                    on=("src",))
-    e1, _ = _nonempty_blocks(e1)
-    if e1 is None:
-        return rd.from_arrow(empty)
-    e2 = e1.join(deg.rename_columns({"v": "dst", "deg": "deg_dst"}),
-                 join_type="inner", num_partitions=num_partitions,
-                 on=("dst",))
-    # late k-truss peel rounds leave many zero-row (schema-less) blocks;
-    # joins choke on them -> compact before every join below
-    oriented, _ = _nonempty_blocks(
-        e2.map_batches(_orient, batch_format="pyarrow"))
-    if oriented is None:
-        return rd.from_arrow(empty)
-    adj, _ = _nonempty_blocks(_adjacency(oriented))
-    if adj is None:
-        return rd.from_arrow(empty)
-
-    w1 = oriented.join(adj.rename_columns({"u": "u", "neigh": "neigh_u"}),
-                       join_type="inner", num_partitions=num_partitions,
-                       on=("u",))
-    w1, _ = _nonempty_blocks(w1)
-    if w1 is None:
-        return rd.from_arrow(empty)
-    w2 = w1.join(adj.rename_columns({"u": "v", "neigh": "neigh_v"}),
-                 join_type="inner", num_partitions=num_partitions,
-                 on=("v",))
+        num_partitions = _default_partitions()
+    w2 = _oriented_wedges(canon, num_partitions)
+    if w2 is None:
+        return rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                       "dst": pa.array([], pa.int64()),
+                                       "support": pa.array([],
+                                                           pa.int64())}))
 
     def credits(batch: pa.Table) -> pa.Table:
         us = batch["u"].to_numpy(zero_copy_only=False)
@@ -329,9 +327,12 @@ def edge_support(canon: rd.Dataset,
                 b_out.extend((hi, max(u, w), max(v, w)))
         t = pa.table({"src": pa.array(a_out, pa.int64()),
                       "dst": pa.array(b_out, pa.int64())})
-        # local combine before the shuffle
+        # local combine before the shuffle; select by NAME — all three
+        # columns are int64, a positional rename would silently mislabel
+        # if a pyarrow upgrade reorders group_by output
         g = t.group_by(["src", "dst"]).aggregate([([], "count_all")])
-        return g.rename_columns(["src", "dst", "support"])
+        return (g.select(["src", "dst", "count_all"])
+                .rename_columns(["src", "dst", "support"]))
 
     return (w2.map_batches(credits, batch_format="pyarrow")
             .groupby(["src", "dst"])

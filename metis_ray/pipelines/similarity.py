@@ -429,7 +429,13 @@ def pca_project(sf_dir: str, *, n_components: int = 8) -> rd.Dataset:
                    for b in rows["ss"]], axis=0)
     mean = s / n_total
     cov = gram / n_total - np.outer(mean, mean)
-    k = min(n_components, d)
+    if n_components > d:
+        # silently clamping would emit fewer pc columns than the
+        # empty-input path — keep the output schema a pure function of
+        # n_components
+        raise ValueError(
+            f"n_components={n_components} exceeds embedding dim {d}")
+    k = n_components
     evals, evecs = np.linalg.eigh(cov)               # ascending
     comps = evecs[:, ::-1][:, :k].T                  # (k, d), desc variance
     # deterministic sign: largest-|entry| coordinate positive (ties ->

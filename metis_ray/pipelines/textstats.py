@@ -470,7 +470,9 @@ def unigram_logprob(sf_dir: str) -> rd.Dataset:
 
     cnt, _ = _nonempty_blocks(
         dt.groupby("term").aggregate(Sum("tf", alias_name="c")))
-    total = int(dt.sum("tf"))
+    # total token count from the Zipf-bounded vocabulary table, not a
+    # second scan of the (much larger) doc-term table
+    total = int(cnt.sum("c"))
     ln_total = math.log(total)
 
     j = dt.join(cnt, join_type="inner", num_partitions=_join_parts(),

@@ -348,8 +348,7 @@ def test_ktruss_synthetic_peel():
     assert smap[(0, 1)] == 2 and smap[(6, 7)] == 1
     assert (8, 9) not in smap                       # zero triangles
 
-    t4 = set(zip(*[iter([])] * 2)) | {
-        tuple(r) for r in k_truss(ds, 4).to_pandas().values}
+    t4 = {tuple(r) for r in k_truss(ds, 4).to_pandas().values}
     assert t4 == set(k4a) | set(k4b)
     t5 = k_truss(ds, 5).to_pandas()
     assert len(t5) == 0
