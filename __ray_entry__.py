@@ -348,6 +348,21 @@ def _q_ktruss(sf_dir: str, k: int = 4):
             .sort_values(["src", "dst"]).reset_index(drop=True))
 
 
+def _q_khop_sample(sf_dir: str):
+    """Deterministic k-hop neighborhood sampling (GraphSAGE-style fanout
+    expansion) from the 16 lowest-id vertices over the corpus link
+    graph. Exact sequential-transcription oracle in
+    tests/test_sampling.py; hash rule not SQL-expressible."""
+    from metis_ray.graph.sampling import khop_sample
+    from metis_ray.pipelines.linkgraph import graph_vertices, ingest
+    res = ingest(_corpus_dir(sf_dir))
+    vids = sorted(graph_vertices(res.files).to_pandas()["vertex_id"])[:16]
+    out = khop_sample(res.edges_file, [int(v) for v in vids],
+                      fanouts=(8, 4), seed=42)
+    return (out.to_pandas().sort_values(["hop", "src", "dst"])
+            .reset_index(drop=True))
+
+
 def _q_kcore(sf_dir: str):
     """k-core decomposition (core number per vertex) over the corpus link
     graph, by the superstep-parallel h-index iteration in the Dataset
@@ -714,6 +729,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # k-truss subgraph edges (iterative support peel; NetworkX
         # edge-set-equality pytest oracle; iterative => no SQL twin)
         "graph_ktruss": _q_ktruss,
+        # deterministic k-hop neighbor sampling (GraphSAGE fanout
+        # expansion; exact sequential oracle in pytest)
+        "graph_khop_sample": _q_khop_sample,
     }
 
 
