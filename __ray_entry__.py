@@ -363,6 +363,19 @@ def _q_khop_sample(sf_dir: str):
             .reset_index(drop=True))
 
 
+def _q_mis(sf_dir: str):
+    """Maximal independent set over the corpus link graph — Luby-style
+    local-minima supersteps with fixed unique hash priorities (exactly
+    the greedy-by-priority MIS). Exact sequential-greedy equality +
+    independence/maximality invariant oracles in tests/test_mis.py;
+    iterative fixpoint => no SQL twin."""
+    from metis_ray.graph.dataset_engine import mis_dataset
+    from metis_ray.pipelines.linkgraph import graph_vertices, ingest
+    res = ingest(_corpus_dir(sf_dir))
+    out, _ = mis_dataset(res.edges_file, graph_vertices(res.files), seed=0)
+    return out.to_pandas().sort_values("v").reset_index(drop=True)
+
+
 def _q_kcore(sf_dir: str):
     """k-core decomposition (core number per vertex) over the corpus link
     graph, by the superstep-parallel h-index iteration in the Dataset
@@ -732,6 +745,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic k-hop neighbor sampling (GraphSAGE fanout
         # expansion; exact sequential oracle in pytest)
         "graph_khop_sample": _q_khop_sample,
+        # maximal independent set (Luby local-minima supersteps, fixed
+        # unique priorities == greedy-by-priority MIS; exact sequential-
+        # greedy equality + independence/maximality invariants in pytest)
+        "graph_mis": _q_mis,
     }
 
 

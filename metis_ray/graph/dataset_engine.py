@@ -665,3 +665,126 @@ def scc_dataset(edges: rd.Dataset, vertices: rd.Dataset, *,
 
     return rd.from_arrow(pa.table({"v": pa.array(vid, pa.int64()),
                                    "scc": pa.array(scc, pa.int64())})), epochs
+
+
+def mis_dataset(edges: rd.Dataset, vertices: rd.Dataset, *,
+                seed: int = 0, max_iter: int = 10_000
+                ) -> tuple[rd.Dataset, int]:
+    """Maximal independent set by Luby-style local-minima supersteps over
+    the symmetrized simple graph (self-loops dropped). Each vertex gets a
+    fixed UNIQUE priority (rank of ``blake2b(seed, vertex_id)``, ties
+    broken by id); a round selects every still-active vertex whose
+    priority beats all active neighbors, then deactivates the selected
+    vertices' neighbors. With fixed priorities this fixpoint computes
+    exactly the sequential greedy MIS in priority order (the
+    lexicographically-first MIS of the priority permutation), which is
+    the exact-equality pytest oracle (``test_mis_matches_sequential_
+    greedy``); independence and maximality are additionally asserted as
+    graph invariants. Analogue of the reference's per-part winner-takes-
+    all selection sweeps (Metis/tdms_import.py one-pass selections), as a
+    superstep algorithm. Scatter ships (dst, priority[src]) for ACTIVE
+    endpoints only, so per-round volume decays with the undecided set —
+    the same frontier shape as ``bfs_distance_dataset``."""
+    import hashlib
+
+    from metis_ray.graph.partition import symmetrized
+
+    verts = vertices.select_columns(["vertex_id"]).to_pandas()
+    if "vertex_id" not in verts.columns or not len(verts):
+        return rd.from_arrow(pa.table({"v": pa.array([], pa.int64()),
+                                       "in_mis": pa.array([], pa.bool_())})), 0
+    vid = np.sort(verts["vertex_id"].to_numpy())
+    n = len(vid)
+
+    # fixed unique priorities: rank of (digest, vertex_id) — deterministic,
+    # parallelism-independent, uniform enough for O(log n) expected rounds
+    dig = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(
+            b"%d:%d" % (seed, v), digest_size=8).digest(), "big")
+         for v in vid), dtype=np.uint64, count=n)
+    prio = np.empty(n, dtype=np.int64)
+    prio[np.lexsort((vid, dig))] = np.arange(n, dtype=np.int64)
+
+    g = (symmetrized(edges.select_columns(["src", "dst"]))
+         .map_batches(lambda t: t.filter(pc.not_equal(t["src"], t["dst"])),
+                      batch_format="pyarrow")
+         .materialize())
+
+    active = np.ones(n, dtype=bool)
+    in_mis = np.zeros(n, dtype=bool)
+    epochs = 0
+    for _ in range(max_iter):
+        if not active.any():
+            break
+        ref = ray.put((vid, active, prio))
+
+        def scatter(batch: pa.Table) -> pa.Table:
+            empty = pa.table({"dst": pa.array([], pa.int64()),
+                              "m": pa.array([], pa.int64())})
+            if "src" not in batch.column_names or batch.num_rows == 0:
+                return empty
+            v, act, pr = ray.get(ref)
+            src = batch["src"].to_numpy(zero_copy_only=False)
+            dst = batch["dst"].to_numpy(zero_copy_only=False)
+            sp = np.searchsorted(v, src)
+            dp = np.searchsorted(v, dst)
+            live = act[sp] & act[dp]          # both endpoints undecided
+            if not live.any():
+                return empty
+            t = pa.table({"dst": pa.array(dst[live], pa.int64()),
+                          "m": pa.array(pr[sp[live]], pa.int64())})
+            gt = t.group_by("dst").aggregate([("m", "min")])
+            return gt.select(["dst", "m_min"]).rename_columns(["dst", "m"])
+
+        from ray.data.aggregate import Min
+        inc = (g.map_batches(scatter, batch_format="pyarrow")
+               .groupby("dst").aggregate(Min("m", alias_name="m"))
+               .to_pandas())
+        minnbr = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+        if "dst" in inc.columns and len(inc):
+            p = np.searchsorted(vid, inc["dst"].to_numpy())
+            minnbr[p] = inc["m"].to_numpy()
+        newly = active & (prio < minnbr)      # incl. no-active-neighbor
+        in_mis |= newly
+        active &= ~newly
+        epochs += 1
+        if not active.any():
+            break
+        # deactivate neighbors of the newly-selected set
+        ref2 = ray.put((vid, newly))
+
+        def knockout(batch: pa.Table) -> pa.Table:
+            empty = pa.table({"dst": pa.array([], pa.int64())})
+            if "src" not in batch.column_names or batch.num_rows == 0:
+                return empty
+            v, sel = ray.get(ref2)
+            src = batch["src"].to_numpy(zero_copy_only=False)
+            dst = batch["dst"].to_numpy(zero_copy_only=False)
+            hit = sel[np.searchsorted(v, src)]
+            if not hit.any():
+                return empty
+            return pa.table({"dst": pa.array(np.unique(dst[hit]), pa.int64())})
+
+        out = (g.map_batches(knockout, batch_format="pyarrow")
+               .groupby("dst").aggregate(Count(alias_name="c")).to_pandas())
+        if "dst" in out.columns and len(out):
+            p = np.searchsorted(vid, out["dst"].to_numpy())
+            active[p] = False
+        epochs += 1
+
+    return rd.from_arrow(pa.table({"v": pa.array(vid, pa.int64()),
+                                   "in_mis": pa.array(in_mis, pa.bool_())})), epochs
+
+
+def mis_reference(adj: dict[int, set[int]], vid: np.ndarray,
+                  prio: np.ndarray) -> np.ndarray:
+    """Sequential greedy MIS in priority order — the exact oracle for
+    ``mis_dataset``: visit vertices by increasing priority, include a
+    vertex iff no already-included neighbor."""
+    order = np.argsort(prio)
+    chosen: set[int] = set()
+    for i in order:
+        v = int(vid[i])
+        if not (adj.get(v, set()) & chosen):
+            chosen.add(v)
+    return np.array([int(v) in chosen for v in vid], dtype=bool)

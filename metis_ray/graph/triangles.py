@@ -157,8 +157,16 @@ def _oriented_wedges(canon: rd.Dataset, num_partitions: int):
     schema-less blocks; joins choke on them, so compact before each)."""
     from metis_ray.pipelines.dedup import _nonempty_blocks
 
-    deg = _degrees(canon)
-    e1 = canon.join(deg.rename_columns({"v": "src", "deg": "deg_src"}),
+    # compact the RIGHT sides too: the degree groupby can emit zero-row
+    # schema-less blocks (sparse peel rounds), and the per-partition Acero
+    # join raises "no match for FieldRef ... on right side" on them
+    deg, _ = _nonempty_blocks(_degrees(canon))
+    if deg is None:
+        return None
+    left, _ = _nonempty_blocks(canon)
+    if left is None:
+        return None
+    e1 = left.join(deg.rename_columns({"v": "src", "deg": "deg_src"}),
                     join_type="inner", num_partitions=num_partitions,
                     on=("src",))
     e1, _ = _nonempty_blocks(e1)
