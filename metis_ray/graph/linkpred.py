@@ -124,9 +124,12 @@ def adamic_adar(edges: rd.Dataset, *, k: int = 100,
             [("a", pa.int64()), ("b", pa.int64()),
              ("common_neighbors", pa.int64()),
              ("adamic_adar", pa.float64())]).empty_table())
-    adj = canon.rename_columns({"src": "a", "dst": "b"})
-    nonadj = left.join(adj, join_type="left_anti", on=("a", "b"),
-                       num_partitions=_join_parts())
+    # compact the RIGHT side too (the materialized dedup groupby can carry
+    # schema-less zero-row blocks; joins raise on either side)
+    adj, _ = _nonempty_blocks(canon.rename_columns({"src": "a", "dst": "b"}))
+    nonadj = left if adj is None else left.join(
+        adj, join_type="left_anti", on=("a", "b"),
+        num_partitions=_join_parts())
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -172,11 +175,17 @@ def jaccard_neighbors(edges: rd.Dataset, *, k: int = 100,
              ("common_neighbors", pa.int64()),
              ("jaccard", pa.float64())]).empty_table())
     nparts = _join_parts()
-    adj = canon.rename_columns({"src": "a", "dst": "b"})
-    nonadj = left.join(adj, join_type="left_anti", on=("a", "b"),
-                       num_partitions=nparts)
+    adj, _ = _nonempty_blocks(canon.rename_columns({"src": "a", "dst": "b"}))
+    nonadj = left if adj is None else left.join(
+        adj, join_type="left_anti", on=("a", "b"), num_partitions=nparts)
 
-    deg = sym.groupby("v").aggregate(Count(alias_name="deg"))
+    deg, _ = _nonempty_blocks(
+        sym.groupby("v").aggregate(Count(alias_name="deg")))
+    if deg is None:      # unreachable: wedge pairs imply degrees >= 2
+        return rd.from_arrow(pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()),
+             ("common_neighbors", pa.int64()),
+             ("jaccard", pa.float64())]).empty_table())
 
     left, _ = _nonempty_blocks(nonadj)
     if left is None:

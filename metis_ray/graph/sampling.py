@@ -63,7 +63,10 @@ def khop_sample(edges: rd.Dataset, seeds: list[int], *,
     from metis_ray.pipelines.dedup import _join_parts, _nonempty_blocks
 
     g = edges.select_columns(["src", "dst"])
-    g = (symmetrized(g) if not directed else distinct_edges(g)).materialize()
+    # compact: the dedup groupby can emit schema-less zero-row blocks and
+    # the frontier join raises on them on the RIGHT side too
+    g, _ = _nonempty_blocks(
+        symmetrized(g) if not directed else distinct_edges(g))
     parts = _join_parts()
 
     frontier = rd.from_arrow(pa.table({"src": pa.array(
@@ -73,6 +76,8 @@ def khop_sample(edges: rd.Dataset, seeds: list[int], *,
                       "src": pa.array([], pa.int64()),
                       "dst": pa.array([], pa.int64())})
 
+    if g is None:
+        return rd.from_arrow(empty)
     for hop, fanout in enumerate(fanouts, start=1):
         fr, n_live = _nonempty_blocks(frontier)
         if fr is None:

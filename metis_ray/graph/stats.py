@@ -103,8 +103,14 @@ def _assortativity_distinct(e: rd.Dataset) -> dict:
     if e is None:
         return {"edges": 0, "assortativity": float("nan")}
     parts = _join_parts()
-    outdeg = e.groupby("src").aggregate(Count(alias_name="xdeg"))
-    indeg = e.groupby("dst").aggregate(Count(alias_name="ydeg"))
+    # compact the RIGHT sides too: groupby outputs can carry schema-less
+    # zero-row blocks and the per-partition join raises on either side
+    outdeg, _ = _nonempty_blocks(
+        e.groupby("src").aggregate(Count(alias_name="xdeg")))
+    indeg, _ = _nonempty_blocks(
+        e.groupby("dst").aggregate(Count(alias_name="ydeg")))
+    if outdeg is None or indeg is None:
+        return {"edges": 0, "assortativity": float("nan")}
     j = e.join(outdeg, join_type="inner", num_partitions=parts, on=("src",))
     j, _ = _nonempty_blocks(j)   # chained joins choke on empty partitions
     if j is None:
@@ -221,6 +227,10 @@ def modularity(edges: rd.Dataset, labels: rd.Dataset) -> pa.Table:
                          batch_format="pyarrow")
     lb = lab.map_batches(lambda t: t.rename_columns(["dst", "label_b"]),
                          batch_format="pyarrow")
+    la, _ = _nonempty_blocks(la)
+    lb, _ = _nonempty_blocks(lb)
+    if la is None or lb is None:       # unreachable: partition checked above
+        raise ValueError("labels table is empty")
     j = e.join(la, join_type="inner", num_partitions=parts, on=("src",))
     j, _ = _nonempty_blocks(j)
     sw = 0
@@ -296,10 +306,11 @@ def average_neighbor_degree(edges: rd.Dataset,
     if base is None:
         return rd.from_arrow(empty)
 
-    nd = deg.map_batches(lambda t: t.rename_columns(["dst", "deg_n"]),
-                         batch_format="pyarrow")
+    nd, _ = _nonempty_blocks(
+        deg.map_batches(lambda t: t.rename_columns(["dst", "deg_n"]),
+                        batch_format="pyarrow"))
     sym_ne, n_sym = _nonempty_blocks(sym)
-    if sym_ne is not None:
+    if sym_ne is not None and nd is not None:
         j = sym_ne.join(nd, join_type="inner", num_partitions=parts,
                         on=("dst",))
         j, _ = _nonempty_blocks(j)
@@ -319,6 +330,7 @@ def average_neighbor_degree(edges: rd.Dataset,
                batch_format="pyarrow")
            .groupby("v").aggregate(Sum("deg_n", alias_name="s"),
                                    Count(alias_name="c")))
+    agg, _ = _nonempty_blocks(agg)   # j nonempty => agg has rows
     out = base.join(agg, join_type="left_outer", num_partitions=parts,
                     on=("v",))
 
@@ -353,6 +365,14 @@ def clustering_coefficients(edges: rd.Dataset,
         return rd.from_arrow(pa.table({"v": pa.array([], pa.int64()),
                                        "clustering": pa.array([],
                                                               pa.float64())}))
+    deg, _ = _nonempty_blocks(deg)
+    tri, _ = _nonempty_blocks(tri)
+    if deg is None:                     # no edges: every coefficient is 0
+        return base.map_batches(
+            lambda t: pa.table({"v": t["v"],
+                                "clustering": pa.array(
+                                    np.zeros(t.num_rows), pa.float64())}),
+            batch_format="pyarrow")
     j = base.join(deg, join_type="left_outer", num_partitions=parts,
                   on=("v",))
     j, _ = _nonempty_blocks(j)
@@ -360,7 +380,15 @@ def clustering_coefficients(edges: rd.Dataset,
         return rd.from_arrow(pa.table({"v": pa.array([], pa.int64()),
                                        "clustering": pa.array([],
                                                               pa.float64())}))
-    j = j.join(tri, join_type="left_outer", num_partitions=parts, on=("v",))
+    if tri is None:                     # triangle-free graph: T(v) == 0
+        j = j.map_batches(
+            lambda t: t.append_column(
+                "triangles", pa.array(np.zeros(t.num_rows, np.int64),
+                                      pa.int64())),
+            batch_format="pyarrow")
+    else:
+        j = j.join(tri, join_type="left_outer", num_partitions=parts,
+                   on=("v",))
 
     def cc(batch: pa.Table) -> pa.Table:
         d = pc.fill_null(batch["deg"], 0).to_numpy(zero_copy_only=False)

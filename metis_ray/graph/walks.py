@@ -97,7 +97,7 @@ def random_walks(edges: rd.Dataset, starts: list[int], *,
         # symmetrized() output is already distinct by construction; only
         # the directed view needs the dedup shuffle
         g = symmetrized(g) if not directed else distinct_edges(g)
-    g = g.materialize()
+    g, _ = _nonempty_blocks(g)   # compact: joins raise on zero-row blocks
     parts = _join_parts()
 
     s = np.asarray(sorted(set(int(v) for v in starts)), dtype=np.int64)
@@ -110,6 +110,8 @@ def random_walks(edges: rd.Dataset, starts: list[int], *,
                             "v": t["src"]}), batch_format="pyarrow")]
 
     for step in range(1, length + 1):
+        if g is None:                  # edgeless graph: walks end at step 0
+            break
         fr, n_live = _nonempty_blocks(frontier)
         if fr is None:
             break

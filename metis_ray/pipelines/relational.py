@@ -89,6 +89,12 @@ def q3_top_orders(sf_dir: str, *, segment: str = "BUILDING",
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
+    from metis_ray.pipelines.dedup import _nonempty_blocks
+    cust, _ = _nonempty_blocks(cust)   # filtered: blocks with no match are
+    if cust is None:                   # schema-less and break the join
+        return pd.DataFrame({"o_orderkey": pd.Series([], dtype="int64"),
+                             "o_orderdate": pd.Series([], dtype="object"),
+                             "revenue": pd.Series([], dtype="float64")})
     co = orders.join(cust.rename_columns({"c_custkey": "o_custkey"}),
                      join_type="inner", num_partitions=max(2, min(8, int(ray.cluster_resources().get("CPU", 8)) - 2)), on=("o_custkey",))
     col = li.join(co.rename_columns({"o_orderkey": "l_orderkey"}),

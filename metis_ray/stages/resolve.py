@@ -205,7 +205,9 @@ def resolve_edges_join(extracted, symbols_ds, *,
     if num_partitions is None:
         num_partitions = max(2, min(8, int(
             _ray.cluster_resources().get("CPU", 8)) - 2))
-    sym = symbols_ds.select_columns(["module", "dst"])
+    # compact the RIGHT side too: the symbol Dataset can carry zero-row
+    # blocks and the per-partition join raises on either side
+    sym, n_sym = _nonempty_blocks(symbols_ds.select_columns(["module", "dst"]))
     ext = extracted.select_columns(["src", "lang", "module"])
     if keep_stmt:
         # carry the ORIGINAL statement module through both joins (the
@@ -223,8 +225,15 @@ def resolve_edges_join(extracted, symbols_ds, *,
         if keep_stmt:
             fields += [("module", pa.string()), ("lang", pa.string())]
         return rd.from_arrow(pa.schema(fields).empty_table())
-    j1 = ext.join(sym, join_type="left_outer",
-                  num_partitions=num_partitions, on=("module",))
+    def null_dst(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "dst", pa.nulls(batch.num_rows, pa.int64()))
+
+    if sym is None:      # empty symbol table: every statement unresolved
+        j1 = ext.map_batches(null_dst, batch_format="pyarrow")
+    else:
+        j1 = ext.join(sym, join_type="left_outer",
+                      num_partitions=num_partitions, on=("module",))
 
     def finish(batch: pa.Table) -> pa.Table:
         # fill nulls ARROW-side: int64-with-nulls round-trips through numpy
@@ -275,8 +284,11 @@ def resolve_edges_join(extracted, symbols_ds, *,
     retry, _ = _nonempty_blocks(retry)
     if retry is None:
         return first
-    j2 = retry.join(sym, join_type="left_outer",
-                    num_partitions=num_partitions, on=("module",))
+    if sym is None:
+        j2 = retry.map_batches(null_dst, batch_format="pyarrow")
+    else:
+        j2 = retry.join(sym, join_type="left_outer",
+                        num_partitions=num_partitions, on=("module",))
     second = j2.map_batches(finish, batch_format="pyarrow")
     return first.union(second)
 
