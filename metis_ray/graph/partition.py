@@ -86,13 +86,18 @@ def symmetrized(edges: rd.Dataset) -> rd.Dataset:
 
 def build_graph_dir(edges: rd.Dataset, vertices: rd.Dataset, out_dir: str,
                     P: int, *, directed: bool = True,
-                    partition: str = "hash", id_bound: int = 0) -> str:
+                    partition: str = "hash", id_bound: int = 0,
+                    weight_col: str | None = None) -> str:
     """Write the partitioned graph layout. ``edges`` needs (src, dst) —
     extra columns are dropped; ``vertices`` needs (vertex_id,).
 
     ``directed=False`` symmetrizes first (CC / label propagation).
     ``partition='range'`` (with ``id_bound`` = max vertex id + 1) range-
     partitions a community-ordered id space — see ``pid_of``.
+    ``weight_col`` keeps a per-edge weight (stored as ``w``; for
+    ``directed=False`` it is summed over both directions per undirected
+    pair, ``symmetrized_weighted``) — weighted PageRank / LPA shards read
+    it from the persisted layout.
 
     Idempotent + atomic: a directory with a complete ``graph_meta.json`` is
     reused as-is; otherwise the layout is built in a ``.tmp`` sibling and
@@ -106,9 +111,19 @@ def build_graph_dir(edges: rd.Dataset, vertices: rd.Dataset, out_dir: str,
         import shutil
         shutil.rmtree(tmp)
     os.makedirs(tmp)
-    e = edges.select_columns(["src", "dst"])
-    if not directed:
-        e = symmetrized(e)
+    if weight_col is None:
+        e = edges.select_columns(["src", "dst"])
+        if not directed:
+            e = symmetrized(e)
+    else:
+        e = edges.select_columns(["src", "dst", weight_col])
+        if weight_col != "w":
+            e = e.map_batches(
+                lambda t, _c=weight_col: t.rename_columns(
+                    ["w" if n == _c else n for n in t.column_names]),
+                batch_format="pyarrow")
+        if not directed:
+            e = symmetrized_weighted(e, "w")
     e = e.map_batches(_with_pid("src", P, partition, id_bound),
                       batch_format="pyarrow")
     e.write_parquet(os.path.join(tmp, "edges"), partition_cols=["pid"])
@@ -121,11 +136,13 @@ def build_graph_dir(edges: rd.Dataset, vertices: rd.Dataset, out_dir: str,
     # per partition: shard-actor start becomes a column read instead of a
     # per-actor lexsort over the partition's edges (which cost 17x the
     # superstep compute at 320M edges, and again on every actor restart).
-    build_layouts(tmp, P, partition, id_bound)
+    build_layouts(tmp, P, partition, id_bound,
+                  weighted=weight_col is not None)
 
     with open(os.path.join(tmp, "graph_meta.json"), "w") as fh:
         json.dump({"P": P, "directed": directed, "partition": partition,
-                   "id_bound": id_bound, "layout": 1}, fh)
+                   "id_bound": id_bound, "layout": 1,
+                   "weighted": weight_col is not None}, fh)
     if os.path.exists(out_dir):
         import shutil
         shutil.rmtree(out_dir)
@@ -134,7 +151,7 @@ def build_graph_dir(edges: rd.Dataset, vertices: rd.Dataset, out_dir: str,
 
 
 def build_layouts(graph_dir: str, P: int, partition: str, id_bound: int,
-                  *, num_cpus: float = 1.0) -> None:
+                  *, num_cpus: float = 1.0, weighted: bool = False) -> None:
     """Compute + persist every partition's CSR layout in parallel (skipping
     partitions that already have a current one — idempotent, so pre-layout
     graph dirs can be migrated in place). The presence check reads only the
@@ -146,8 +163,9 @@ def build_layouts(graph_dir: str, P: int, partition: str, id_bound: int,
 
     @ray.remote(num_cpus=num_cpus)
     def _one(pid: int) -> int:
-        if not _shard.layout_current(graph_dir, pid, P):
-            _shard.build_layout(graph_dir, pid, P, partition, id_bound)
+        if not _shard.layout_current(graph_dir, pid, P, weighted=weighted):
+            _shard.build_layout(graph_dir, pid, P, partition, id_bound,
+                                weighted=weighted)
         return pid
 
     ray.get([_one.remote(pid) for pid in range(P)])

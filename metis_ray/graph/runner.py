@@ -119,7 +119,7 @@ class GraphRunner:
                         delta_done, max_iter: int, value_name: str,
                         ckpt_dir: str | None, checkpoint_every: int,
                         start_epoch: int, stats: RunStats,
-                        on_epoch=None, reinit=None) -> None:
+                        on_epoch=None, reinit=None, scatter_args=()) -> None:
         """Retry shell around the epoch loop: a dead shard actor (Ray
         restarts it per ``max_restarts``) surfaces as RayActorError — either
         directly (a call on the dead actor) or wrapped in RayTaskError (a
@@ -138,7 +138,7 @@ class GraphRunner:
                     delta_done=delta_done, max_iter=max_iter,
                     value_name=value_name, ckpt_dir=ckpt_dir,
                     checkpoint_every=checkpoint_every, start_epoch=start,
-                    stats=stats, on_epoch=on_epoch)
+                    stats=stats, on_epoch=on_epoch, scatter_args=scatter_args)
                 executed += max(0, stats.epochs - start)
                 break
             except (ray.exceptions.RayActorError,
@@ -185,7 +185,7 @@ class GraphRunner:
                     delta_done, max_iter: int, value_name: str,
                     ckpt_dir: str | None, checkpoint_every: int,
                     start_epoch: int, stats: RunStats,
-                    on_epoch=None) -> None:
+                    on_epoch=None, scatter_args=()) -> None:
         shards = self.shards
         sync = delta_done is not None
         arefs: list = []
@@ -210,7 +210,8 @@ class GraphRunner:
                 bundle = ray.put(([p[0] for p in pairs], dangle))
                 extra = apply_extra(None)
             else:
-                payloads = [getattr(s, scatter).remote() for s in shards]
+                payloads = [getattr(s, scatter).remote(*scatter_args)
+                            for s in shards]
                 bundle = ray.put((payloads, []))
                 extra = apply_extra(None)
             # one ray.put bundle instead of 2P ref args per apply call:
@@ -291,17 +292,42 @@ class GraphRunner:
     def pagerank(self, *, alpha: float = 0.85, tol: float = 1e-9,
                  max_iter: int = 200, ckpt_dir: str | None = None,
                  checkpoint_every: int = 10, resume: bool = False,
-                 payload_dtype: str = "float32", on_epoch=None) -> RunStats:
+                 payload_dtype: str = "float32", on_epoch=None,
+                 weighted: bool = False,
+                 personalization: dict[int, float] | None = None) -> RunStats:
         """NetworkX-formulation PageRank: converges when the global L1 delta
         < N*tol (nx.pagerank's exact stopping rule). ``payload_dtype``
         controls the scatter transport precision (see
-        CSRShard.pagerank_scatter); accumulation is always float64."""
+        CSRShard.pagerank_scatter); accumulation is always float64.
+        ``weighted``: contributions scale by edge weight / out-strength
+        (needs a graph dir built with ``weight_col=``) — NetworkX
+        ``pagerank(weight=...)``. ``personalization``: vertex -> weight
+        teleport distribution (normalised here; the dangling mass follows
+        it too) — NetworkX ``pagerank(personalization=...)``. The dict is
+        seed-set-sized; each shard keeps only its own slice."""
         stats = RunStats("pagerank")
         start = 0
 
+        pvec_ids = pvec_w = None
+        if personalization is not None:
+            pvec_ids = np.asarray(sorted(personalization), dtype=np.int64)
+            pvec_w = np.asarray([personalization[int(k)] for k in pvec_ids],
+                                dtype=np.float64)
+            tot = float(pvec_w.sum())
+            if tot <= 0:
+                raise ValueError("personalization weights must sum > 0")
+            pvec_w = pvec_w / tot
+
         def init() -> None:
-            ray.get([s.pagerank_init.remote(self.n_total, payload_dtype)
-                     for s in self.shards])
+            ray.get([s.pagerank_init.remote(
+                self.n_total, payload_dtype, weighted=weighted,
+                pvec_ids=pvec_ids, pvec_w=pvec_w) for s in self.shards])
+            if pvec_ids is not None:
+                placed = sum(ray.get([s.pvec_mass.remote()
+                                      for s in self.shards]))
+                if abs(placed - 1.0) > 1e-9:
+                    raise ValueError(
+                        "personalization key is not a graph vertex")
 
         re = self.resume_epoch(ckpt_dir) if resume else None
         self._run_ckpt_epoch = re
@@ -358,7 +384,8 @@ class GraphRunner:
     def label_propagation(self, *, max_iter: int = 20,
                           ckpt_dir: str | None = None,
                           checkpoint_every: int = 5,
-                          resume: bool = False, on_epoch=None) -> RunStats:
+                          resume: bool = False, on_epoch=None,
+                          weighted: bool = False) -> RunStats:
         """Deterministic synchronous label propagation over the symmetrized
         graph. Semantics (mirrored exactly by the test oracle): labels start
         as vertex ids; each round every vertex adopts the most frequent label
@@ -389,8 +416,57 @@ class GraphRunner:
             delta_done=lambda ch: sum(ch) == 0,
             max_iter=max_iter, value_name="label", ckpt_dir=ckpt_dir,
             checkpoint_every=checkpoint_every, start_epoch=start, stats=stats,
-            on_epoch=on_epoch, reinit=init)
+            on_epoch=on_epoch, reinit=init, scatter_args=(weighted,))
         return stats
+
+    # ------------------------------------------------------------------
+    # generic superstep helpers for the shard-resident tail algorithms
+    # (graph/algos.py): one push / pull / frequency exchange each, payload
+    # refs routed shard->shard through the object store — only the update
+    # closures' small summaries cross the driver.
+
+    def apply_all(self, fn, *args) -> list:
+        """Run a closure against every shard; returns the P small results."""
+        return ray.get([s.apply_local.remote(fn, *args) for s in self.shards])
+
+    def step_push(self, name: str, op: str, out: str, *, dtype="float64",
+                  k: int = 0, mask: str | None = None, plus=0,
+                  weighted: bool = False, drop_self: bool = False,
+                  update=None, uargs=()) -> list:
+        payloads = [s.val_scatter.remote(name, op, mask=mask, plus=plus,
+                                         weighted=weighted,
+                                         drop_self=drop_self)
+                    for s in self.shards]
+        bundle = ray.put((payloads, []))
+        return ray.get([s.val_gather.remote(bundle, op, out, dtype=dtype,
+                                            k=k, update=update, uargs=uargs)
+                        for s in self.shards])
+
+    def step_pull(self, name: str, op: str, out: str, *, dtype="float64",
+                  k: int = 0, mask: str | None = None, mul: str | None = None,
+                  weighted: bool = False, drop_self: bool = False,
+                  update=None, uargs=()) -> list:
+        payloads = [s.pull_serve.remote(name) for s in self.shards]
+        bundle = ray.put((payloads, []))
+        return ray.get([s.pull_gather.remote(
+            bundle, op, out, dtype=dtype, k=k, mask=mask, mul=mul,
+            weighted=weighted, drop_self=drop_self, update=update,
+            uargs=uargs) for s in self.shards])
+
+    def step_freq(self, name: str, update, *, weighted: bool = False,
+                  drop_self: bool = False, uargs=()) -> list:
+        payloads = [s.freq_scatter.remote(name, weighted=weighted,
+                                          drop_self=drop_self)
+                    for s in self.shards]
+        bundle = ray.put((payloads, []))
+        return ray.get([s.freq_gather.remote(bundle, update, uargs)
+                        for s in self.shards])
+
+    def collect_vals(self, cols: dict[str, str]) -> pa.Table:
+        """Gather named per-vertex vals as one Arrow table (small outputs /
+        tests; at scale write per-shard parquet instead)."""
+        parts = ray.get([s.val_table.remote(cols) for s in self.shards])
+        return pa.concat_tables(parts)
 
     # ------------------------------------------------------------------
     def collect(self, value_name: str) -> pa.Table:
