@@ -30,17 +30,26 @@ def _corpus_dir(sf_dir: str) -> str:
     return corpus_dir_for_sf(sf_dir)
 
 
-def _graph_dir(sf_dir: str, directed: bool) -> str:
+def _graph_dir(sf_dir: str, directed: bool, weighted: bool = False) -> str:
     from metis_ray.corpus import _FORMAT_VERSION, scale_for_sf_dir
     from metis_ray.pipelines.linkgraph import build_linkgraph
     spec = scale_for_sf_dir(sf_dir)
-    key = (spec.name, directed)
+    key = (spec.name, directed, weighted)
     if key not in _GRAPH_CACHE:
         # fmt in the path: a regenerated corpus must not reuse stale graphs
         wd = f"/tmp/metis_ray_graphs/{spec.name}_fmt{_FORMAT_VERSION}"
         _GRAPH_CACHE[key] = build_linkgraph(
-            _corpus_dir(sf_dir), wd, P=4, directed=directed)
+            _corpus_dir(sf_dir), wd, P=4, directed=directed,
+            weight_col="multiplicity" if weighted else None)
     return _GRAPH_CACHE[key]
+
+
+def _min_vertex_ids(runner, k: int) -> list[int]:
+    """The k smallest vertex ids, via a k-per-shard fold (deterministic
+    seed selection without materializing the vertex table on the driver)."""
+    import numpy as np
+    heads = runner.apply_all(lambda sh, _k=k: sh.verts[:_k])
+    return sorted(np.concatenate(heads).tolist())[:k]
 
 
 def _q_corpus_edges(sf_dir: str):
@@ -126,48 +135,55 @@ def _q_labelprop(sf_dir: str):
 
 
 def _q_pagerank_weighted(sf_dir: str):
-    """Multiplicity-weighted PageRank (Dataset engine): contributions scale
-    by edge multiplicity / out-strength. Pytest oracle: NetworkX weighted
-    PageRank (test_dataset_engine_weighted_pagerank_matches_networkx)."""
-    from metis_ray.graph.dataset_engine import pagerank_dataset
-    from metis_ray.pipelines.linkgraph import graph_vertices, ingest
-    res = ingest(_corpus_dir(sf_dir))
-    ranks, _ = pagerank_dataset(res.edges_file, graph_vertices(res.files),
-                                alpha=0.85, tol=1e-9, max_iter=100,
-                                weight_col="multiplicity")
-    out = ranks.to_pandas()
+    """Multiplicity-weighted PageRank on the SHARD engine (contributions
+    scale by edge multiplicity / out-strength; per-vertex state resident in
+    the CSRShard actors). Pytest oracles: NetworkX weighted PageRank for
+    both engines (test_shard_pagerank_weighted_matches_networkx,
+    test_dataset_engine_weighted_pagerank_matches_networkx)."""
+    from metis_ray.graph.runner import GraphRunner
+    runner = GraphRunner(_graph_dir(sf_dir, directed=True, weighted=True))
+    try:
+        runner.pagerank(alpha=0.85, tol=1e-9, max_iter=200,
+                        payload_dtype="float64", weighted=True)
+        out = runner.collect("rank").to_pandas()
+    finally:
+        runner.shutdown()
     out["rank"] = out["rank"].round(6)
     return out.sort_values("v").reset_index(drop=True)
 
 
 def _q_labelprop_weighted(sf_dir: str):
-    """Multiplicity-weighted label propagation (Dataset engine): each
+    """Multiplicity-weighted label propagation on the SHARD engine: each
     undirected edge votes with its multiplicity summed over both directions.
-    Pytest oracle: sequential transcription on a planted graph where the
-    weights flip the outcome (test_dataset_engine_weighted_lpa_matches_
-    sequential)."""
-    from metis_ray.graph.dataset_engine import labelprop_dataset
-    from metis_ray.pipelines.linkgraph import graph_vertices, ingest
-    res = ingest(_corpus_dir(sf_dir))
-    labels, _ = labelprop_dataset(res.edges_file, graph_vertices(res.files),
-                                  weight_col="multiplicity")
-    return labels.to_pandas().sort_values("v").reset_index(drop=True)
+    Pytest oracles: shard == Dataset twin (test_shard_lpa_weighted_matches_
+    dataset) and the planted-graph sequential transcription where the
+    weights flip the outcome."""
+    from metis_ray.graph.runner import GraphRunner
+    runner = GraphRunner(_graph_dir(sf_dir, directed=False, weighted=True))
+    try:
+        runner.label_propagation(max_iter=30, weighted=True)
+        out = runner.collect("label").to_pandas()
+    finally:
+        runner.shutdown()
+    return out.sort_values("v").reset_index(drop=True)
 
 
 def _q_pagerank_personalized(sf_dir: str):
-    """Seed-set personalized PageRank (Dataset engine): teleport + dangling
-    mass redistributed over a deterministic 2-seed distribution (the two
-    smallest vertex ids, weights 3:1). Pytest oracle: NetworkX
+    """Seed-set personalized PageRank on the SHARD engine: teleport +
+    dangling mass redistributed over a deterministic 2-seed distribution
+    (the two smallest vertex ids, weights 3:1); each shard keeps only its
+    slice of the teleport vector. Pytest oracle: NetworkX
     pagerank(personalization=...)."""
-    from metis_ray.graph.dataset_engine import pagerank_dataset
-    from metis_ray.pipelines.linkgraph import graph_vertices, ingest
-    res = ingest(_corpus_dir(sf_dir))
-    verts = graph_vertices(res.files)
-    vids = sorted(verts.to_pandas()["vertex_id"])
-    seeds = {int(vids[0]): 3.0, int(vids[1]): 1.0}
-    ranks, _ = pagerank_dataset(res.edges_file, verts, alpha=0.85, tol=1e-9,
-                                max_iter=100, personalization=seeds)
-    out = ranks.to_pandas()
+    from metis_ray.graph.runner import GraphRunner
+    runner = GraphRunner(_graph_dir(sf_dir, directed=True))
+    try:
+        vids = _min_vertex_ids(runner, 2)
+        runner.pagerank(alpha=0.85, tol=1e-9, max_iter=200,
+                        payload_dtype="float64",
+                        personalization={vids[0]: 3.0, vids[1]: 1.0})
+        out = runner.collect("rank").to_pandas()
+    finally:
+        runner.shutdown()
     out["rank"] = out["rank"].round(6)
     return out.sort_values("v").reset_index(drop=True)
 
@@ -175,14 +191,16 @@ def _q_pagerank_personalized(sf_dir: str):
 def _q_bfs_distance(sf_dir: str):
     """Multi-source BFS hop distance from a deterministic 2-seed set (the
     two smallest vertex ids), following edge direction; unreachable = -1.
-    Pytest oracle: per-seed NetworkX shortest-path-length union-min."""
-    from metis_ray.graph.dataset_engine import bfs_distance_dataset
-    from metis_ray.pipelines.linkgraph import graph_vertices, ingest
-    res = ingest(_corpus_dir(sf_dir))
-    verts = graph_vertices(res.files)
-    vids = sorted(verts.to_pandas()["vertex_id"])
-    dists, _ = bfs_distance_dataset(res.edges_file, verts,
-                                    [int(vids[0]), int(vids[1])])
+    Shard engine (frontier state resident in the actors). Pytest oracles:
+    shard == Dataset twin + per-seed NetworkX shortest-path-length
+    union-min."""
+    from metis_ray.graph.algos import bfs_shard
+    from metis_ray.graph.runner import GraphRunner
+    runner = GraphRunner(_graph_dir(sf_dir, directed=True))
+    try:
+        dists, _ = bfs_shard(runner, _min_vertex_ids(runner, 2))
+    finally:
+        runner.shutdown()
     return dists.to_pandas().sort_values("v").reset_index(drop=True)
 
 
@@ -209,14 +227,17 @@ def _q_linkpred_jaccard(sf_dir: str):
 
 def _q_scc(sf_dir: str):
     """Strongly connected components of the DIRECTED dependency graph
-    (trim + forward/backward min-label peeling). Pytest oracle: NetworkX
-    strongly_connected_components on a random multigraph and a structured
-    adversarial case (test_scc_matches_networkx_random,
-    test_scc_structured)."""
-    from metis_ray.graph.dataset_engine import scc_dataset
-    from metis_ray.pipelines.linkgraph import graph_vertices, ingest
-    res = ingest(_corpus_dir(sf_dir))
-    comp, _ = scc_dataset(res.edges_file, graph_vertices(res.files))
+    (trim + forward/backward min-label peeling) on the SHARD engine.
+    Pytest oracles: shard == NetworkX on random multigraphs + structured
+    adversarial cases (test_scc_shard_matches_networkx,
+    test_scc_shard_structured; Dataset twin certified separately)."""
+    from metis_ray.graph.algos import scc_shard
+    from metis_ray.graph.runner import GraphRunner
+    runner = GraphRunner(_graph_dir(sf_dir, directed=True))
+    try:
+        comp, _ = scc_shard(runner)
+    finally:
+        runner.shutdown()
     return comp.to_pandas().sort_values("v").reset_index(drop=True)
 
 
@@ -248,13 +269,18 @@ def _q_graph_clustering(sf_dir: str):
 def _q_hyperball(sf_dir: str):
     """HyperBall (Boldi & Vigna 2013): per-vertex out-ball size +
     harmonic centrality from 2^p-register HLL counters merged along
-    out-edges to the reachability fixpoint. APPROXIMATE (rse ~1.04/2^{p/2})
-    => no SQL twin; exact-BFS accuracy oracles in tests/test_hyperball.py
-    (the HLL-aggregate verification pattern, functions/sketch.py)."""
-    from metis_ray.graph.hyperball import hyperball
-    from metis_ray.pipelines.linkgraph import graph_vertices, ingest
-    res = ingest(_corpus_dir(sf_dir))
-    out = hyperball(res.edges_file, graph_vertices(res.files), p=9)
+    out-edges to the reachability fixpoint — SHARD engine (the register
+    matrix lives partitioned in the actors; only boundary registers
+    exchange). APPROXIMATE (rse ~1.04/2^{p/2}) => no SQL twin; shard ==
+    Dataset-twin row-for-row (test_hyperball_shard_matches_dataset) +
+    exact-BFS accuracy oracles in tests/test_hyperball.py."""
+    from metis_ray.graph.algos import hyperball_shard
+    from metis_ray.graph.runner import GraphRunner
+    runner = GraphRunner(_graph_dir(sf_dir, directed=True))
+    try:
+        out = hyperball_shard(runner, p=9)
+    finally:
+        runner.shutdown()
     df = out["centrality"].to_pandas()
     df["ball"] = df["ball"].round(3)
     df["harmonic"] = df["harmonic"].round(3)
@@ -289,16 +315,21 @@ def _q_modularity(sf_dir: str):
 
 def _q_betweenness(sf_dir: str):
     """Brandes betweenness centrality approximated from the 16 smallest
-    vertex ids as sources (deterministic; exact when sources=all —
-    NetworkX-exact pytest oracles incl. a partition-decomposition proof,
-    tests/test_betweenness.py)."""
-    from metis_ray.graph.betweenness import betweenness_dataset
-    from metis_ray.pipelines.linkgraph import graph_vertices, ingest
-    res = ingest(_corpus_dir(sf_dir))
-    verts = graph_vertices(res.files)
-    vids = sorted(verts.to_pandas()["vertex_id"])[:16]
-    bc, _ = betweenness_dataset(res.edges_file, verts,
-                                sources=[int(v) for v in vids])
+    vertex ids as sources, on the SHARD engine (the n x k dist/sigma/delta
+    matrices live partitioned in the actors; the driver coordinates levels
+    only). The directed corpus graph dir holds DISTINCT edges (the dedup
+    stage guarantees one row per (src,dst)), which Brandes' sigma counting
+    requires. NetworkX-exact pytest oracles for both engines incl. a
+    partition-decomposition proof (tests/test_betweenness.py,
+    test_betweenness_shard_*)."""
+    from metis_ray.graph.algos import betweenness_shard
+    from metis_ray.graph.runner import GraphRunner
+    runner = GraphRunner(_graph_dir(sf_dir, directed=True))
+    try:
+        bc, _ = betweenness_shard(runner, sources=_min_vertex_ids(runner, 16),
+                                  directed=True)
+    finally:
+        runner.shutdown()
     df = bc.to_pandas().sort_values("v").reset_index(drop=True)
     df["betweenness"] = df["betweenness"].round(6)
     return df
@@ -367,25 +398,35 @@ def _q_mis(sf_dir: str):
     """Maximal independent set over the corpus link graph — Luby-style
     local-minima supersteps with fixed unique hash priorities (exactly
     the greedy-by-priority MIS). Exact sequential-greedy equality +
-    independence/maximality invariant oracles in tests/test_mis.py;
-    iterative fixpoint => no SQL twin."""
-    from metis_ray.graph.dataset_engine import mis_dataset
-    from metis_ray.pipelines.linkgraph import graph_vertices, ingest
-    res = ingest(_corpus_dir(sf_dir))
-    out, _ = mis_dataset(res.edges_file, graph_vertices(res.files), seed=0)
+    independence/maximality invariant oracles in tests/test_mis.py and
+    tests/test_shard_algos.py (shard == Dataset twin exactly); iterative
+    fixpoint => no SQL twin. SHARD engine: priorities/active flags live in
+    the actors; the winner selection is a masked min over a precomputed
+    per-target edge permutation."""
+    from metis_ray.graph.algos import mis_shard
+    from metis_ray.graph.runner import GraphRunner
+    runner = GraphRunner(_graph_dir(sf_dir, directed=False))
+    try:
+        out, _ = mis_shard(runner, seed=0)
+    finally:
+        runner.shutdown()
     return out.to_pandas().sort_values("v").reset_index(drop=True)
 
 
 def _q_kcore(sf_dir: str):
     """k-core decomposition (core number per vertex) over the corpus link
-    graph, by the superstep-parallel h-index iteration in the Dataset
-    engine. Pytest oracle: NetworkX core_number
-    (test_dataset_engine_coreness_matches_networkx + a random-multigraph
-    adversarial twin)."""
-    from metis_ray.graph.dataset_engine import coreness_dataset
-    from metis_ray.pipelines.linkgraph import graph_vertices, ingest
-    res = ingest(_corpus_dir(sf_dir))
-    cores, _ = coreness_dataset(res.edges_file, graph_vertices(res.files))
+    graph, by the h-index iteration on the SHARD engine (one frequency
+    exchange per superstep; h values resident in the actors). Pytest
+    oracles: NetworkX core_number for both engines
+    (test_kcore_shard_matches_networkx,
+    test_dataset_engine_coreness_matches_networkx)."""
+    from metis_ray.graph.algos import kcore_shard
+    from metis_ray.graph.runner import GraphRunner
+    runner = GraphRunner(_graph_dir(sf_dir, directed=False))
+    try:
+        cores, _ = kcore_shard(runner)
+    finally:
+        runner.shutdown()
     return cores.to_pandas().sort_values("v").reset_index(drop=True)
 
 
@@ -408,13 +449,18 @@ def _q_export_shards(sf_dir: str):
 
 
 def _q_hits(sf_dir: str):
-    """HITS hubs/authorities over the corpus link graph (Dataset-engine
-    power iteration). Pytest oracle: NetworkX _hits_python at 1e-6
-    (test_dataset_engine_hits_matches_networkx)."""
-    from metis_ray.graph.dataset_engine import hits_dataset
-    from metis_ray.pipelines.linkgraph import graph_vertices, ingest
-    res = ingest(_corpus_dir(sf_dir))
-    out, _ = hits_dataset(res.edges_file, graph_vertices(res.files))
+    """HITS hubs/authorities over the corpus link graph on the SHARD
+    engine (one push + one pull exchange per superstep; h/a vectors
+    resident in the actors). Pytest oracles: shard == Dataset twin at
+    1e-9 + NetworkX _hits_python at 1e-6 (test_hits_shard_matches_
+    dataset_and_networkx, test_dataset_engine_hits_matches_networkx)."""
+    from metis_ray.graph.algos import hits_shard
+    from metis_ray.graph.runner import GraphRunner
+    runner = GraphRunner(_graph_dir(sf_dir, directed=True))
+    try:
+        out, _ = hits_shard(runner)
+    finally:
+        runner.shutdown()
     df = out.to_pandas().sort_values("v").reset_index(drop=True)
     df["hub"] = df["hub"].round(9)
     df["authority"] = df["authority"].round(9)

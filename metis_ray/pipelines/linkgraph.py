@@ -346,11 +346,13 @@ def graph_vertices(files: rd.Dataset) -> rd.Dataset:
 
 def build_linkgraph(corpus_dir: str, workdir: str, P: int, *,
                     directed: bool = True, level: str = "file",
-                    concurrency=None) -> str:
+                    concurrency=None, weight_col: str | None = None) -> str:
     """corpus -> ingest -> partitioned graph layout; returns the graph dir.
 
     ``level='repo'`` builds the repo->repo rollup graph instead of the
-    file->file graph."""
+    file->file graph. ``weight_col`` (e.g. ``'multiplicity'``) persists a
+    per-edge weight in the layout for weighted PageRank / LPA on the
+    shard engine."""
     from metis_ray.graph.partition import build_graph_dir
 
     res = ingest(corpus_dir, concurrency=concurrency)
@@ -368,8 +370,10 @@ def build_linkgraph(corpus_dir: str, workdir: str, P: int, *,
     else:
         edges = res.edges_file
         verts = graph_vertices(res.files)
-    sub = f"graph_{level}_{'dir' if directed else 'und'}_P{P}"
-    return build_graph_dir(edges, verts, f"{workdir}/{sub}", P, directed=directed)
+    sub = (f"graph_{level}_{'dir' if directed else 'und'}"
+           f"{'_w' if weight_col else ''}_P{P}")
+    return build_graph_dir(edges, verts, f"{workdir}/{sub}", P,
+                           directed=directed, weight_col=weight_col)
 
 
 def _ingest_stats(resolved: rd.Dataset, files: rd.Dataset) -> dict:
