@@ -684,8 +684,13 @@ def mis_dataset(edges: rd.Dataset, vertices: rd.Dataset, *,
     all selection sweeps (Metis/tdms_import.py one-pass selections), as a
     superstep algorithm. Scatter ships (dst, priority[src]) for ACTIVE
     endpoints only, so per-round volume decays with the undecided set —
-    the same frontier shape as ``bfs_distance_dataset``."""
+    the same frontier shape as ``bfs_distance_dataset``.
+
+    Precondition (module-wide contract, same as ``pagerank_dataset``):
+    every edge endpoint appears in ``vertices`` — ``searchsorted`` maps
+    unknown endpoints to arbitrary slots otherwise."""
     import hashlib
+    import warnings
 
     from metis_ray.graph.partition import symmetrized
 
@@ -772,6 +777,13 @@ def mis_dataset(edges: rd.Dataset, vertices: rd.Dataset, *,
             active[p] = False
         epochs += 1
 
+    if active.any():
+        # hash priorities make exhaustion vanishingly unlikely; a silent
+        # return would break the documented maximality invariant
+        warnings.warn(
+            f"mis_dataset: {int(active.sum())} vertices still undecided "
+            f"after max_iter={max_iter} rounds — result is independent "
+            "but may not be maximal", RuntimeWarning)
     return rd.from_arrow(pa.table({"v": pa.array(vid, pa.int64()),
                                    "in_mis": pa.array(in_mis, pa.bool_())})), epochs
 

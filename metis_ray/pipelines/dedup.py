@@ -418,7 +418,8 @@ def embedding_neardup(sf_dir: str, *, n_planes: int = 12, seed: int = 42,
 # ---------------------------------------------------------------------------
 
 def fuzzy_dedup(sf_dir: str, *, threshold: float = 0.6,
-                stats: dict | None = None) -> rd.Dataset:
+                stats: dict | None = None,
+                broadcast_limit: int = 2_000_000) -> rd.Dataset:
     """End-to-end near-duplicate REMOVAL: MinHash-LSH candidate pairs ->
     exact-Jaccard verification -> connected components over the verified
     pair graph -> one canonical survivor (min doc_id) per cluster.
@@ -431,10 +432,15 @@ def fuzzy_dedup(sf_dir: str, *, threshold: float = 0.6,
     Scale shape: the transitive-closure step runs ONLY on the candidate
     subgraph (vertices = docs that appear in a verified pair — proportional
     to near-dup volume, not corpus size), via the Dataset superstep CC
-    (per-batch min combiner -> groupby(dst).min shuffle). The resulting
-    component map is cluster-sized, so it is broadcast once (``ray.put``)
-    and every corpus batch labels itself with a vectorized searchsorted —
-    the full corpus is never shuffled. Reference analogue: the import-name
+    (per-batch min combiner -> groupby(dst).min shuffle). The label attach
+    is sized to the dup volume: a cluster-sized component map (at most
+    ``broadcast_limit`` rows) is broadcast once (``ray.put``) and every
+    corpus batch labels itself with a vectorized searchsorted — the full
+    corpus is never shuffled; past the limit (a crawl-scale corpus can be
+    30-50% near-dups, so the map can outgrow one node) the attach switches
+    to the ``decontaminate`` join shape — an inner join labels the dup
+    endpoints, a left_anti join passes the rest through — so nothing ever
+    funnels through the driver. Reference analogue: the import-name
     collapse in Metis/tools/HDF5Helper.py:53-69 generalized to transitive
     near-duplicate clusters."""
     from metis_ray.graph.dataset_engine import components_dataset
@@ -464,6 +470,40 @@ def fuzzy_dedup(sf_dir: str, *, threshold: float = 0.6,
     edges = pairs_ne.map_batches(
         lambda t: t.rename_columns(["src", "dst"]), batch_format="pyarrow")
     comp, _ = components_dataset(edges, verts)
+    comp_ne, n_comp = _nonempty_blocks(comp)
+
+    if comp_ne is not None and n_comp > broadcast_limit:
+        # dup volume too large to broadcast: attach labels by hash join
+        # (the decontaminate shape — inner for dup endpoints, left_anti
+        # for the untouched remainder)
+        nparts = _join_parts()
+        cmap = comp_ne.map_batches(
+            lambda t: t.select(["v", "label"])
+                       .rename_columns(["doc_id", "component"]),
+            batch_format="pyarrow")
+        cmap, _ = _nonempty_blocks(cmap)
+        docs_ne, _ = _nonempty_blocks(docs)
+
+        def mark_dup(t: pa.Table) -> pa.Table:
+            comp_col = pc.fill_null(t["component"], 0)  # never null: inner
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "component": comp_col,
+                "keep": pc.equal(comp_col, t["doc_id"])})
+
+        def mark_solo(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "component": t["doc_id"],
+                "keep": pa.array(np.ones(t.num_rows, dtype=bool))})
+
+        dup = (docs_ne.join(cmap, join_type="inner",
+                            num_partitions=nparts, on=("doc_id",))
+               .map_batches(mark_dup, batch_format="pyarrow"))
+        solo = (docs_ne.join(cmap, join_type="left_anti",
+                             num_partitions=nparts, on=("doc_id",))
+                .map_batches(mark_solo, batch_format="pyarrow"))
+        return dup.union(solo)
 
     # cluster-sized component map -> broadcast; corpus labels itself
     cdf = comp.to_pandas()

@@ -96,6 +96,12 @@ def files_table_dense(corpus: rd.Dataset, dense: rd.Dataset) -> rd.Dataset:
         dense.select_columns(["key", "dense_id"]).map_batches(
             lambda t: t.rename_columns(["key", "vertex_id"]),
             batch_format="pyarrow"))   # right side: joins choke on 0-row blocks
+    if vmap is None:   # empty assignment table => inner join is empty
+        return rd.from_arrow(pa.schema(
+            [("repo", pa.string()), ("path", pa.string()),
+             ("commit", pa.string()), ("lang", pa.string()),
+             ("sha256", pa.string()), ("quarantined", pa.bool_()),
+             ("vertex_id", pa.int64())]).empty_table())
     n = max(2, min(_join_parts(), n_rows // 50_000 + 2))
     j = f.join(vmap, join_type="inner", num_partitions=n, on=("key",))
     return j.drop_columns(["key"])
@@ -141,6 +147,10 @@ def raw_resolved_dense(corpus: rd.Dataset, dense: rd.Dataset, *,
         dense.select_columns(["key", "dense_id"]).map_batches(
             lambda t: t.rename_columns(["src_key", "src"]),
             batch_format="pyarrow"))   # right side: joins choke on 0-row blocks
+    if smap is None:   # empty assignment table => inner join is empty
+        return rd.from_arrow(pa.schema(
+            [("src", pa.int64()), ("dst", pa.int64()),
+             ("resolved", pa.bool_())]).empty_table())
     n = max(2, min(_join_parts(), n_rows // 50_000 + 2))
     # inner join is exact: every extracted row's source file is in the
     # corpus, hence in the assignment table

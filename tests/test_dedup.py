@@ -140,6 +140,69 @@ def test_fuzzy_dedup_planted(planted_dir):
     assert len(surv) == len(texts) - 2
 
 
+def test_fuzzy_dedup_join_path_matches_broadcast(planted_dir):
+    """broadcast_limit=0 forces the hash-join label attach; it must equal
+    the broadcast path row-for-row."""
+    d, _, _ = planted_dir
+    want = dedup.fuzzy_dedup(d).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    got = dedup.fuzzy_dedup(d, broadcast_limit=0).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_fuzzy_dedup_join_path_pathological(tmp_path):
+    """A 50%-near-dup corpus (every even doc has an odd near-twin) through
+    the join path: components/survivors vs the by-construction answer."""
+    n_pairs = 25
+    texts = []
+    base_words = ("the quick brown fox jumps over the lazy dog and then "
+                  "runs far away into the deep dark forest tonight while "
+                  "stars shine bright above the quiet sleeping town").split()
+    for i in range(n_pairs):
+        rot = base_words[i % 5:] + base_words[:i % 5] + [f"tag{i}"] * 3
+        texts.append(" ".join(rot))                    # doc 2i
+        texts.append(" ".join(rot[:-1] + [f"tag{i}x"]))  # doc 2i+1 near-twin
+    d = tmp_path / "half_dup"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), str(d / "documents.parquet"))
+
+    got = dedup.fuzzy_dedup(str(d), broadcast_limit=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    # oracle: brute-force transitive closure of exact-Jaccard>=0.6 pairs
+    want_pairs = _brute_jaccard_pairs(texts, 3, 0.6)
+    parent = list(range(len(texts)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in want_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want_comp = [find(i) for i in range(len(texts))]
+
+    assert list(got["doc_id"]) == list(range(len(texts)))
+    assert list(got["component"]) == want_comp
+    assert list(got["keep"]) == [c == i for i, c in enumerate(want_comp)]
+    # each planted twin pair landed in the same cluster (rotated texts may
+    # also merge ACROSS pairs — the oracle, not the construction, is truth)
+    assert all(want_comp[2 * i + 1] == want_comp[2 * i]
+               for i in range(n_pairs))
+    # and the corpus is genuinely dup-heavy: at most half survives
+    assert got["keep"].sum() <= len(texts) // 2
+
+
 def test_fingerprint_table_matches_singles(planted_dir):
     from metis_ray.pipelines import textstats
     d, _, _ = planted_dir
