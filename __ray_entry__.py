@@ -596,6 +596,32 @@ def _q_multimodal_resize(sf_dir: str):
     return resize_assets(sf_dir).map_batches(flatten, batch_format="pyarrow")
 
 
+def _q_multimodal_real_features(sf_dir: str):
+    """decode_features(decoder='real') over synthesized GENUINE PNG/WAV
+    payloads: actual byte-stream decode via the pure-Python stdlib codecs
+    (functions/codecs.py), features rounded for a stable hash. Codec work
+    is not SQL-expressible => rows-only driver check; the codec itself is
+    oracled against spec-constructed payloads in tests/test_codecs.py."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from metis_ray.pipelines.multimodal import decode_features
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        feats = [np.round(np.asarray(f, dtype=np.float64), 5)
+                 for f in batch["feature"].to_pylist()]
+        return pa.table({
+            "asset_id": batch["asset_id"],
+            "format": pc.struct_field(batch["meta"], "format"),
+            "feat_mean": pa.array([f[0] for f in feats], pa.float64()),
+            "feat_std": pa.array([f[1] for f in feats], pa.float64()),
+        })
+
+    return decode_features(sf_dir, decoder="real").map_batches(
+        flatten, batch_format="pyarrow")
+
+
 def _bucket_cap_guard(fn: Callable[..., Any]) -> Callable[[str], Any]:
     """The LSH dedup pipelines drop buckets larger than the skew cap (and
     count them); their ORACLES are brute-force all-pairs. A dropped bucket
@@ -699,6 +725,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_resize": _q_multimodal_resize,
+        # genuine PNG/WAV byte-stream decode (stdlib codecs) — rows-only
+        "multimodal_real_features": _q_multimodal_real_features,
         # --- keep the legitimately-no-oracle trio LAST: the driver's
         # correctness gate checks the first 50 entries, so every oracle-
         # backed query above must precede these. All three have real

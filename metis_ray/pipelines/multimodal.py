@@ -4,12 +4,18 @@ Images/audio/video are carried as ``binary`` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as actor-pool
 ``map_batches`` stages with SMALL batches (payloads dominate block size).
 
-The real codec libraries (PIL/ffmpeg/soundfile) are NOT available in this
-environment, so the decode kernel is gated: ``decoder='real'`` raises
-``NotImplementedError`` at actor construction with the exact dependency
-needed, while ``decoder='fake'`` (default here, clearly marked) produces a
-deterministic pseudo-decode so the Ray-side plumbing — schema, actor
-signature, batch sizing, output layout — is real and tested end-to-end.
+Decode kernels are gated by ``decoder=``:
+
+- ``decoder='real'`` decodes ACTUAL payload bytes with the pure-Python
+  stdlib codecs in ``metis_ray.functions.codecs`` (8-bit PNG via zlib,
+  8/16-bit PCM WAV via ``wave``) — the formats this engine itself emits.
+  Payloads outside that scope (JPEG, video containers, ...) raise
+  ``NotImplementedError`` naming the codec library a production deploy
+  would install (PIL/libvips/ffmpeg) behind this same gate.
+- ``decoder='fake'`` (default for the driver queries) produces a
+  deterministic pseudo-decode so the Ray-side plumbing — schema, actor
+  signature, batch sizing, output layout — is exercised without any
+  codec at all.
 """
 
 from __future__ import annotations
@@ -21,6 +27,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from metis_ray.functions import codecs
 from metis_ray.sources.parquet import read_table
 
 IMAGE_META = pa.struct([("width", pa.int32()), ("height", pa.int32()),
@@ -47,31 +54,93 @@ def synthesize_binary_table(sf_dir: str) -> rd.Dataset:
     return docs.map_batches(to_assets, batch_format="pyarrow")
 
 
+def synthesize_media_table(sf_dir: str) -> rd.Dataset:
+    """Deterministic REAL-media asset table derived from ``documents``:
+    even doc_ids become actual PNG images (pixels seeded from the text
+    bytes), odd doc_ids become actual 16-bit PCM WAV clips. Exercises the
+    ``decoder='real'`` path end-to-end with genuine codec byte streams.
+    (asset_id, payload: binary, meta: struct)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        payloads, metas = [], []
+        for i, text in zip(ids, batch["text"].to_pylist()):
+            raw = text.encode() or b"\x00"
+            if i % 2 == 0:
+                w, h = (len(raw) % 13) + 3, (len(raw) % 9) + 3
+                reps = (w * h * 3) // len(raw) + 1
+                img = np.frombuffer((raw * reps)[:w * h * 3],
+                                    np.uint8).reshape(h, w, 3)
+                payloads.append(codecs.encode_png(img))
+                metas.append({"width": w, "height": h,
+                              "format": "image/png"})
+            else:
+                n = (len(raw) % 50) + 20
+                reps = (n * 2) // len(raw) + 1
+                samples = np.frombuffer((raw * reps)[:n * 2], "<i2")
+                payloads.append(codecs.encode_wav(samples, 8000))
+                metas.append({"width": n, "height": 1,
+                              "format": "audio/wav"})
+        return pa.table({
+            "asset_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "meta": pa.array(metas, IMAGE_META),
+        })
+
+    return docs.map_batches(to_media, batch_format="pyarrow")
+
+
 class DecodeAndFeaturize:
     """Actor-pool stage: payload -> fixed-size feature vector.
 
-    ``decoder='real'`` is the production path (PIL / libvips / ffmpeg) —
-    STUBBED here because those libraries are not in this container.
-    ``decoder='fake'`` derives a deterministic 16-float feature from the
-    payload bytes so downstream layout/consumers are exercised for real.
+    ``decoder='real'`` decodes actual PNG/WAV bytes (stdlib codecs,
+    ``functions/codecs.py``) and extracts a 16-float signal feature
+    (mean, std, shape + a 12-bin value histogram) from the decoded
+    samples; payloads outside PNG/WAV raise ``NotImplementedError``
+    naming the library (PIL/ffmpeg) a production deploy installs behind
+    this gate. ``decoder='fake'`` derives a deterministic 16-float
+    feature from the payload bytes so downstream layout/consumers are
+    exercised without any codec.
     """
 
     FEATURE_DIM = 16
 
     def __init__(self, decoder: str = "fake") -> None:
-        if decoder == "real":
-            raise NotImplementedError(
-                "real decode needs PIL/ffmpeg, not available in this "
-                "environment; run with decoder='fake' or install codecs")
+        if decoder not in ("fake", "real"):
+            raise ValueError(f"unknown decoder {decoder!r}")
         self.decoder = decoder
 
     def _fake_decode(self, payload: bytes) -> np.ndarray:
         digest = hashlib.blake2b(payload, digest_size=self.FEATURE_DIM).digest()
         return np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 255.0
 
+    def _real_decode(self, payload: bytes) -> np.ndarray:
+        fmt = codecs.sniff(payload)
+        if fmt == "image/png":
+            img = codecs.decode_png(payload)
+            vals = img.astype(np.float32).ravel() / 255.0
+            shape = (img.shape[0] / 4096.0, img.shape[1] / 4096.0)
+        elif fmt == "audio/wav":
+            samples, sr = codecs.decode_wav(payload)
+            vals = samples.astype(np.float32).ravel() / 32768.0 * 0.5 + 0.5
+            shape = (len(samples) / float(max(sr, 1)), samples.shape[1] / 8.0)
+        else:
+            raise NotImplementedError(
+                "real decode handles PNG/WAV via the stdlib fallback "
+                "codecs; this payload needs PIL/ffmpeg — install them and "
+                "extend this gate")
+        hist, _ = np.histogram(vals, bins=self.FEATURE_DIM - 4,
+                               range=(0.0, 1.0))
+        hist = hist.astype(np.float32) / max(1, vals.size)
+        return np.concatenate([
+            np.array([vals.mean(), vals.std(), *shape], dtype=np.float32),
+            hist])
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch["payload"].to_pylist()
-        feats = np.vstack([self._fake_decode(p) for p in payloads])
+        decode = (self._real_decode if self.decoder == "real"
+                  else self._fake_decode)
+        feats = np.vstack([decode(p) for p in batch["payload"].to_pylist()])
         return pa.table({
             "asset_id": batch["asset_id"],
             "meta": batch["meta"],
@@ -81,31 +150,36 @@ class DecodeAndFeaturize:
 
 
 def decode_features(sf_dir: str, *, batch_size: int = 64,
-                    concurrency: int = 2) -> rd.Dataset:
+                    concurrency: int = 2,
+                    decoder: str = "fake") -> rd.Dataset:
     """Binary-asset decode pipeline: small batches (payload-heavy rows),
-    actor pool, fixed-size list output. (asset_id, meta, feature)."""
-    assets = synthesize_binary_table(sf_dir)
+    actor pool, fixed-size list output. (asset_id, meta, feature).
+    ``decoder='real'`` runs over the synthesized REAL PNG/WAV table and
+    decodes the actual byte streams."""
+    assets = (synthesize_media_table(sf_dir) if decoder == "real"
+              else synthesize_binary_table(sf_dir))
     return assets.map_batches(DecodeAndFeaturize, batch_format="pyarrow",
                               batch_size=batch_size, concurrency=concurrency,
-                              fn_constructor_kwargs={"decoder": "fake"})
+                              fn_constructor_kwargs={"decoder": decoder})
 
 
 class Resize:
     """Actor-pool stage: decode -> resize -> re-encode (image path).
 
-    ``decoder='real'`` (PIL/libvips) is STUBBED — not in this container;
-    the fake path derives a deterministic (h, w) uint8 image from the
-    payload bytes and resizes it by nearest-neighbor index sampling, so the
-    Ray plumbing (small payload batches, actor state, binary-out schema,
-    updated meta struct) is real and tested."""
+    ``decoder='real'`` decodes a real PNG payload, resizes by
+    nearest-neighbor index sampling, and re-encodes PNG (stdlib codecs —
+    a PIL/libvips deploy swaps in behind the same gate). The fake path
+    derives a deterministic (h, w) uint8 image from the payload bytes and
+    resizes it the same way, so the Ray plumbing (small payload batches,
+    actor state, binary-out schema, updated meta struct) is exercised
+    without any codec."""
 
     def __init__(self, width: int, height: int, decoder: str = "fake") -> None:
-        if decoder == "real":
-            raise NotImplementedError(
-                "real resize needs PIL/libvips, not available here; use "
-                "decoder='fake' or install codecs")
+        if decoder not in ("fake", "real"):
+            raise ValueError(f"unknown decoder {decoder!r}")
         self.w = width
         self.h = height
+        self.decoder = decoder
 
     def _fake_image(self, payload: bytes, w: int, h: int) -> np.ndarray:
         reps = (w * h) // max(1, len(payload)) + 1
@@ -116,13 +190,23 @@ class Resize:
         metas = batch["meta"].to_pylist()
         out_payload, out_meta = [], []
         for payload, meta in zip(batch["payload"].to_pylist(), metas):
-            img = self._fake_image(payload, meta["width"], meta["height"])
-            yi = (np.arange(self.h) * meta["height"] // self.h)
-            xi = (np.arange(self.w) * meta["width"] // self.w)
+            if self.decoder == "real":
+                img = codecs.decode_png(payload)   # (h, w, ch)
+                src_h, src_w = img.shape[:2]
+            else:
+                img = self._fake_image(payload, meta["width"], meta["height"])
+                src_h, src_w = meta["height"], meta["width"]
+            yi = (np.arange(self.h) * src_h // self.h)
+            xi = (np.arange(self.w) * src_w // self.w)
             small = img[np.ix_(yi, xi)]
-            out_payload.append(small.tobytes())
-            out_meta.append({"width": self.w, "height": self.h,
-                             "format": "fake/resized"})
+            if self.decoder == "real":
+                out_payload.append(codecs.encode_png(small))
+                out_meta.append({"width": self.w, "height": self.h,
+                                 "format": "image/png"})
+            else:
+                out_payload.append(small.tobytes())
+                out_meta.append({"width": self.w, "height": self.h,
+                                 "format": "fake/resized"})
         return pa.table({
             "asset_id": batch["asset_id"],
             "payload": pa.array(out_payload, pa.large_binary()),

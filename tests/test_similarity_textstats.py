@@ -73,9 +73,13 @@ def test_multimodal_plumbing():
     assert m1 == m2
 
 
-def test_multimodal_real_decoder_is_gated():
+def test_multimodal_real_decoder_gate():
+    """The real decoder handles actual PNG/WAV byte streams; anything
+    outside the stdlib-codec scope still raises the documented
+    NotImplementedError (the PIL/ffmpeg gate)."""
+    stage = multimodal.DecodeAndFeaturize(decoder="real")
     with pytest.raises(NotImplementedError):
-        multimodal.DecodeAndFeaturize(decoder="real")
+        stage._real_decode(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # JPEG magic
 
 
 def test_ann_ivf_recall():
@@ -121,9 +125,6 @@ def test_multimodal_resize_and_frames():
     # every asset contributes at least frame 0
     assert set(fr["asset_id"]) == set(src["asset_id"])
 
-    import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
-        multimodal.Resize(8, 8, decoder="real")
 
 
 def test_quality_filter_consistent():
