@@ -930,10 +930,11 @@ def oracle_sql() -> dict[str, str]:
     the scale the driver compares at: sf0.01 by default, overridable via
     METIS_RAY_ORACLE_SF for local runs at other scales."""
     from metis_ray.corpus import corpus_dir_for_sf
-    from metis_ray.goldens import golden_dir_for_sf
+    from metis_ray.goldens import golden_dir_for_sf, graph_golden_dir_for_sf
     oracle_sf = os.environ.get("METIS_RAY_ORACLE_SF", "/root/testdata/sf0.01")
     g = corpus_dir_for_sf(oracle_sf)   # materializes the corpus if absent
     d = golden_dir_for_sf(oracle_sf)   # documents-derived goldens (on demand)
+    gg = graph_golden_dir_for_sf(oracle_sf)  # sequential kcore/scc goldens
     return {
         "corpus_edges": f"""
             SELECT src, dst, src_repo, dst_repo, multiplicity
@@ -973,6 +974,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         "labelprop": f"""
             SELECT v, label FROM read_parquet('{g}/golden_labels.parquet')
+        """,
+        # sequential independent goldens (Batagelj-Zaversnik peeling /
+        # iterative Tarjan over the generator's golden edge table,
+        # metis_ray/goldens.py:graph_golden_dir_for_sf) — NOT engine output
+        "kcore": f"""
+            SELECT v, core FROM read_parquet('{gg}/golden_kcore.parquet')
+        """,
+        "scc": f"""
+            SELECT v, scc FROM read_parquet('{gg}/golden_scc.parquet')
+        """,
+        # genuine recursive-CTE BFS in DuckDB over the golden edges:
+        # min-hop from the 2 smallest vertex ids, walk depth capped at |V|
+        # (>= any shortest path), unreachable = -1
+        "bfs_distance": f"""
+            WITH RECURSIVE verts AS (
+                SELECT vertex_id
+                FROM read_parquet('{g}/golden_files.parquet')
+                WHERE NOT quarantined
+            ), edges AS (
+                SELECT DISTINCT src, dst
+                FROM read_parquet('{g}/golden_edges_file.parquet')
+            ), reach(v, d) AS (
+                SELECT vertex_id, 0 FROM (
+                    SELECT vertex_id FROM verts ORDER BY vertex_id LIMIT 2)
+                UNION
+                SELECT e.dst, r.d + 1
+                FROM reach r JOIN edges e ON e.src = r.v
+                WHERE r.d < (SELECT count(*) FROM verts)
+            )
+            SELECT vt.vertex_id AS v,
+                   CAST(coalesce(min(r.d), -1) AS BIGINT) AS dist
+            FROM verts vt LEFT JOIN reach r ON r.v = vt.vertex_id
+            GROUP BY vt.vertex_id
         """,
         "triangles": f"""
             SELECT v, triangles FROM read_parquet('{g}/golden_triangles.parquet')

@@ -203,3 +203,155 @@ def golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
         shutil.rmtree(out)
     os.replace(tmp, out)
     return out
+
+
+# ---------------------------------------------------------------------------
+# corpus-graph goldens: sequential independent k-core / SCC over the
+# GENERATOR's golden edge table (no engine code paths) — the DuckDB twins
+# for the iterative graph queries the driver otherwise checks rows-only.
+# ---------------------------------------------------------------------------
+
+_GRAPH_GOLDEN_VERSION = 1
+
+
+def _core_numbers(n: int, adj: list[np.ndarray]) -> np.ndarray:
+    """Batagelj-Zaversnik O(E) peeling (the textbook k-core algorithm,
+    also what NetworkX ``core_number`` implements) over a simple
+    undirected adjacency — independent of the engine's h-index fixpoint."""
+    deg = np.array([len(a) for a in adj], dtype=np.int64)
+    if n == 0:
+        return deg
+    md = int(deg.max())
+    counts = np.bincount(deg, minlength=md + 1)
+    vert = np.argsort(deg, kind="stable").astype(np.int64)
+    pos = np.empty(n, dtype=np.int64)
+    pos[vert] = np.arange(n)
+    bin_ptr = np.zeros(md + 1, dtype=np.int64)
+    bin_ptr[1:] = np.cumsum(counts)[:-1]
+    cur = deg.copy()
+    for i in range(n):
+        v = int(vert[i])
+        for u in adj[v]:
+            u = int(u)
+            if cur[u] > cur[v]:
+                du, pu = int(cur[u]), int(pos[u])
+                pw = int(bin_ptr[du])
+                w = int(vert[pw])
+                if u != w:
+                    vert[pu], vert[pw] = w, u
+                    pos[u], pos[w] = pw, pu
+                bin_ptr[du] += 1
+                cur[u] -= 1
+    return cur
+
+
+def _scc_labels(n: int, adj: list[np.ndarray], ids: np.ndarray) -> np.ndarray:
+    """Iterative Tarjan SCC; label = min member vertex id (the engine's
+    convention). Independent of the trim + forward/backward peeling."""
+    index = np.full(n, -1, dtype=np.int64)
+    low = np.zeros(n, dtype=np.int64)
+    onstk = np.zeros(n, dtype=bool)
+    comp = np.full(n, -1, dtype=np.int64)
+    stack: list[int] = []
+    counter = 0
+    for s in range(n):
+        if index[s] != -1:
+            continue
+        work: list[list[int]] = [[s, 0]]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                onstk[v] = True
+            descended = False
+            nbrs = adj[v]
+            for j in range(pi, len(nbrs)):
+                u = int(nbrs[j])
+                if index[u] == -1:
+                    work[-1][1] = j + 1
+                    work.append([u, 0])
+                    descended = True
+                    break
+                if onstk[u]:
+                    low[v] = min(low[v], index[u])
+            if descended:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    u = stack.pop()
+                    onstk[u] = False
+                    members.append(u)
+                    if u == v:
+                        break
+                comp[members] = ids[members].min()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+    return comp
+
+
+def graph_golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
+    """Materialize (once) golden_kcore.parquet / golden_scc.parquet for the
+    sf dir's corpus graph. Reads ONLY the corpus generator's golden tables
+    (known-by-construction edge set), never engine output."""
+    from metis_ray.corpus import corpus_dir_for_sf
+
+    g = corpus_dir_for_sf(sf_dir)
+    edges_path = os.path.join(g, "golden_edges_file.parquet")
+    out = os.path.join(root, f"graph_{os.path.basename(os.path.normpath(g))}"
+                             f"_v{_GRAPH_GOLDEN_VERSION}")
+    man = os.path.join(out, "manifest.json")
+    src_sig = {"src": edges_path, "mtime": os.path.getmtime(edges_path),
+               "ver": _GRAPH_GOLDEN_VERSION}
+    if os.path.exists(man):
+        with open(man) as fh:
+            if json.load(fh) == src_sig:
+                return out
+
+    f = pq.read_table(os.path.join(g, "golden_files.parquet"),
+                      columns=["vertex_id", "quarantined"])
+    keep = ~f["quarantined"].to_numpy(zero_copy_only=False)
+    ids = np.sort(f["vertex_id"].to_numpy(zero_copy_only=False)[keep]
+                  .astype(np.int64))
+    n = len(ids)
+    e = pq.read_table(edges_path, columns=["src", "dst"])
+    src = e["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = e["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ns = src != dst                                   # drop self-loops
+    si = np.searchsorted(ids, src[ns])
+    di = np.searchsorted(ids, dst[ns])
+
+    def adjacency(a: np.ndarray, b: np.ndarray) -> list[np.ndarray]:
+        if len(a):
+            pairs = np.unique(np.stack([a, b], axis=1), axis=0)
+            a, b = pairs[:, 0], pairs[:, 1]
+        starts = np.searchsorted(a, np.arange(n))
+        ends = np.searchsorted(a, np.arange(n), side="right")
+        return [b[s:t] for s, t in zip(starts, ends)]
+
+    und = adjacency(np.concatenate([si, di]), np.concatenate([di, si]))
+    cores = _core_numbers(n, und)
+    comp = _scc_labels(n, adjacency(si, di), ids)
+
+    tmp = out + ".tmp"
+    if os.path.exists(tmp):
+        import shutil
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    pq.write_table(pa.table({"v": pa.array(ids, pa.int64()),
+                             "core": pa.array(cores, pa.int64())}),
+                   os.path.join(tmp, "golden_kcore.parquet"))
+    pq.write_table(pa.table({"v": pa.array(ids, pa.int64()),
+                             "scc": pa.array(comp, pa.int64())}),
+                   os.path.join(tmp, "golden_scc.parquet"))
+    with open(os.path.join(tmp, "manifest.json"), "w") as fh:
+        json.dump(src_sig, fh)
+    if os.path.exists(out):
+        import shutil
+        shutil.rmtree(out)
+    os.replace(tmp, out)
+    return out

@@ -127,14 +127,55 @@ def _block_rows(tbl: pa.Table) -> int:
     return tbl.num_rows
 
 
+_JOIN_COMPACT_NEEDED: bool | None = None
+
+
+def _join_compaction_needed() -> bool:
+    """One-time runtime probe, version-gating the pre-join compaction: does
+    this Ray's ``Dataset.join`` survive zero-row blocks? Broken through at
+    least Ray 2.49.x — the per-partition block builder comes up schema-less
+    and the Acero join raises ``ArrowInvalid: No match for FieldRef`` (on
+    either side; needs an upstream ray-project issue, filed from a
+    network-enabled machine). A future fixed Ray flips this to False and
+    the compaction's materialize barrier disappears without a code change.
+    Override: ``METIS_RAY_JOIN_COMPACT=always|never``."""
+    global _JOIN_COMPACT_NEEDED
+    import os
+    env = os.environ.get("METIS_RAY_JOIN_COMPACT", "auto").lower()
+    if env in ("1", "always"):
+        return True
+    if env in ("0", "never"):
+        return False
+    if _JOIN_COMPACT_NEEDED is None:
+        try:
+            left = rd.from_arrow([
+                pa.table({"k": pa.array([], pa.int64())}),     # empty block
+                pa.table({"k": pa.array([1], pa.int64())})])
+            right = rd.from_arrow(pa.table(
+                {"k": pa.array([1], pa.int64()),
+                 "x": pa.array([2], pa.int64())}))
+            left.join(right, join_type="inner", num_partitions=2,
+                      on=("k",)).count()
+            _JOIN_COMPACT_NEEDED = False
+        except Exception:                                      # noqa: BLE001
+            _JOIN_COMPACT_NEEDED = True
+    return _JOIN_COMPACT_NEEDED
+
+
 def _nonempty_blocks(ds: rd.Dataset) -> tuple[rd.Dataset | None, int]:
     """(dataset with only nonempty blocks | None-if-empty, total rows).
 
-    Ray's join operator breaks on zero-row left-side blocks (the partition
-    builder comes up schema-less and the per-partition Acero join raises
+    Ray's join operator breaks on zero-row blocks (the partition builder
+    comes up schema-less and the per-partition Acero join raises
     "no match for FieldRef"), and ``map_batches`` does not rewrite empty
     blocks — so joins are fed through this compaction. Blocks stay in the
-    object store; only per-block row counts (ints) come to the driver."""
+    object store; only per-block row counts (ints) come to the driver.
+    On a Ray whose join handles empty blocks (``_join_compaction_needed``
+    probe) the re-blocking is skipped — callers keep the exact same
+    None-if-empty / row-count contract, minus the materialize barrier."""
+    if not _join_compaction_needed():
+        n = ds.count()
+        return (ds, n) if n else (None, 0)
     refs = ds.materialize().to_arrow_refs()
     sizes = ray.get([_block_rows.remote(r) for r in refs])
     keep = [r for r, n in zip(refs, sizes) if n > 0]

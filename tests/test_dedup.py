@@ -203,6 +203,25 @@ def test_fuzzy_dedup_join_path_pathological(tmp_path):
     assert got["keep"].sum() <= len(texts) // 2
 
 
+def test_join_compaction_probe():
+    """The version gate behind _nonempty_blocks: on this Ray (<=2.49.x the
+    zero-row-block join raises ArrowInvalid) the probe must report that
+    compaction is needed; env overrides short-circuit it. When a Ray
+    upgrade makes this assert fail, the compaction barrier auto-retires —
+    delete this test and _nonempty_blocks' slow path together."""
+    import os
+
+    dedup._JOIN_COMPACT_NEEDED = None          # force a fresh probe
+    try:
+        assert dedup._join_compaction_needed() is True
+        os.environ["METIS_RAY_JOIN_COMPACT"] = "never"
+        assert dedup._join_compaction_needed() is False
+        os.environ["METIS_RAY_JOIN_COMPACT"] = "always"
+        assert dedup._join_compaction_needed() is True
+    finally:
+        os.environ.pop("METIS_RAY_JOIN_COMPACT", None)
+
+
 def test_fingerprint_table_matches_singles(planted_dir):
     from metis_ray.pipelines import textstats
     d, _, _ = planted_dir

@@ -358,3 +358,46 @@ def test_ktruss_synthetic_peel():
         want = {(min(a, b), max(a, b)) for a, b in nx.k_truss(g, k).edges()}
         got = {tuple(r) for r in k_truss(ds, k).to_pandas().values}
         assert got == want, k
+
+
+def test_golden_graph_algorithms_match_networkx():
+    """The sequential kcore/scc golden generators (DuckDB-twin oracles for
+    the driver gate) vs NetworkX on random multigraphs."""
+    import networkx as nx
+    import numpy as np
+
+    from metis_ray.goldens import _core_numbers, _scc_labels
+
+    rng = np.random.RandomState(0)
+    for _ in range(10):
+        n = rng.randint(2, 60)
+        m = rng.randint(0, 4 * n)
+        ids = np.sort(rng.choice(np.arange(1, 10_000), size=n,
+                                 replace=False)).astype(np.int64)
+        si, di = rng.randint(0, n, m), rng.randint(0, n, m)
+        ns = si != di
+        si, di = si[ns], di[ns]
+
+        def adjacency(a, b):
+            if len(a):
+                pairs = np.unique(np.stack([a, b], axis=1), axis=0)
+                a, b = pairs[:, 0], pairs[:, 1]
+            starts = np.searchsorted(a, np.arange(n))
+            ends = np.searchsorted(a, np.arange(n), side="right")
+            return [b[s:t] for s, t in zip(starts, ends)]
+
+        und = adjacency(np.concatenate([si, di]), np.concatenate([di, si]))
+        cores = _core_numbers(n, und)
+        G = nx.Graph()
+        G.add_nodes_from(range(n))
+        G.add_edges_from(zip(si.tolist(), di.tolist()))
+        want = nx.core_number(G)
+        assert all(cores[v] == want[v] for v in range(n))
+
+        comp = _scc_labels(n, adjacency(si, di), ids)
+        D = nx.DiGraph()
+        D.add_nodes_from(range(n))
+        D.add_edges_from(zip(si.tolist(), di.tolist()))
+        for c in nx.strongly_connected_components(D):
+            lab = min(ids[v] for v in c)
+            assert all(comp[v] == lab for v in c)
