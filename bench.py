@@ -97,6 +97,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     t0 = time.perf_counter()
     gdir = bench_graph_dir(sf_dir, P)
     timings["graph_build"] = time.perf_counter() - t0
+    # attribution for fresh builds (graph_meta records per-phase seconds:
+    # the 320M-edge shuffle-write vs the persisted-CSR layout pass — the
+    # r4->r1 "regression" was the layout pass added in r3, not a slowdown)
+    try:
+        from metis_ray.graph.partition import graph_meta
+        for k, v in (graph_meta(gdir).get("build_seconds") or {}).items():
+            timings[f"graph_build_{k}"] = v
+    except Exception:
+        pass
 
     t0 = time.perf_counter()
     runner = GraphRunner(gdir)

@@ -106,11 +106,14 @@ def build_graph_dir(edges: rd.Dataset, vertices: rd.Dataset, out_dir: str,
     edge and vertex.)"""
     if os.path.exists(os.path.join(out_dir, "graph_meta.json")):
         return out_dir
+    import time
     tmp = out_dir + ".tmp"
     if os.path.exists(tmp):
         import shutil
         shutil.rmtree(tmp)
     os.makedirs(tmp)
+    phases: dict[str, float] = {}
+    t0 = time.perf_counter()
     if weight_col is None:
         e = edges.select_columns(["src", "dst"])
         if not directed:
@@ -127,10 +130,14 @@ def build_graph_dir(edges: rd.Dataset, vertices: rd.Dataset, out_dir: str,
     e = e.map_batches(_with_pid("src", P, partition, id_bound),
                       batch_format="pyarrow")
     e.write_parquet(os.path.join(tmp, "edges"), partition_cols=["pid"])
+    phases["edges_write"] = round(time.perf_counter() - t0, 3)
 
+    t0 = time.perf_counter()
     v = vertices.select_columns(["vertex_id"]).map_batches(
         _with_pid("vertex_id", P, partition, id_bound), batch_format="pyarrow")
     v.write_parquet(os.path.join(tmp, "vertices"), partition_cols=["pid"])
+    phases["vertices_write"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
 
     # Persist the per-shard target-major CSR layout NOW, with one Ray task
     # per partition: shard-actor start becomes a column read instead of a
@@ -138,11 +145,13 @@ def build_graph_dir(edges: rd.Dataset, vertices: rd.Dataset, out_dir: str,
     # superstep compute at 320M edges, and again on every actor restart).
     build_layouts(tmp, P, partition, id_bound,
                   weighted=weight_col is not None)
+    phases["layouts"] = round(time.perf_counter() - t0, 3)
 
     with open(os.path.join(tmp, "graph_meta.json"), "w") as fh:
         json.dump({"P": P, "directed": directed, "partition": partition,
                    "id_bound": id_bound, "layout": 1,
-                   "weighted": weight_col is not None}, fh)
+                   "weighted": weight_col is not None,
+                   "build_seconds": phases}, fh)
     if os.path.exists(out_dir):
         import shutil
         shutil.rmtree(out_dir)
