@@ -37,6 +37,18 @@ def log(rec: dict) -> None:
         fh.write(json.dumps(rec) + "\n")
 
 
+# Coordination with interactive dev work in the same sandbox:
+#  - DEV_LOCK (created by the developer session) pauses the hunter BEFORE
+#    kill_orphans, because `ray stop --force` kills EVERY Ray instance on
+#    the host including a pytest session's (see memory: never force-stop
+#    under a background suite).
+#  - BUSY marker (created by the hunter around each bench subprocess) tells
+#    the developer session a 32-CPU probe is in flight, so it can wait
+#    before starting its own Ray work instead of contending.
+DEV_LOCK = "/tmp/metis_dev_ray.lock"
+BUSY = "/tmp/metis_hunter_busy"
+
+
 def kill_orphans() -> None:
     subprocess.run(["ray", "stop", "--force"], capture_output=True)
     subprocess.run(["pkill", "-9", "-f", "rayle[t]"], capture_output=True)
@@ -45,6 +57,8 @@ def kill_orphans() -> None:
 def run_bench(env_extra: dict, args: tuple = ()) -> dict:
     env = dict(os.environ, **env_extra)
     try:
+        with open(BUSY, "w") as fh:
+            fh.write(str(os.getpid()))
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py"), *args],
             env=env, capture_output=True, text=True, timeout=3600,
@@ -52,6 +66,11 @@ def run_bench(env_extra: dict, args: tuple = ()) -> dict:
         return json.loads(out.stdout.strip().splitlines()[-1])
     except Exception as e:                            # noqa: BLE001
         return {"err": str(e)[-300:]}
+    finally:
+        try:
+            os.remove(BUSY)
+        except OSError:
+            pass
 
 
 def main() -> None:
@@ -61,6 +80,9 @@ def main() -> None:
     best_eff = 0.0
     log({"kind": "start", "hours": hours})
     while time.time() < t_end:
+        if os.path.exists(DEV_LOCK):   # dev session owns the host right now
+            time.sleep(30)
+            continue
         kill_orphans()
         r = run_bench({"METIS_BENCH_GRAPH_ONLY": "1",
                        "METIS_BENCH_TRIALS": "3",
@@ -78,7 +100,8 @@ def main() -> None:
             # degradation hits both levels) — so draw a pair every loop
             # while the criterion is unmet; the probe trigger only matters
             # for logging which windows looked good
-            if best_eff < TARGET_EFF or v <= PAIR_TRIGGER:
+            if ((best_eff < TARGET_EFF or v <= PAIR_TRIGGER)
+                    and not os.path.exists(DEV_LOCK)):
                 kill_orphans()
                 s = run_bench({"SCALE_ROUNDS": "1", "METIS_CANARY_WAIT": "60",
                                "GRAFT_SF_DIR": "/root/testdata/sf0.1"},

@@ -160,21 +160,39 @@ def build_graph_dir(edges: rd.Dataset, vertices: rd.Dataset, out_dir: str,
 
 
 def build_layouts(graph_dir: str, P: int, partition: str, id_bound: int,
-                  *, num_cpus: float = 1.0, weighted: bool = False) -> None:
+                  *, num_cpus: float | None = None,
+                  weighted: bool = False) -> None:
     """Compute + persist every partition's CSR layout in parallel (skipping
     partitions that already have a current one — idempotent, so pre-layout
     graph dirs can be migrated in place). The presence check reads only the
     npz header fields (version/P), not the arrays; a completed migration is
-    stamped into ``graph_meta.json`` so later callers skip this entirely."""
+    stamped into ``graph_meta.json`` so later callers skip this entirely.
+
+    Each task is a 10M+-row parquet decode + lexsort — memory-bandwidth
+    bound, not CPU bound. Running one per core thrashes the host: measured
+    at 320M edges / 32 cores, 32-way concurrency took 158 s (per-task times
+    10x their serial cost) vs 60 s at 8-way with near-serial per-task times.
+    Default ``num_cpus`` therefore reserves ~1/8 of a node's cores per task
+    (≈8 concurrent per node — the measured bandwidth saturation point);
+    pass an explicit value to override."""
     import ray
 
     from metis_ray.graph import shard as _shard
+
+    if num_cpus is None:
+        try:
+            nodes = [n for n in ray.nodes() if n.get("Alive")]
+            per_node = max(n.get("Resources", {}).get("CPU", 1.0)
+                           for n in nodes) if nodes else 1.0
+        except Exception:
+            per_node = 1.0
+        num_cpus = max(1.0, per_node / 8.0)
 
     @ray.remote(num_cpus=num_cpus)
     def _one(pid: int) -> int:
         if not _shard.layout_current(graph_dir, pid, P, weighted=weighted):
             _shard.build_layout(graph_dir, pid, P, partition, id_bound,
-                                weighted=weighted)
+                                weighted=weighted, use_threads=False)
         return pid
 
     ray.get([_one.remote(pid) for pid in range(P)])

@@ -63,20 +63,26 @@ def layout_path(graph_dir: str, pid: int) -> str:
     return os.path.join(graph_dir, "layout", f"part-{pid:05d}.npz")
 
 
-def read_partition(graph_dir: str, pid: int, *, weighted: bool = False):
+def read_partition(graph_dir: str, pid: int, *, weighted: bool = False,
+                   use_threads: bool = True):
     """(sorted vertex ids, edge src, edge dst, edge weight|None) for one
     partition — the raw column read the persisted layout is derived from.
     ``weighted`` reads the optional per-edge ``w`` column (graph dirs built
-    with ``build_graph_dir(weight_col=...)``)."""
+    with ``build_graph_dir(weight_col=...)``). ``use_threads=False`` keeps
+    Arrow's decode on the caller's thread — pass it when MANY partitions
+    read concurrently (the layout build), where per-read thread pools
+    oversubscribe the host (32 tasks x full-width pools measured 2x slower
+    than single-threaded decode at the same concurrency)."""
     vdir = os.path.join(graph_dir, "vertices", f"pid={pid}")
     verts = np.sort(
-        pq.read_table(vdir, columns=["vertex_id"])["vertex_id"]
+        pq.read_table(vdir, columns=["vertex_id"],
+                      use_threads=use_threads)["vertex_id"]
         .to_numpy(zero_copy_only=False).astype(np.int64))
     edir = os.path.join(graph_dir, "edges", f"pid={pid}")
     w = None
     if os.path.isdir(edir):
         cols = ["src", "dst"] + (["w"] if weighted else [])
-        et = pq.read_table(edir, columns=cols)
+        et = pq.read_table(edir, columns=cols, use_threads=use_threads)
         src = et["src"].to_numpy(zero_copy_only=False).astype(np.int64)
         dst = et["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
         if weighted:
@@ -202,11 +208,13 @@ def load_layout(graph_dir: str, pid: int, P: int, *,
 
 
 def build_layout(graph_dir: str, pid: int, P: int, mode: str,
-                 bound: int, *, weighted: bool = False) -> dict:
+                 bound: int, *, weighted: bool = False,
+                 use_threads: bool = True) -> dict:
     """Read one partition, compute its layout, persist it. Used by the
     graph-build tasks (partition.build_graph_dir) and as the shard's
     self-healing fallback for pre-layout graph dirs."""
-    verts, src, dst, w = read_partition(graph_dir, pid, weighted=weighted)
+    verts, src, dst, w = read_partition(graph_dir, pid, weighted=weighted,
+                                        use_threads=use_threads)
     lay = compute_layout(pid, P, verts, src, dst, mode, bound, w)
     try:
         write_layout(graph_dir, pid, lay)
