@@ -13,7 +13,7 @@ the workload itself, so this daemon:
 4. stops early when both round criteria are met: a probe <= TARGET_HEADLINE
    and a pair >= TARGET_EFF.
 
-Run: python jobs/hunter_r4.py   (env: HUNT_HOURS, default 4)
+Run: python jobs/hunter_r5.py   (env: HUNT_HOURS, default 4)
 """
 
 from __future__ import annotations

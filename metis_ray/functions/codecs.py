@@ -124,9 +124,8 @@ def encode_png(img: np.ndarray) -> bytes:
                 + struct.pack(">I", zlib.crc32(ctype + payload)))
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    rows = np.concatenate(
-        [np.concatenate([np.zeros((h, 1), np.uint8),     # filter byte 0
-                         a.reshape(h, w * ch)], axis=1).ravel()])
+    rows = np.concatenate([np.zeros((h, 1), np.uint8),   # filter byte 0
+                           a.reshape(h, w * ch)], axis=1).ravel()
     idat = zlib.compress(rows.tobytes(), 6)
     return (PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
             + chunk(b"IEND", b""))

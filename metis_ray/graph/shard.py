@@ -379,6 +379,19 @@ class CSRShard:
         s, e = self._tslice(t)
         return np.diff(np.r_[self._runs[t], e - s])
 
+    @staticmethod
+    def _group_votes(run_id: np.ndarray, lab: np.ndarray, w: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Sum votes per (run, label): one lexsort + reduceat. Shared by
+        the frequency protocols (freq_scatter, lpa_scatter) so the ragged
+        grouping kernel has exactly one definition."""
+        order = np.lexsort((lab, run_id))
+        run_id, lab, w = run_id[order], lab[order], w[order]
+        newg = np.r_[True, (run_id[1:] != run_id[:-1])
+                     | (lab[1:] != lab[:-1])]
+        starts = np.flatnonzero(newg)
+        return run_id[starts], lab[starts], np.add.reduceat(w, starts)
+
     @property
     def self_edge_mask(self) -> np.ndarray:
         """Per-edge (target-major order) self-loop mask, computed once."""
@@ -509,6 +522,8 @@ class CSRShard:
         local per-edge factor (``mul`` indexes a local val by edge source,
         ``weighted`` uses the static edge weight), drop masked edges, and
         combine per SOURCE vertex into ``vals[out]``."""
+        if weighted and self.w_sorted is None:
+            raise ValueError(f"shard {self.pid}: graph has no edge weights")
         payload_refs = bundle[0] if isinstance(bundle, tuple) else bundle
         uf = self._ufunc(op)
         dt = np.dtype(dtype)
@@ -566,6 +581,8 @@ class CSRShard:
         """Ragged push: per-target (run index, value, weight-sum) triples —
         per-shard pre-combined, so a hub receives at most P partial rows per
         distinct value (the same skew bound as lpa_scatter)."""
+        if weighted and self.w_sorted is None:
+            raise ValueError(f"shard {self.pid}: graph has no edge weights")
         x = self.vals[name]
         xe = x[self._row_sorted]
         out: dict[int, tuple] = {}
@@ -584,13 +601,7 @@ class CSRShard:
                 run_id, lab, w = run_id[keep], lab[keep], w[keep]
                 if not len(run_id):
                     continue
-            order = np.lexsort((lab, run_id))
-            run_id, lab, w = run_id[order], lab[order], w[order]
-            newg = np.r_[True, (run_id[1:] != run_id[:-1])
-                         | (lab[1:] != lab[:-1])]
-            starts = np.flatnonzero(newg)
-            triple = (run_id[starts], lab[starts],
-                      np.add.reduceat(w, starts))
+            triple = self._group_votes(run_id, lab, w)
             if t == self.pid:
                 self._gstash = triple
             else:
@@ -802,21 +813,14 @@ class CSRShard:
             if e == s:
                 continue
             # edges are dst-sorted within the slice; sum edge votes per
-            # (run, label) pair with one lexsort + reduceat
+            # (run, label) pair with the shared grouping kernel
             pos_per_edge = np.repeat(
                 np.arange(len(self._runs[t]), dtype=np.int64),
-                np.diff(np.r_[self._runs[t], e - s]))
+                self._run_lengths(t))
             lab = self._per_edge_i[s:e]
             w = (self.w_sorted[s:e] if weighted
                  else np.ones(e - s, dtype=np.int64))
-            order = np.lexsort((lab, pos_per_edge))
-            pos_per_edge, lab, w = pos_per_edge[order], lab[order], w[order]
-            newg = np.r_[True, (pos_per_edge[1:] != pos_per_edge[:-1])
-                         | (lab[1:] != lab[:-1])]
-            starts = np.flatnonzero(newg)
-            run_idx = pos_per_edge[starts]
-            glab = lab[starts]
-            cnt = np.add.reduceat(w, starts)
+            run_idx, glab, cnt = self._group_votes(pos_per_edge, lab, w)
             if t == self.pid:
                 self._self_lpa = (self._out_pos[t][run_idx], glab, cnt)
             else:

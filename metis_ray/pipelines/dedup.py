@@ -148,12 +148,17 @@ def _join_compaction_needed() -> bool:
         return False
     if _JOIN_COMPACT_NEEDED is None:
         try:
+            # zero-row blocks on BOTH sides: the failure fires on either
+            # (left observed round 2, right observed round 4 — see the
+            # compaction call sites marked "right side")
             left = rd.from_arrow([
                 pa.table({"k": pa.array([], pa.int64())}),     # empty block
                 pa.table({"k": pa.array([1], pa.int64())})])
-            right = rd.from_arrow(pa.table(
-                {"k": pa.array([1], pa.int64()),
-                 "x": pa.array([2], pa.int64())}))
+            right = rd.from_arrow([
+                pa.table({"k": pa.array([], pa.int64()),
+                          "x": pa.array([], pa.int64())}),     # empty block
+                pa.table({"k": pa.array([1], pa.int64()),
+                          "x": pa.array([2], pa.int64())})])
             left.join(right, join_type="inner", num_partitions=2,
                       on=("k",)).count()
             _JOIN_COMPACT_NEEDED = False
@@ -174,8 +179,12 @@ def _nonempty_blocks(ds: rd.Dataset) -> tuple[rd.Dataset | None, int]:
     probe) the re-blocking is skipped — callers keep the exact same
     None-if-empty / row-count contract, minus the materialize barrier."""
     if not _join_compaction_needed():
-        n = ds.count()
-        return (ds, n) if n else (None, 0)
+        # materialize ONCE so the count and the caller's join share the
+        # same executed blocks — a bare ds.count() would run the upstream
+        # pipeline and discard it, doubling the expensive stages
+        mds = ds.materialize()
+        n = mds.count()
+        return (mds, n) if n else (None, 0)
     refs = ds.materialize().to_arrow_refs()
     sizes = ray.get([_block_rows.remote(r) for r in refs])
     keep = [r for r, n in zip(refs, sizes) if n > 0]
@@ -480,8 +489,16 @@ def fuzzy_dedup(sf_dir: str, *, threshold: float = 0.6,
     corpus is never shuffled; past the limit (a crawl-scale corpus can be
     30-50% near-dups, so the map can outgrow one node) the attach switches
     to the ``decontaminate`` join shape — an inner join labels the dup
-    endpoints, a left_anti join passes the rest through — so nothing ever
-    funnels through the driver. Reference analogue: the import-name
+    endpoints, a left_anti join passes the rest through — so the ATTACH
+    never funnels through the driver. Honest scale boundary: the CC step
+    itself is the Dataset-engine formulation, which holds the candidate
+    subgraph's (v, label) vector driver-resident between supersteps — fine
+    while dup endpoints fit one node's heap (they are the minority of the
+    corpus by construction); past THAT, route the candidate subgraph
+    through the shard engine (`build_graph_dir` + `GraphRunner
+    .connected_components`, the same algorithm the graph queries use) —
+    the label table it emits feeds the identical join attach.
+    Reference analogue: the import-name
     collapse in Metis/tools/HDF5Helper.py:53-69 generalized to transitive
     near-duplicate clusters."""
     from metis_ray.graph.dataset_engine import components_dataset
@@ -511,9 +528,17 @@ def fuzzy_dedup(sf_dir: str, *, threshold: float = 0.6,
     edges = pairs_ne.map_batches(
         lambda t: t.rename_columns(["src", "dst"]), batch_format="pyarrow")
     comp, _ = components_dataset(edges, verts)
-    comp_ne, n_comp = _nonempty_blocks(comp)
+    comp_ne, n_comp = _nonempty_blocks(comp)   # executed ONCE; both label
+    # paths below reuse these blocks (the original `comp` handle is lazy)
+    if comp_ne is None:   # no components => every doc is its own survivor
+        return docs.map_batches(
+            lambda t: pa.table({
+                "doc_id": t["doc_id"],
+                "component": t["doc_id"],
+                "keep": pa.array(np.ones(t.num_rows, dtype=bool))}),
+            batch_format="pyarrow")
 
-    if comp_ne is not None and n_comp > broadcast_limit:
+    if n_comp > broadcast_limit:
         # dup volume too large to broadcast: attach labels by hash join
         # (the decontaminate shape — inner for dup endpoints, left_anti
         # for the untouched remainder)
@@ -547,7 +572,7 @@ def fuzzy_dedup(sf_dir: str, *, threshold: float = 0.6,
         return dup.union(solo)
 
     # cluster-sized component map -> broadcast; corpus labels itself
-    cdf = comp.to_pandas()
+    cdf = comp_ne.to_pandas()
     cv = cdf["v"].to_numpy()
     order = np.argsort(cv)
     ref = ray.put((cv[order], cdf["label"].to_numpy()[order]))
