@@ -24,6 +24,7 @@ import os
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray.data as rd
 
@@ -136,6 +137,16 @@ def build_graph_dir(edges: rd.Dataset, vertices: rd.Dataset, out_dir: str,
     v = vertices.select_columns(["vertex_id"]).map_batches(
         _with_pid("vertex_id", P, partition, id_bound), batch_format="pyarrow")
     v.write_parquet(os.path.join(tmp, "vertices"), partition_cols=["pid"])
+    # zero-row partitions write NOTHING (not even the directory — measured
+    # round 3); on small/skewed graphs some pids are empty, and the shard
+    # reader requires every vertices/pid dir. Backfill typed empties.
+    for pid in range(P):
+        vdir = os.path.join(tmp, "vertices", f"pid={pid}")
+        if not os.path.isdir(vdir):
+            os.makedirs(vdir)
+            pq.write_table(
+                pa.schema([("vertex_id", pa.int64())]).empty_table(),
+                os.path.join(vdir, "part-empty.parquet"))
     phases["vertices_write"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
 

@@ -467,9 +467,47 @@ def embedding_neardup(sf_dir: str, *, n_planes: int = 12, seed: int = 42,
 # end-to-end fuzzy dedup (pairs -> clusters -> canonical keep)
 # ---------------------------------------------------------------------------
 
+def _components_shard(edges: rd.Dataset, verts: rd.Dataset) -> rd.Dataset:
+    """Connected components of the candidate subgraph through the CSR shard
+    engine: persist a temporary hash-partitioned graph dir, run the actor
+    min-label supersteps (per-vertex state stays sharded; the driver sees
+    only change counts), stream the (v, label) result to per-shard parquet,
+    and hand back the label table as a materialized Dataset. Identical
+    labels to ``components_dataset`` (both converge to min vertex id per
+    component — test_fuzzy_dedup_cc_engines_agree)."""
+    import os
+    import shutil
+    import tempfile
+
+    from metis_ray.graph.partition import build_graph_dir
+    from metis_ray.graph.runner import GraphRunner
+
+    tmp = tempfile.mkdtemp(prefix="metis_fuzzycc_")
+    try:
+        P = max(2, min(int(ray.cluster_resources().get("CPU", 8)), 32))
+        gdir = build_graph_dir(edges, verts, os.path.join(tmp, "graph"), P,
+                               directed=False, partition="hash")
+        runner = GraphRunner(gdir)
+        try:
+            runner.connected_components()
+            out = os.path.join(tmp, "labels")
+            runner.write_result(out, "label")
+        finally:
+            runner.shutdown()
+        comp = rd.read_parquet(os.path.join(out, "epoch=0"))
+        # pull the blocks into the object store before the tmp dir vanishes
+        comp_ne, _ = _nonempty_blocks(comp)
+        assert comp_ne is not None   # verts is nonempty here by contract
+        return comp_ne
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def fuzzy_dedup(sf_dir: str, *, threshold: float = 0.6,
                 stats: dict | None = None,
-                broadcast_limit: int = 2_000_000) -> rd.Dataset:
+                broadcast_limit: int = 2_000_000,
+                cc_engine: str = "auto",
+                shard_cc_threshold: int = 5_000_000) -> rd.Dataset:
     """End-to-end near-duplicate REMOVAL: MinHash-LSH candidate pairs ->
     exact-Jaccard verification -> connected components over the verified
     pair graph -> one canonical survivor (min doc_id) per cluster.
@@ -490,14 +528,14 @@ def fuzzy_dedup(sf_dir: str, *, threshold: float = 0.6,
     30-50% near-dups, so the map can outgrow one node) the attach switches
     to the ``decontaminate`` join shape — an inner join labels the dup
     endpoints, a left_anti join passes the rest through — so the ATTACH
-    never funnels through the driver. Honest scale boundary: the CC step
-    itself is the Dataset-engine formulation, which holds the candidate
-    subgraph's (v, label) vector driver-resident between supersteps — fine
-    while dup endpoints fit one node's heap (they are the minority of the
-    corpus by construction); past THAT, route the candidate subgraph
-    through the shard engine (`build_graph_dir` + `GraphRunner
-    .connected_components`, the same algorithm the graph queries use) —
-    the label table it emits feeds the identical join attach.
+    never funnels through the driver. The CC step scales the same way:
+    ``cc_engine='auto'`` runs the Dataset-engine formulation (which holds
+    the candidate subgraph's (v, label) vector driver-resident between
+    supersteps — fine while dup endpoints fit one node's heap) up to
+    ``shard_cc_threshold`` candidate vertices, and past that routes the
+    subgraph through the CSR shard engine (``_components_shard``: temp
+    graph dir + actor supersteps + per-shard parquet labels — per-vertex
+    state never on the driver); ``'dataset'``/``'shard'`` force a side.
     Reference analogue: the import-name
     collapse in Metis/tools/HDF5Helper.py:53-69 generalized to transitive
     near-duplicate clusters."""
@@ -525,9 +563,15 @@ def fuzzy_dedup(sf_dir: str, *, threshold: float = 0.6,
     verts = (pairs_ne.map_batches(endpoints, batch_format="pyarrow")
              .groupby("vertex_id").aggregate(Count(alias_name="_c"))
              .select_columns(["vertex_id"]))
+    verts, n_verts = _nonempty_blocks(verts)   # one execution, both engines
+    assert verts is not None   # pairs_ne nonempty => endpoints nonempty
     edges = pairs_ne.map_batches(
         lambda t: t.rename_columns(["src", "dst"]), batch_format="pyarrow")
-    comp, _ = components_dataset(edges, verts)
+    if cc_engine == "shard" or (cc_engine == "auto"
+                                and n_verts > shard_cc_threshold):
+        comp = _components_shard(edges, verts)
+    else:
+        comp, _ = components_dataset(edges, verts)
     comp_ne, n_comp = _nonempty_blocks(comp)   # executed ONCE; both label
     # paths below reuse these blocks (the original `comp` handle is lazy)
     if comp_ne is None:   # no components => every doc is its own survivor

@@ -151,6 +151,18 @@ def test_fuzzy_dedup_join_path_matches_broadcast(planted_dir):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_fuzzy_dedup_cc_engines_agree(planted_dir):
+    """cc_engine='shard' (candidate subgraph through the CSR shard engine:
+    temp graph dir + actor min-label supersteps) must label identically to
+    the Dataset-engine CC — both converge to min vertex id per component."""
+    d, _, _ = planted_dir
+    want = dedup.fuzzy_dedup(d, cc_engine="dataset").to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    got = dedup.fuzzy_dedup(d, cc_engine="shard").to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_fuzzy_dedup_join_path_pathological(tmp_path):
     """A 50%-near-dup corpus (every even doc has an odd near-twin) through
     the join path: components/survivors vs the by-construction answer."""
