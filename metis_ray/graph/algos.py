@@ -617,3 +617,178 @@ def betweenness_shard(runner: GraphRunner, *, sources=None,
 
     runner.apply_all(_bw_final, src_ids, not directed)
     return runner.collect_vals({"bc": "betweenness"}), epochs
+
+
+# ---------------------------------------------------------------------------
+# Weighted shortest paths (single- or multi-source) — frontier Bellman-Ford
+# on the min-plus semiring: push dist + w(edge), min-combine per target; a
+# vertex rejoins the frontier only when its distance strictly improved.
+# Non-negative weights => each vertex's dist is non-increasing and the
+# frontier drains in <= (max shortest-path hop count) supersteps. Parallel
+# edges each contribute dist + their own weight (min wins), matching
+# NetworkX Dijkstra over a MultiDiGraph.
+# ---------------------------------------------------------------------------
+
+_F64MAX = np.float64(np.finfo(np.float64).max)
+
+
+def _sssp_check_weights(shard) -> float:
+    w = shard.w_sorted
+    if w is None:
+        if shard.m:
+            raise ValueError(f"shard {shard.pid}: graph has no edge weights")
+        return float("inf")
+    return float(w.min()) if len(w) else float("inf")
+
+
+def _sssp_init(shard, seeds: np.ndarray) -> int:
+    dist = np.full(shard.n, _F64MAX, dtype=np.float64)
+    frontier = np.zeros(shard.n, dtype=np.int64)
+    pos = np.searchsorted(shard.verts, seeds)
+    ok = pos < shard.n
+    ok &= shard.verts[np.minimum(pos, max(0, shard.n - 1))] == seeds
+    dist[pos[ok]] = 0.0
+    frontier[pos[ok]] = 1
+    shard.vals["dist"] = dist
+    shard.vals["frontier"] = frontier
+    return int(ok.sum())
+
+
+def _sssp_update(shard) -> int:
+    new = np.minimum(shard.vals["dist"], shard.vals["_inc"])
+    fr = new < shard.vals["dist"]
+    shard.vals["dist"] = new
+    shard.vals["frontier"] = fr.astype(np.int64)
+    return int(fr.sum())
+
+
+def _sssp_result(shard) -> None:
+    d = shard.vals["dist"]
+    shard.vals["dist"] = np.where(d == _F64MAX, -1.0, d)
+
+
+def sssp_shard(runner: GraphRunner, seeds, *, max_iter: int = 10_000):
+    """(pa.Table (v, dist float64), epochs): cheapest weighted path cost
+    from any seed, following the graph dir's edge direction over its
+    per-edge weight column. Weights must be non-negative (zero is fine:
+    the strict-improvement frontier cannot cycle). Unreachable = -1.0."""
+    wmin = min(runner.apply_all(_sssp_check_weights))
+    if wmin < 0:
+        raise ValueError("sssp requires non-negative edge weights")
+    seed_arr = np.asarray(sorted(set(int(s) for s in seeds)), dtype=np.int64)
+    found = sum(runner.apply_all(_sssp_init, seed_arr))
+    if found != len(seed_arr):
+        raise ValueError("seed is not a graph vertex")
+    epochs = 0
+    alive = found > 0
+    while alive and epochs < max_iter:
+        changed = runner.step_push("dist", "min", "_inc", dtype="float64",
+                                   mask="frontier", plus_weight=True,
+                                   update=_sssp_update)
+        epochs += 1
+        alive = sum(changed) > 0
+    runner.apply_all(_sssp_result)
+    return runner.collect_vals({"dist": "dist"}), epochs
+
+
+# ---------------------------------------------------------------------------
+# Eigenvector centrality — nx.eigenvector_centrality semantics exactly:
+# x' = xlast + A^T xlast (per-edge weight optional), L2-normalize, converge
+# when sum|x - xlast| < n * tol. NetworkX refuses multigraphs; run this on
+# a graph dir of DISTINCT edges (weight = multiplicity for the collapsed
+# multigraph semantics).
+# ---------------------------------------------------------------------------
+
+def _eig_init(shard, n_total: int) -> None:
+    shard.vals["x"] = np.full(shard.n, 1.0 / n_total, dtype=np.float64)
+
+
+def _eig_keep_last(shard) -> None:
+    shard.vals["xlast"] = shard.vals["x"].copy()
+
+
+def _eig_fold(shard) -> float:
+    x = shard.vals["xlast"] + shard.vals["_inc"]
+    shard.vals["x"] = x
+    return float((x * x).sum())
+
+
+def _eig_normalize(shard, norm: float) -> float:
+    shard.vals["x"] = shard.vals["x"] / norm
+    return float(np.abs(shard.vals["x"] - shard.vals["xlast"]).sum())
+
+
+def eigenvector_shard(runner: GraphRunner, *, max_iter: int = 100,
+                      tol: float = 1e-6, weighted: bool = False):
+    """((v, eigenvector) pa.Table, epochs). tol=0 disables the convergence
+    check and runs exactly ``max_iter`` power iterations (the deterministic
+    fixed-iteration mode the golden twins transcribe); tol>0 mirrors
+    NetworkX, raising if max_iter exhausts before convergence."""
+    import math
+    runner.apply_all(_eig_init, runner.n_total)
+    epochs = 0
+    for _ in range(max_iter):
+        runner.apply_all(_eig_keep_last)
+        runner.step_push("x", "sum", "_inc", weighted=weighted)
+        ssq = sum(runner.apply_all(_eig_fold))
+        norm = math.sqrt(ssq) or 1.0
+        delta = sum(runner.apply_all(_eig_normalize, norm))
+        epochs += 1
+        if tol > 0 and delta < runner.n_total * tol:
+            return runner.collect_vals({"x": "eigenvector"}), epochs
+    if tol > 0:
+        raise RuntimeError(
+            f"eigenvector centrality: no convergence in {max_iter} iterations")
+    return runner.collect_vals({"x": "eigenvector"}), epochs
+
+
+# ---------------------------------------------------------------------------
+# Katz centrality — nx.katz_centrality semantics exactly: x starts at 0,
+# x' = alpha * A^T xlast + beta, converge on sum|x - xlast| < n * tol, then
+# (normalized=True) scale to unit L2 norm. Converges iff alpha < 1/lambda_max.
+# ---------------------------------------------------------------------------
+
+def _katz_init(shard) -> None:
+    shard.vals["x"] = np.zeros(shard.n, dtype=np.float64)
+
+
+def _katz_update(shard, alpha: float, beta: float) -> float:
+    xlast = shard.vals["x"]
+    x = alpha * shard.vals["_inc"] + beta
+    shard.vals["x"] = x
+    return float(np.abs(x - xlast).sum())
+
+
+def _katz_ssq(shard) -> float:
+    x = shard.vals["x"]
+    return float((x * x).sum())
+
+
+def _katz_scale(shard, s: float) -> None:
+    shard.vals["x"] = shard.vals["x"] * s
+
+
+def katz_shard(runner: GraphRunner, *, alpha: float = 0.1, beta: float = 1.0,
+               max_iter: int = 1000, tol: float = 1e-6,
+               weighted: bool = False, normalized: bool = True):
+    """((v, katz) pa.Table, epochs). tol=0 = deterministic fixed-iteration
+    mode (normalization still applied at the end); tol>0 mirrors NetworkX
+    and raises on non-convergence."""
+    import math
+    runner.apply_all(_katz_init)
+    epochs = 0
+    converged = False
+    for _ in range(max_iter):
+        deltas = runner.step_push("x", "sum", "_inc", weighted=weighted,
+                                  update=_katz_update, uargs=(alpha, beta))
+        epochs += 1
+        if tol > 0 and sum(deltas) < runner.n_total * tol:
+            converged = True
+            break
+    if tol > 0 and not converged:
+        raise RuntimeError(
+            f"katz centrality: no convergence in {max_iter} iterations")
+    if normalized:
+        s = math.sqrt(sum(runner.apply_all(_katz_ssq)))
+        runner.apply_all(_katz_scale, (1.0 / s) if s else 1.0)
+    return runner.collect_vals({"x": "katz"}), epochs

@@ -432,10 +432,12 @@ class GraphRunner:
     def step_push(self, name: str, op: str, out: str, *, dtype="float64",
                   k: int = 0, mask: str | None = None, plus=0,
                   weighted: bool = False, drop_self: bool = False,
+                  plus_weight: bool = False,
                   update=None, uargs=()) -> list:
         payloads = [s.val_scatter.remote(name, op, mask=mask, plus=plus,
                                          weighted=weighted,
-                                         drop_self=drop_self)
+                                         drop_self=drop_self,
+                                         plus_weight=plus_weight)
                     for s in self.shards]
         bundle = ray.put((payloads, []))
         return ray.get([s.val_gather.remote(bundle, op, out, dtype=dtype,

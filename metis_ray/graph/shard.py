@@ -430,10 +430,13 @@ class CSRShard:
         return lim.max if op == "min" else lim.min
 
     def _edge_values(self, name: str, *, mask: str | None, plus,
-                  weighted: bool, drop_self: bool):
+                  weighted: bool, drop_self: bool,
+                  plus_weight: bool = False):
         """(per-edge values in target-major order, keep mask|None). Masked
         entries are left untransformed — callers replace them with the op
-        identity (or filter), so +plus can never overflow a sentinel."""
+        identity (or filter), so +plus can never overflow a sentinel.
+        ``plus_weight`` ADDS the static per-edge weight (the min-plus
+        semiring of shortest paths), orthogonal to ``weighted``'s multiply."""
         x = self.vals[name]
         xe = x[self._row_sorted]
         keep = None
@@ -446,22 +449,33 @@ class CSRShard:
             {"where": keep if xe.ndim == 1 else keep[:, None]})
         if plus:
             np.add(xe, plus, out=xe, **kw)
-        if weighted:
+        if plus_weight or weighted:
             w = self.w_sorted
             if w is None:
-                raise ValueError(f"shard {self.pid}: graph has no edge weights")
-            np.multiply(xe, w if xe.ndim == 1 else w[:, None], out=xe, **kw)
+                # an EMPTY shard of a weighted graph stores no weight column
+                # (layout writes w_sorted only when m > 0) — not an error
+                if self.m:
+                    raise ValueError(
+                        f"shard {self.pid}: graph has no edge weights")
+                w = np.empty(0, np.float64)
+            if plus_weight:
+                np.add(xe, w if xe.ndim == 1 else w[:, None], out=xe, **kw)
+            if weighted:
+                np.multiply(xe, w if xe.ndim == 1 else w[:, None],
+                            out=xe, **kw)
         return xe, keep
 
     def val_scatter(self, name: str, op: str, *, mask: str | None = None,
                     plus=0, weighted: bool = False,
-                    drop_self: bool = False) -> dict[int, np.ndarray]:
+                    drop_self: bool = False,
+                    plus_weight: bool = False) -> dict[int, np.ndarray]:
         """Push-combine vals[name] along edges: per-target vectors aligned
         to the cached (uniq dst) layout. Masked-out edges contribute the op
         identity; targets with no live edge are skipped entirely."""
         uf = self._ufunc(op)
         xe, keep = self._edge_values(name, mask=mask, plus=plus,
-                                  weighted=weighted, drop_self=drop_self)
+                                  weighted=weighted, drop_self=drop_self,
+                                  plus_weight=plus_weight)
         if keep is not None:
             ident = self._identity(op, xe.dtype)
             xe = np.where(keep if xe.ndim == 1 else keep[:, None], xe, ident)

@@ -493,3 +493,186 @@ def test_shard_lpa_weighted_matches_dataset(gw, und_gw):
                                    max_iter=30, weight_col="w")
     want = _vals(want_ds.to_pandas(), "label")
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Weighted SSSP (min-plus frontier Bellman-Ford)
+# ---------------------------------------------------------------------------
+
+def test_sssp_shard_matches_networkx_dijkstra(gw, dir_gw):
+    import networkx as nx
+
+    from metis_ray.graph.algos import sssp_shard
+
+    src, dst, w = gw
+    seeds = [0, 7]
+    r = _runner(dir_gw)
+    try:
+        out, epochs = sssp_shard(r, seeds)
+    finally:
+        r.shutdown()
+    got = _vals(out, "dist")
+    assert epochs > 1
+
+    g = nx.MultiDiGraph()
+    g.add_nodes_from(range(N))
+    for s, d, wt in zip(src.tolist(), dst.tolist(), w.tolist()):
+        g.add_edge(s, d, weight=wt)
+    want = nx.multi_source_dijkstra_path_length(g, seeds, weight="weight")
+    for v in range(N):
+        assert got[v] == want.get(v, -1.0), v
+    assert any(d == -1.0 for d in got.values()) or len(want) == N
+
+
+def test_sssp_shard_zero_weights_terminate(ray_session, tmp_path):
+    import networkx as nx
+
+    from metis_ray.graph.algos import sssp_shard
+
+    src, dst = _random_multigraph(5, n=30, m=90)
+    w = ((src + dst) % 3).astype(np.float64)          # zeros included
+    gd = build_graph_dir(_edges_ds(src, dst, w), _verts_ds(30),
+                         str(tmp_path) + "/g", P, directed=True,
+                         weight_col="w")
+    r = _runner(gd)
+    try:
+        out, _ = sssp_shard(r, [0])
+    finally:
+        r.shutdown()
+    got = _vals(out, "dist")
+    g = nx.MultiDiGraph()
+    g.add_nodes_from(range(30))
+    for s, d, wt in zip(src.tolist(), dst.tolist(), w.tolist()):
+        g.add_edge(s, d, weight=wt)
+    want = nx.multi_source_dijkstra_path_length(g, [0], weight="weight")
+    for v in range(30):
+        assert got[v] == want.get(v, -1.0), v
+
+
+def test_sssp_shard_guards(dir_g1, dir_gw):
+    from metis_ray.graph.algos import sssp_shard
+
+    r = _runner(dir_g1)                               # unweighted dir
+    try:
+        with pytest.raises(ValueError, match="no edge weights"):
+            sssp_shard(r, [0])
+    finally:
+        r.shutdown()
+    r = _runner(dir_gw)
+    try:
+        with pytest.raises(ValueError, match="not a graph vertex"):
+            sssp_shard(r, [10**9])
+    finally:
+        r.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Eigenvector + Katz centrality (nx semantics; distinct-edge weighted graph
+# because NetworkX refuses multigraphs for both)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def distinct_gw(gw):
+    """Distinct (src, dst) of gw with their (pair-deterministic) weights."""
+    src, dst, _ = gw
+    pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
+    s, d = pairs[:, 0], pairs[:, 1]
+    w = ((s * 7 + d * 13) % 5 + 1).astype(np.float64)
+    return s, d, w
+
+
+@pytest.fixture(scope="module")
+def dir_distinct_gw(distinct_gw, tmp_path_factory):
+    s, d, w = distinct_gw
+    return build_graph_dir(_edges_ds(s, d, w), _verts_ds(),
+                           str(tmp_path_factory.mktemp("ddgw")) + "/g", P,
+                           directed=True, weight_col="w")
+
+
+def _nx_weighted_digraph(distinct_gw):
+    import networkx as nx
+    s, d, w = distinct_gw
+    g = nx.DiGraph()
+    g.add_nodes_from(range(N))
+    for a, b, wt in zip(s.tolist(), d.tolist(), w.tolist()):
+        g.add_edge(a, b, weight=wt)
+    return g
+
+
+def test_eigenvector_shard_matches_networkx(distinct_gw, dir_distinct_gw):
+    import networkx as nx
+
+    from metis_ray.graph.algos import eigenvector_shard
+
+    r = _runner(dir_distinct_gw)
+    try:
+        out, epochs = eigenvector_shard(r, max_iter=1000, tol=1e-10,
+                                        weighted=True)
+    finally:
+        r.shutdown()
+    got = _vals(out, "eigenvector")
+    want = nx.eigenvector_centrality(_nx_weighted_digraph(distinct_gw),
+                                     max_iter=1000, tol=1e-10,
+                                     weight="weight")
+    np.testing.assert_allclose([got[v] for v in sorted(want)],
+                               [want[v] for v in sorted(want)],
+                               atol=1e-7, rtol=0)
+    assert epochs < 1000
+
+
+def test_eigenvector_shard_fixed_iteration_transcription(
+        distinct_gw, dir_distinct_gw):
+    """tol=0 runs exactly max_iter iterations of the documented recurrence
+    — the deterministic mode the golden twins transcribe sequentially."""
+    from metis_ray.graph.algos import eigenvector_shard
+
+    iters = 40
+    r = _runner(dir_distinct_gw)
+    try:
+        out, epochs = eigenvector_shard(r, max_iter=iters, tol=0.0,
+                                        weighted=True)
+    finally:
+        r.shutdown()
+    assert epochs == iters
+    got = _vals(out, "eigenvector")
+
+    s, d, w = distinct_gw
+    x = np.full(N, 1.0 / N)
+    for _ in range(iters):
+        x2 = x.copy()
+        np.add.at(x2, d, x[s] * w)
+        x = x2 / (np.sqrt((x2 * x2).sum()) or 1.0)
+    np.testing.assert_allclose([got[v] for v in range(N)], x,
+                               atol=1e-11, rtol=0)
+
+
+def test_katz_shard_matches_networkx(distinct_gw, dir_distinct_gw):
+    import networkx as nx
+
+    from metis_ray.graph.algos import katz_shard
+
+    r = _runner(dir_distinct_gw)
+    try:
+        out, _ = katz_shard(r, alpha=0.01, beta=1.0, max_iter=2000,
+                            tol=1e-10, weighted=True)
+    finally:
+        r.shutdown()
+    got = _vals(out, "katz")
+    want = nx.katz_centrality(_nx_weighted_digraph(distinct_gw), alpha=0.01,
+                              beta=1.0, max_iter=2000, tol=1e-10,
+                              weight="weight")
+    np.testing.assert_allclose([got[v] for v in sorted(want)],
+                               [want[v] for v in sorted(want)],
+                               atol=1e-9, rtol=0)
+
+
+def test_katz_shard_divergence_raises(dir_distinct_gw):
+    from metis_ray.graph.algos import katz_shard
+
+    r = _runner(dir_distinct_gw)
+    try:
+        with pytest.raises(RuntimeError, match="no convergence"):
+            katz_shard(r, alpha=0.9, beta=1.0, max_iter=50, tol=1e-10,
+                       weighted=True)
+    finally:
+        r.shutdown()
