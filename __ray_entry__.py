@@ -204,6 +204,58 @@ def _q_bfs_distance(sf_dir: str):
     return dists.to_pandas().sort_values("v").reset_index(drop=True)
 
 
+def _q_sssp(sf_dir: str):
+    """Multi-source WEIGHTED shortest paths (weight = edge multiplicity)
+    from the two smallest vertex ids, on the shard engine's min-plus
+    frontier Bellman-Ford; unreachable = -1. DuckDB twin: sequential
+    Dijkstra golden over the generator's golden edge table. Pytest oracle:
+    NetworkX multi_source_dijkstra_path_length."""
+    from metis_ray.graph.algos import sssp_shard
+    from metis_ray.graph.runner import GraphRunner
+    runner = GraphRunner(_graph_dir(sf_dir, directed=True, weighted=True))
+    try:
+        dists, _ = sssp_shard(runner, _min_vertex_ids(runner, 2))
+    finally:
+        runner.shutdown()
+    return dists.to_pandas().sort_values("v").reset_index(drop=True)
+
+
+def _q_eigenvector(sf_dir: str):
+    """Multiplicity-weighted eigenvector centrality: FIXED 100 power
+    iterations in float64 (tol=0) so the sequential golden transcription
+    runs the identical count and 6-dp rounding can't race a convergence
+    threshold. Pytest oracle: NetworkX eigenvector_centrality."""
+    from metis_ray.graph.algos import eigenvector_shard
+    from metis_ray.graph.runner import GraphRunner
+    runner = GraphRunner(_graph_dir(sf_dir, directed=True, weighted=True))
+    try:
+        out, _ = eigenvector_shard(runner, max_iter=100, tol=0.0,
+                                   weighted=True)
+    finally:
+        runner.shutdown()
+    out = out.to_pandas()
+    out["eigenvector"] = out["eigenvector"].round(6)
+    return out.sort_values("v").reset_index(drop=True)
+
+
+def _q_katz(sf_dir: str):
+    """Multiplicity-weighted Katz centrality (alpha=0.01, beta=1.0,
+    unit-L2 normalized): FIXED 100 iterations (tol=0), twin = sequential
+    transcription golden (generation asserts the alpha actually
+    contracted). Pytest oracle: NetworkX katz_centrality."""
+    from metis_ray.graph.algos import katz_shard
+    from metis_ray.graph.runner import GraphRunner
+    runner = GraphRunner(_graph_dir(sf_dir, directed=True, weighted=True))
+    try:
+        out, _ = katz_shard(runner, alpha=0.01, beta=1.0, max_iter=100,
+                            tol=0.0, weighted=True)
+    finally:
+        runner.shutdown()
+    out = out.to_pandas()
+    out["katz"] = out["katz"].round(6)
+    return out.sort_values("v").reset_index(drop=True)
+
+
 def _q_linkpred(sf_dir: str):
     """Adamic-Adar link prediction: top-100 non-adjacent file pairs by
     wedge overlap over the undirected dependency graph. Pure Dataset
@@ -823,6 +875,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unique priorities == greedy-by-priority MIS; exact sequential-
         # greedy equality + independence/maximality invariants in pytest)
         "graph_mis": _q_mis,
+        # weighted shortest paths + spectral centralities on the shard
+        # engine (goldens: sequential Dijkstra / fixed-iteration
+        # transcriptions over the generator's golden edge table)
+        "graph_sssp": _q_sssp,
+        "graph_eigenvector": _q_eigenvector,
+        "graph_katz": _q_katz,
     }
 
 
@@ -983,6 +1041,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "scc": f"""
             SELECT v, scc FROM read_parquet('{gg}/golden_scc.parquet')
+        """,
+        # sequential Dijkstra / fixed-iteration spectral transcriptions
+        # (metis_ray/goldens.py:_sssp_golden/_eigenvector_golden/_katz_golden)
+        "graph_sssp": f"""
+            SELECT v, dist FROM read_parquet('{gg}/golden_sssp.parquet')
+        """,
+        "graph_eigenvector": f"""
+            SELECT v, eigenvector
+            FROM read_parquet('{gg}/golden_eigenvector.parquet')
+        """,
+        "graph_katz": f"""
+            SELECT v, katz FROM read_parquet('{gg}/golden_katz.parquet')
         """,
         # genuine recursive-CTE BFS in DuckDB over the golden edges:
         # min-hop from the 2 smallest vertex ids, walk depth capped at |V|

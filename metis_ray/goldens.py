@@ -211,7 +211,7 @@ def golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
 # for the iterative graph queries the driver otherwise checks rows-only.
 # ---------------------------------------------------------------------------
 
-_GRAPH_GOLDEN_VERSION = 1
+_GRAPH_GOLDEN_VERSION = 2
 
 
 def _core_numbers(n: int, adj: list[np.ndarray]) -> np.ndarray:
@@ -294,6 +294,67 @@ def _scc_labels(n: int, adj: list[np.ndarray], ids: np.ndarray) -> np.ndarray:
     return comp
 
 
+def _sssp_golden(n: int, si: np.ndarray, di: np.ndarray, w: np.ndarray,
+                 seed_idx: np.ndarray) -> np.ndarray:
+    """Sequential multi-source Dijkstra (binary heap over a CSR of the
+    distinct weighted edges) — independent of the engine's frontier
+    Bellman-Ford supersteps. Unreachable = -1.0."""
+    import heapq
+
+    order = np.argsort(si, kind="stable")
+    s_srt, d_srt, w_srt = si[order], di[order], w[order]
+    starts = np.searchsorted(s_srt, np.arange(n))
+    ends = np.searchsorted(s_srt, np.arange(n), side="right")
+    dist = np.full(n, np.inf)
+    heap = [(0.0, int(s)) for s in seed_idx]
+    dist[seed_idx] = 0.0
+    heapq.heapify(heap)
+    while heap:
+        dv, v = heapq.heappop(heap)
+        if dv > dist[v]:
+            continue
+        for j in range(starts[v], ends[v]):
+            u, nd = int(d_srt[j]), dv + float(w_srt[j])
+            if nd < dist[u]:
+                dist[u] = nd
+                heapq.heappush(heap, (nd, u))
+    return np.where(np.isinf(dist), -1.0, dist)
+
+
+def _eigenvector_golden(n: int, si: np.ndarray, di: np.ndarray,
+                        w: np.ndarray, n_iter: int = 100) -> np.ndarray:
+    """Fixed-n_iter transcription of the nx.eigenvector_centrality
+    recurrence (x' = x + A^T x weighted, L2-normalized per round) — the
+    engine runs the identical count (tol=0), so both sides sit at float
+    noise and 6-dp rounding cannot race a convergence threshold."""
+    x = np.full(n, 1.0 / n, dtype=np.float64)
+    for _ in range(n_iter):
+        x2 = x.copy()
+        np.add.at(x2, di, x[si] * w)
+        x = x2 / (np.sqrt((x2 * x2).sum()) or 1.0)
+    return x
+
+
+def _katz_golden(n: int, si: np.ndarray, di: np.ndarray, w: np.ndarray, *,
+                 alpha: float, beta: float, n_iter: int = 100) -> np.ndarray:
+    """Fixed-n_iter transcription of nx.katz_centrality (x starts at 0,
+    x' = alpha * A^T x + beta, final unit-L2 scaling). Generation asserts
+    the recurrence actually contracted at this alpha so a spectral-radius
+    violation fails loudly instead of producing meaningless values."""
+    x = np.zeros(n, dtype=np.float64)
+    delta = np.inf
+    for _ in range(n_iter):
+        x2 = np.full(n, beta, dtype=np.float64)
+        np.add.at(x2, di, alpha * x[si] * w)
+        delta = float(np.abs(x2 - x).sum())
+        x = x2
+    if n and delta > 1e-9 * n:
+        raise AssertionError(
+            f"katz golden: alpha={alpha} did not contract (delta={delta})")
+    s = np.sqrt((x * x).sum())
+    return x * ((1.0 / s) if s else 1.0)
+
+
 def graph_golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
     """Materialize (once) golden_kcore.parquet / golden_scc.parquet for the
     sf dir's corpus graph. Reads ONLY the corpus generator's golden tables
@@ -318,12 +379,14 @@ def graph_golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
     ids = np.sort(f["vertex_id"].to_numpy(zero_copy_only=False)[keep]
                   .astype(np.int64))
     n = len(ids)
-    e = pq.read_table(edges_path, columns=["src", "dst"])
+    e = pq.read_table(edges_path, columns=["src", "dst", "multiplicity"])
     src = e["src"].to_numpy(zero_copy_only=False).astype(np.int64)
     dst = e["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mult = e["multiplicity"].to_numpy(zero_copy_only=False).astype(np.float64)
     ns = src != dst                                   # drop self-loops
     si = np.searchsorted(ids, src[ns])
     di = np.searchsorted(ids, dst[ns])
+    wt = mult[ns]
 
     def adjacency(a: np.ndarray, b: np.ndarray) -> list[np.ndarray]:
         if len(a):
@@ -348,6 +411,23 @@ def graph_golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
     pq.write_table(pa.table({"v": pa.array(ids, pa.int64()),
                              "scc": pa.array(comp, pa.int64())}),
                    os.path.join(tmp, "golden_scc.parquet"))
+    # weighted tail: weight = multiplicity over the distinct directed edges
+    # (exactly the rows the weighted graph dir persists); seeds = the two
+    # smallest vertex ids (the engine queries' _min_vertex_ids convention)
+    dist = _sssp_golden(n, si, di, wt, np.arange(min(2, n)))
+    pq.write_table(pa.table({"v": pa.array(ids, pa.int64()),
+                             "dist": pa.array(dist, pa.float64())}),
+                   os.path.join(tmp, "golden_sssp.parquet"))
+    eig = _eigenvector_golden(n, si, di, wt)
+    pq.write_table(pa.table({"v": pa.array(ids, pa.int64()),
+                             "eigenvector": pa.array(np.round(eig, 6),
+                                                     pa.float64())}),
+                   os.path.join(tmp, "golden_eigenvector.parquet"))
+    katz = _katz_golden(n, si, di, wt, alpha=0.01, beta=1.0)
+    pq.write_table(pa.table({"v": pa.array(ids, pa.int64()),
+                             "katz": pa.array(np.round(katz, 6),
+                                              pa.float64())}),
+                   os.path.join(tmp, "golden_katz.parquet"))
     with open(os.path.join(tmp, "manifest.json"), "w") as fh:
         json.dump(src_sig, fh)
     if os.path.exists(out):
