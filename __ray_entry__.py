@@ -143,7 +143,9 @@ def _q_pagerank_weighted(sf_dir: str):
     from metis_ray.graph.runner import GraphRunner
     runner = GraphRunner(_graph_dir(sf_dir, directed=True, weighted=True))
     try:
-        runner.pagerank(alpha=0.85, tol=1e-9, max_iter=200,
+        # FIXED 150 iterations, same count as goldens._pagerank_weighted_
+        # golden (the plain-pagerank determinism protocol)
+        runner.pagerank(alpha=0.85, tol=0.0, max_iter=150,
                         payload_dtype="float64", weighted=True)
         out = runner.collect("rank").to_pandas()
     finally:
@@ -178,7 +180,9 @@ def _q_pagerank_personalized(sf_dir: str):
     runner = GraphRunner(_graph_dir(sf_dir, directed=True))
     try:
         vids = _min_vertex_ids(runner, 2)
-        runner.pagerank(alpha=0.85, tol=1e-9, max_iter=200,
+        # FIXED 150 iterations, same count as goldens._pagerank_
+        # personalized_golden
+        runner.pagerank(alpha=0.85, tol=0.0, max_iter=150,
                         payload_dtype="float64",
                         personalization={vids[0]: 3.0, vids[1]: 1.0})
         out = runner.collect("rank").to_pandas()
@@ -510,12 +514,15 @@ def _q_hits(sf_dir: str):
     from metis_ray.graph.runner import GraphRunner
     runner = GraphRunner(_graph_dir(sf_dir, directed=True))
     try:
-        out, _ = hits_shard(runner)
+        # FIXED 100 iterations (tol=0 disables the L1 break): the golden
+        # transcription (goldens._hits_golden) runs the identical count, so
+        # 6-dp rounding can't race a convergence threshold
+        out, _ = hits_shard(runner, max_iter=100, tol=0.0)
     finally:
         runner.shutdown()
     df = out.to_pandas().sort_values("v").reset_index(drop=True)
-    df["hub"] = df["hub"].round(9)
-    df["authority"] = df["authority"].round(9)
+    df["hub"] = df["hub"].round(6)
+    df["authority"] = df["authority"].round(6)
     return df
 
 
@@ -1053,6 +1060,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_katz": f"""
             SELECT v, katz FROM read_parquet('{gg}/golden_katz.parquet')
+        """,
+        # fixed-iteration transcriptions (both sides run the identical
+        # count; 6-dp rounding) and exact sequential/NetworkX goldens for
+        # the remaining deterministic graph tail
+        "hits": f"""
+            SELECT v, hub, authority
+            FROM read_parquet('{gg}/golden_hits.parquet')
+        """,
+        "pagerank_weighted": f"""
+            SELECT v, rank
+            FROM read_parquet('{gg}/golden_pagerank_weighted.parquet')
+        """,
+        "pagerank_personalized": f"""
+            SELECT v, rank
+            FROM read_parquet('{gg}/golden_pagerank_personalized.parquet')
+        """,
+        "labelprop_weighted": f"""
+            SELECT v, label
+            FROM read_parquet('{gg}/golden_labelprop_weighted.parquet')
+        """,
+        "graph_mis": f"""
+            SELECT v, in_mis FROM read_parquet('{gg}/golden_mis.parquet')
+        """,
+        "graph_betweenness": f"""
+            SELECT v, betweenness
+            FROM read_parquet('{gg}/golden_betweenness.parquet')
+        """,
+        "graph_ktruss": f"""
+            SELECT src, dst FROM read_parquet('{gg}/golden_ktruss.parquet')
         """,
         # genuine recursive-CTE BFS in DuckDB over the golden edges:
         # min-hop from the 2 smallest vertex ids, walk depth capped at |V|

@@ -211,7 +211,7 @@ def golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
 # for the iterative graph queries the driver otherwise checks rows-only.
 # ---------------------------------------------------------------------------
 
-_GRAPH_GOLDEN_VERSION = 2
+_GRAPH_GOLDEN_VERSION = 3
 
 
 def _core_numbers(n: int, adj: list[np.ndarray]) -> np.ndarray:
@@ -355,6 +355,182 @@ def _katz_golden(n: int, si: np.ndarray, di: np.ndarray, w: np.ndarray, *,
     return x * ((1.0 / s) if s else 1.0)
 
 
+def _hits_golden(n: int, si: np.ndarray, di: np.ndarray,
+                 n_iter: int = 100) -> tuple[np.ndarray, np.ndarray]:
+    """Fixed-n_iter transcription of the nx.hits recurrence the engine
+    mirrors (authorities = A^T h, hubs = A a, per-round max-normalization
+    of both, final sum-normalization)."""
+    h = np.full(n, 1.0 / n, dtype=np.float64)
+    a = np.zeros(n, dtype=np.float64)
+    for _ in range(n_iter):
+        a = np.bincount(di, weights=h[si], minlength=n)
+        h = np.bincount(si, weights=a[di], minlength=n)
+        hm, am = h.max() if n else 0.0, a.max() if n else 0.0
+        if hm > 0:
+            h = h / hm
+        if am > 0:
+            a = a / am
+    hs, as_ = h.sum(), a.sum()
+    if hs > 0:
+        h = h / hs
+    if as_ > 0:
+        a = a / as_
+    return h, a
+
+
+def _pagerank_weighted_golden(n: int, si: np.ndarray, di: np.ndarray,
+                              w: np.ndarray, *, alpha: float = 0.85,
+                              n_iter: int = 150) -> np.ndarray:
+    """NetworkX pagerank(weight=...) transcription: contribution =
+    rank * w / out-strength, dangling = zero out-strength, fixed n_iter."""
+    strength = np.bincount(si, weights=w, minlength=n)
+    safe = np.where(strength > 0, strength, 1.0)
+    dangling = strength == 0
+    x = np.full(n, 1.0 / n, dtype=np.float64)
+    for _ in range(n_iter):
+        contrib = x / safe
+        inc = np.bincount(di, weights=contrib[si] * w, minlength=n)
+        base = (alpha * x[dangling].sum() + (1.0 - alpha)) / n
+        x = alpha * inc + base
+    return x
+
+
+def _pagerank_personalized_golden(n: int, si: np.ndarray, di: np.ndarray,
+                                  p: np.ndarray, *, alpha: float = 0.85,
+                                  n_iter: int = 150) -> np.ndarray:
+    """NetworkX pagerank(personalization=...) transcription: teleport AND
+    dangling mass follow the normalized p vector; x starts uniform."""
+    outdeg = np.bincount(si, minlength=n).astype(np.float64)
+    safe = np.where(outdeg > 0, outdeg, 1.0)
+    dangling = outdeg == 0
+    x = np.full(n, 1.0 / n, dtype=np.float64)
+    for _ in range(n_iter):
+        contrib = x / safe
+        inc = np.bincount(di, weights=contrib[si], minlength=n)
+        x = alpha * inc + (alpha * x[dangling].sum() + (1.0 - alpha)) * p
+    return x
+
+
+def _lpa_weighted_golden(n: int, si: np.ndarray, di: np.ndarray,
+                         w: np.ndarray, ids: np.ndarray,
+                         max_iter: int = 30) -> np.ndarray:
+    """Weighted deterministic synchronous LPA per the engine spec: the
+    vote weight between an undirected pair is the multiplicity summed over
+    BOTH directions; each round every vertex adopts the max-vote label
+    (ties -> smallest label); isolated vertices keep theirs."""
+    from collections import defaultdict
+
+    pair_w: dict[tuple[int, int], float] = defaultdict(float)
+    for a, b, wt in zip(si.tolist(), di.tolist(), w.tolist()):
+        if a != b:
+            lo, hi = (a, b) if a < b else (b, a)
+            pair_w[(lo, hi)] += wt
+    adj: dict[int, list[tuple[int, float]]] = defaultdict(list)
+    for (a, b), wt in pair_w.items():
+        adj[a].append((b, wt))
+        adj[b].append((a, wt))
+    labels = ids.astype(np.int64).copy()
+    for _ in range(max_iter):
+        new = labels.copy()
+        for v in range(n):
+            nb = adj.get(v)
+            if not nb:
+                continue
+            votes: dict[int, float] = defaultdict(float)
+            for u, wt in nb:
+                votes[int(labels[u])] += wt
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    return labels
+
+
+def _mis_golden(n: int, si: np.ndarray, di: np.ndarray, ids: np.ndarray,
+                seed: int = 0) -> np.ndarray:
+    """Greedy-by-priority maximal independent set: process vertices in
+    ascending (blake2b64(seed:vid), vid) order, add unless a neighbor was
+    already added — exactly the fixpoint Luby local-minima converges to
+    with fixed unique priorities."""
+    dig = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(
+            b"%d:%d" % (seed, int(v)), digest_size=8).digest(), "big")
+         for v in ids), dtype=np.uint64, count=n)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for a, b in zip(si.tolist(), di.tolist()):
+        if a != b:
+            adj[a].append(b)
+            adj[b].append(a)
+    in_mis = np.zeros(n, dtype=np.int64)
+    banned = np.zeros(n, dtype=bool)
+    for v in np.lexsort((ids, dig)):
+        v = int(v)
+        if banned[v]:
+            continue
+        in_mis[v] = 1
+        for u in adj[v]:
+            banned[u] = True
+    return in_mis
+
+
+def _betweenness_golden(n: int, si: np.ndarray, di: np.ndarray,
+                        sources: np.ndarray) -> np.ndarray:
+    """Sequential Brandes (unweighted, directed, raw dependency sums
+    restricted to ``sources``, source excluded, no normalization) —
+    independent of the engine's k-source vectorized supersteps."""
+    from collections import deque
+
+    order = np.argsort(si, kind="stable")
+    s_srt, d_srt = si[order], di[order]
+    starts = np.searchsorted(s_srt, np.arange(n))
+    ends = np.searchsorted(s_srt, np.arange(n), side="right")
+    bc = np.zeros(n, dtype=np.float64)
+    for s in sources:
+        s = int(s)
+        dist = np.full(n, -1, dtype=np.int64)
+        sigma = np.zeros(n, dtype=np.float64)
+        dist[s], sigma[s] = 0, 1.0
+        stack: list[int] = []
+        preds: dict[int, list[int]] = {}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            stack.append(v)
+            for j in range(starts[v], ends[v]):
+                u = int(d_srt[j])
+                if dist[u] < 0:
+                    dist[u] = dist[v] + 1
+                    q.append(u)
+                if dist[u] == dist[v] + 1:
+                    sigma[u] += sigma[v]
+                    preds.setdefault(u, []).append(v)
+        delta = np.zeros(n, dtype=np.float64)
+        for v in reversed(stack):
+            for u in preds.get(v, ()):
+                delta[u] += sigma[u] / sigma[v] * (1.0 + delta[v])
+            if v != s:
+                bc[v] += delta[v]
+    return bc
+
+
+def _ktruss_golden(si: np.ndarray, di: np.ndarray, ids: np.ndarray,
+                   k: int) -> pa.Table:
+    """NetworkX nx.k_truss edge set (canonical src < dst vertex ids) —
+    fully independent of the engine's iterative support peel."""
+    import networkx as nx
+
+    g = nx.Graph()
+    for a, b in zip(si.tolist(), di.tolist()):
+        if a != b:
+            g.add_edge(int(ids[a]), int(ids[b]))
+    t = nx.k_truss(g, k)
+    pairs = sorted((min(a, b), max(a, b)) for a, b in t.edges())
+    return pa.table({
+        "src": pa.array([p[0] for p in pairs], pa.int64()),
+        "dst": pa.array([p[1] for p in pairs], pa.int64())})
+
+
 def graph_golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
     """Materialize (once) golden_kcore.parquet / golden_scc.parquet for the
     sf dir's corpus graph. Reads ONLY the corpus generator's golden tables
@@ -428,6 +604,47 @@ def graph_golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
                              "katz": pa.array(np.round(katz, 6),
                                               pa.float64())}),
                    os.path.join(tmp, "golden_katz.parquet"))
+    h, a = _hits_golden(n, si, di)
+    pq.write_table(pa.table({"v": pa.array(ids, pa.int64()),
+                             "hub": pa.array(np.round(h, 6), pa.float64()),
+                             "authority": pa.array(np.round(a, 6),
+                                                   pa.float64())}),
+                   os.path.join(tmp, "golden_hits.parquet"))
+    prw = _pagerank_weighted_golden(n, si, di, wt)
+    pq.write_table(pa.table({"v": pa.array(ids, pa.int64()),
+                             "rank": pa.array(np.round(prw, 6),
+                                              pa.float64())}),
+                   os.path.join(tmp, "golden_pagerank_weighted.parquet"))
+    # personalization = the engine queries' convention: the two smallest
+    # vertex ids with teleport weights 3:1
+    p = np.zeros(n, dtype=np.float64)
+    if n:
+        p[0] = 0.75
+    if n > 1:
+        p[1] = 0.25
+    elif n:
+        p[0] = 1.0
+    prp = _pagerank_personalized_golden(n, si, di, p)
+    pq.write_table(pa.table({"v": pa.array(ids, pa.int64()),
+                             "rank": pa.array(np.round(prp, 6),
+                                              pa.float64())}),
+                   os.path.join(tmp, "golden_pagerank_personalized.parquet"))
+    lw = _lpa_weighted_golden(n, si, di, wt, ids)
+    pq.write_table(pa.table({"v": pa.array(ids, pa.int64()),
+                             "label": pa.array(lw, pa.int64())}),
+                   os.path.join(tmp, "golden_labelprop_weighted.parquet"))
+    mis = _mis_golden(n, si, di, ids)
+    pq.write_table(pa.table({"v": pa.array(ids, pa.int64()),
+                             "in_mis": pa.array(mis.astype(bool),
+                                                pa.bool_())}),
+                   os.path.join(tmp, "golden_mis.parquet"))
+    bc = _betweenness_golden(n, si, di, np.arange(min(16, n)))
+    pq.write_table(pa.table({"v": pa.array(ids, pa.int64()),
+                             "betweenness": pa.array(np.round(bc, 6),
+                                                     pa.float64())}),
+                   os.path.join(tmp, "golden_betweenness.parquet"))
+    pq.write_table(_ktruss_golden(si, di, ids, 4),
+                   os.path.join(tmp, "golden_ktruss.parquet"))
     with open(os.path.join(tmp, "manifest.json"), "w") as fh:
         json.dump(src_sig, fh)
     if os.path.exists(out):
