@@ -1144,6 +1144,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, cluster
             FROM read_parquet('{d}/golden_kmeans.parquet')
         """,
+        # sequential transcription / brute-force goldens for the docs tail
+        # (metis_ray/goldens.py:_tfidf_golden/_decontaminate_golden/
+        # _substring_pairs_golden)
+        "docs_tfidf_top_terms": f"""
+            SELECT doc_id, term, tfidf, rnk
+            FROM read_parquet('{d}/golden_tfidf.parquet')
+        """,
+        "docs_decontaminate": f"""
+            SELECT doc_id, is_benchmark, contaminated
+            FROM read_parquet('{d}/golden_decontaminate.parquet')
+        """,
+        "docs_substring_dedup": f"""
+            SELECT a, b, shared_windows
+            FROM read_parquet('{d}/golden_substring_pairs.parquet')
+        """,
         "docs_token_pieces": """
             SELECT doc_id,
                    len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]'))
@@ -1501,6 +1516,37 @@ def oracle_sql() -> dict[str, str]:
                          - LN((SELECT total FROM tot)), 6) AS mean_logprob
             FROM tok t JOIN cnt c USING (term)
             GROUP BY t.doc_id
+        """,
+        # transcription of textstats.repetition_stats (same float op order:
+        # distinct/max(n,1), top-bigram count/max(n-1 grams,1), round 6 —
+        # tests/test_similarity_textstats.py certifies the twin)
+        "docs_repetition": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents),
+            bg AS (
+              SELECT doc_id, len(w) AS n_words,
+                     len(list_distinct(w)) AS n_distinct,
+                     CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+                          ELSE list_transform(generate_series(1, len(w) - 1),
+                                              i -> w[i] || ' ' || w[i+1])
+                     END AS gs
+              FROM toks),
+            cnt AS (
+              SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id, unnest(gs) AS g FROM bg)
+              GROUP BY doc_id, g),
+            top AS (SELECT doc_id, max(c) AS mc, sum(c) AS tot
+                    FROM cnt GROUP BY doc_id)
+            SELECT b.doc_id, b.n_words,
+                   round(b.n_distinct / (1.0 * greatest(b.n_words, 1)), 6)
+                       AS distinct_word_ratio,
+                   round(coalesce(t.mc, 0)
+                         / (1.0 * greatest(coalesce(t.tot, 0), 1)), 6)
+                       AS top_bigram_frac
+            FROM bg b LEFT JOIN top t USING (doc_id)
         """,
         "docs_pii_scrub": r"""
             WITH s1 AS (

@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 # bump when any golden kernel below changes
-_GOLDEN_VERSION = 2
+_GOLDEN_VERSION = 3
 
 GOLDEN_ROOT = os.environ.get("METIS_RAY_GOLDEN_DIR", "/tmp/metis_ray_goldens")
 
@@ -159,6 +159,114 @@ def _kmeans_golden(vec_ids: np.ndarray, mat: np.ndarray,
                      "cluster": pa.array(assign.astype(np.int64), pa.int64())})
 
 
+def _tfidf_golden(doc_ids: np.ndarray, texts: list[str],
+                  top: int = 3) -> pa.Table:
+    """Sequential transcription of textstats.tfidf_top_terms: tf = in-doc
+    count over lower().split() tokens, idf = ln(N/df), ties term-asc,
+    tfidf rounded to 9 dp (the engine's emitted rounding)."""
+    from collections import Counter
+
+    n = len(doc_ids)
+    df_counter: Counter = Counter()
+    per_doc = {}
+    for did, text in zip(doc_ids.tolist(), texts):
+        cnt = Counter(text.lower().split())
+        per_doc[did] = cnt
+        df_counter.update(cnt.keys())
+    out_d, out_t, out_s, out_r = [], [], [], []
+    for did, cnt in per_doc.items():
+        if not cnt:
+            continue
+        scored = sorted(((-tf * np.log(float(n) / df_counter[t]), t)
+                         for t, tf in cnt.items()))
+        for rnk, (neg, t) in enumerate(scored[:top], 1):
+            out_d.append(did)
+            out_t.append(t)
+            out_s.append(round(-neg, 9))
+            out_r.append(rnk)
+    return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                     "term": pa.array(out_t, pa.string()),
+                     "tfidf": pa.array(out_s, pa.float64()),
+                     "rnk": pa.array(out_r, pa.int64())})
+
+
+def _decontaminate_golden(doc_ids: np.ndarray, texts: list[str], *,
+                          n: int = 8, bench_prefix_lt: str = "10") -> pa.Table:
+    """Brute force over the raw word n-gram STRINGS (the engine shuffles
+    int64 gram hashes) — same deterministic md5 benchmark membership."""
+    def is_bench(i: int) -> bool:
+        return hashlib.md5(str(i).encode()).hexdigest()[:2] < bench_prefix_lt
+
+    def grams(t: str) -> set:
+        w = t.lower().split()
+        return {" ".join(w[j:j + n]) for j in range(len(w) - n + 1)}
+
+    bench_grams: set = set()
+    per = {}
+    for did, text in zip(doc_ids.tolist(), texts):
+        g = grams(text)
+        per[did] = g
+        if is_bench(did):
+            bench_grams |= g
+    dids = sorted(per)
+    bench = [is_bench(d) for d in dids]
+    cont = [bool(not b and (per[d] & bench_grams))
+            for d, b in zip(dids, bench)]
+    return pa.table({"doc_id": pa.array(dids, pa.int64()),
+                     "is_benchmark": pa.array(bench, pa.bool_()),
+                     "contaminated": pa.array(cont, pa.bool_())})
+
+
+def _substring_pairs_golden(doc_ids: np.ndarray, texts: list[str],
+                            min_len: int = 32) -> pa.Table:
+    """ALL-PAIRS exact-substring ground truth: candidate pairs from an
+    inverted window-hash index (functions.hashing.window_hashes is the
+    property-tested scalar spec, like simhash64 above), each confirmed
+    verbatim byte-for-byte; shared_windows counts the distinct shared
+    window hashes with a verbatim match — the engine's exact emitted
+    definition, independent of its winnowing candidate generation (whose
+    recall guarantee the registered query enforces via the zero-dropped-
+    bucket guard)."""
+    from collections import defaultdict
+
+    from metis_ray.functions.hashing import window_hashes
+
+    wh = {int(d): window_hashes(t, min_len)
+          for d, t in zip(doc_ids.tolist(), texts)}
+    raw = {int(d): t.encode("utf-8", "ignore")
+           for d, t in zip(doc_ids.tolist(), texts)}
+    inv = defaultdict(set)
+    for d, hs in wh.items():
+        for h in np.unique(hs):
+            inv[int(h)].add(d)
+    cand = set()
+    for v in inv.values():
+        if len(v) > 1:
+            vs = sorted(v)
+            for i in range(len(vs)):
+                for j in range(i + 1, len(vs)):
+                    cand.add((vs[i], vs[j]))
+    out_a, out_b, out_n = [], [], []
+    for a, b in sorted(cand):
+        ha, hb = wh[a], wh[b]
+        common = np.intersect1d(ha, hb)
+        da, db = raw[a], raw[b]
+        n_ok = 0
+        for h in common:
+            pa_pos = np.nonzero(ha == h)[0]
+            pb_pos = np.nonzero(hb == h)[0]
+            if any(da[i:i + min_len] == db[j:j + min_len]
+                   for i in pa_pos for j in pb_pos):
+                n_ok += 1
+        if n_ok:
+            out_a.append(a)
+            out_b.append(b)
+            out_n.append(n_ok)
+    return pa.table({"a": pa.array(out_a, pa.int64()),
+                     "b": pa.array(out_b, pa.int64()),
+                     "shared_windows": pa.array(out_n, pa.int64())})
+
+
 def golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
     """Materialize (once) the documents-derived goldens for one sf dir.
     Idempotent by manifest (source path + mtime + version)."""
@@ -196,6 +304,12 @@ def golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
                          for v in et["embedding"].to_pylist()])
     pq.write_table(_kmeans_golden(emb_ids, emb_mat),
                    os.path.join(tmp, "golden_kmeans.parquet"))
+    pq.write_table(_tfidf_golden(doc_ids, texts),
+                   os.path.join(tmp, "golden_tfidf.parquet"))
+    pq.write_table(_decontaminate_golden(doc_ids, texts),
+                   os.path.join(tmp, "golden_decontaminate.parquet"))
+    pq.write_table(_substring_pairs_golden(doc_ids, texts),
+                   os.path.join(tmp, "golden_substring_pairs.parquet"))
     with open(os.path.join(tmp, "manifest.json"), "w") as fh:
         json.dump(src_sig, fh)
     if os.path.exists(out):
