@@ -1090,6 +1090,18 @@ def oracle_sql() -> dict[str, str]:
         "graph_ktruss": f"""
             SELECT src, dst FROM read_parquet('{gg}/golden_ktruss.parquet')
         """,
+        "graph_random_walks": f"""
+            SELECT walk_id, step, v
+            FROM read_parquet('{gg}/golden_walks.parquet')
+        """,
+        "graph_random_walks_weighted": f"""
+            SELECT walk_id, step, v
+            FROM read_parquet('{gg}/golden_walks_weighted.parquet')
+        """,
+        "graph_khop_sample": f"""
+            SELECT hop, src, dst
+            FROM read_parquet('{gg}/golden_khop.parquet')
+        """,
         # genuine recursive-CTE BFS in DuckDB over the golden edges:
         # min-hop from the 2 smallest vertex ids, walk depth capped at |V|
         # (>= any shortest path), unreachable = -1

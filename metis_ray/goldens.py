@@ -325,7 +325,7 @@ def golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
 # for the iterative graph queries the driver otherwise checks rows-only.
 # ---------------------------------------------------------------------------
 
-_GRAPH_GOLDEN_VERSION = 3
+_GRAPH_GOLDEN_VERSION = 4
 
 
 def _core_numbers(n: int, adj: list[np.ndarray]) -> np.ndarray:
@@ -759,6 +759,40 @@ def graph_golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
                    os.path.join(tmp, "golden_betweenness.parquet"))
     pq.write_table(_ktruss_golden(si, di, ids, 4),
                    os.path.join(tmp, "golden_ktruss.parquet"))
+    # deterministic sampling transcriptions: walks_reference /
+    # khop_reference are the modules' DOCUMENTED sequential references
+    # (the pytest goldens), evaluated over the generator's edge table with
+    # the registered queries' exact arguments
+    from collections import defaultdict as _dd
+
+    from metis_ray.graph.sampling import khop_reference
+    from metis_ray.graph.walks import walks_reference
+
+    adj_ids: dict = _dd(set)
+    wmap: dict = {}
+    for a, b, wv in zip(ids[si].tolist(), ids[di].tolist(), wt.tolist()):
+        adj_ids[a].add(b)
+        wmap[(a, b)] = wmap.get((a, b), 0.0) + wv
+    rows = walks_reference(adj_ids, ids[:32].tolist(), length=8, seed=42)
+    pq.write_table(pa.table({
+        "walk_id": pa.array([r[0] for r in rows], pa.int64()),
+        "step": pa.array([r[1] for r in rows], pa.int64()),
+        "v": pa.array([r[2] for r in rows], pa.int64())}),
+        os.path.join(tmp, "golden_walks.parquet"))
+    rows = walks_reference(adj_ids, ids[:32].tolist(), length=8, seed=42,
+                           weights=wmap)
+    pq.write_table(pa.table({
+        "walk_id": pa.array([r[0] for r in rows], pa.int64()),
+        "step": pa.array([r[1] for r in rows], pa.int64()),
+        "v": pa.array([r[2] for r in rows], pa.int64())}),
+        os.path.join(tmp, "golden_walks_weighted.parquet"))
+    rows = khop_reference(adj_ids, ids[:16].tolist(), fanouts=(8, 4),
+                          seed=42)
+    pq.write_table(pa.table({
+        "hop": pa.array([r[0] for r in rows], pa.int64()),
+        "src": pa.array([r[1] for r in rows], pa.int64()),
+        "dst": pa.array([r[2] for r in rows], pa.int64())}),
+        os.path.join(tmp, "golden_khop.parquet"))
     with open(os.path.join(tmp, "manifest.json"), "w") as fh:
         json.dump(src_sig, fh)
     if os.path.exists(out):
