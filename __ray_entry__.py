@@ -1102,6 +1102,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT hop, src, dst
             FROM read_parquet('{gg}/golden_khop.parquet')
         """,
+        "graph_hyperball": f"""
+            SELECT v, ball, harmonic
+            FROM read_parquet('{gg}/golden_hyperball.parquet')
+        """,
         # genuine recursive-CTE BFS in DuckDB over the golden edges:
         # min-hop from the 2 smallest vertex ids, walk depth capped at |V|
         # (>= any shortest path), unreachable = -1

@@ -325,7 +325,7 @@ def golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
 # for the iterative graph queries the driver otherwise checks rows-only.
 # ---------------------------------------------------------------------------
 
-_GRAPH_GOLDEN_VERSION = 4
+_GRAPH_GOLDEN_VERSION = 5
 
 
 def _core_numbers(n: int, adj: list[np.ndarray]) -> np.ndarray:
@@ -645,6 +645,38 @@ def _ktruss_golden(si: np.ndarray, di: np.ndarray, ids: np.ndarray,
         "dst": pa.array([p[1] for p in pairs], pa.int64())})
 
 
+def _hyperball_golden(n: int, si: np.ndarray, di: np.ndarray,
+                      ids: np.ndarray, p: int = 9,
+                      max_t: int = 64) -> tuple[np.ndarray, np.ndarray]:
+    """Sequential transcription of the HyperBall recurrence
+    (graph/hyperball.py): registers seeded by the published avalanche
+    kernel, one max-merge of every vertex's counter with its out-
+    neighbors' counters per round to the reachability fixpoint, harmonic
+    gain clamped at 0 per round. uint8 max-merges are order-free and the
+    per-row estimate sums run in the identical axis order, so the
+    transcription is bit-identical to both engine formulations."""
+    from metis_ray.graph.hyperball import _estimate_rows, _init_registers
+
+    regs = _init_registers(ids.astype(np.int64), p)
+    est = _estimate_rows(regs)
+    harmonic = np.zeros(n, dtype=np.float64)
+    order = np.argsort(si, kind="stable")
+    s_srt, d_srt = si[order], di[order]
+    bounds = np.flatnonzero(np.r_[True, s_srt[1:] != s_srt[:-1]])
+    srcs = s_srt[bounds]
+    for t in range(1, max_t + 1):
+        new = regs.copy()
+        if len(s_srt):
+            combined = np.maximum.reduceat(regs[d_srt], bounds, axis=0)
+            new[srcs] = np.maximum(new[srcs], combined)
+        if np.array_equal(new, regs):
+            break
+        regs = new
+        prev, est = est, _estimate_rows(regs)
+        harmonic += np.maximum(est - prev, 0.0) / t
+    return est, harmonic
+
+
 def graph_golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
     """Materialize (once) golden_kcore.parquet / golden_scc.parquet for the
     sf dir's corpus graph. Reads ONLY the corpus generator's golden tables
@@ -793,6 +825,12 @@ def graph_golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
         "src": pa.array([r[1] for r in rows], pa.int64()),
         "dst": pa.array([r[2] for r in rows], pa.int64())}),
         os.path.join(tmp, "golden_khop.parquet"))
+    hb_ball, hb_harm = _hyperball_golden(n, si, di, ids)
+    pq.write_table(pa.table({
+        "v": pa.array(ids, pa.int64()),
+        "ball": pa.array(np.round(hb_ball, 3), pa.float64()),
+        "harmonic": pa.array(np.round(hb_harm, 3), pa.float64())}),
+        os.path.join(tmp, "golden_hyperball.parquet"))
     with open(os.path.join(tmp, "manifest.json"), "w") as fh:
         json.dump(src_sig, fh)
     if os.path.exists(out):
