@@ -1175,6 +1175,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, shared_windows
             FROM read_parquet('{d}/golden_substring_pairs.parquet')
         """,
+        # order-free HLL transcription (goldens._hll_users_golden): the
+        # register max-merge is a pure function of each type's distinct
+        # user set, so one sequential pass == any distributed merge tree
+        "events_approx_users": f"""
+            SELECT event_type, approx_users
+            FROM read_parquet('{d}/golden_hll_users.parquet')
+        """,
         "docs_token_pieces": """
             SELECT doc_id,
                    len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]'))
@@ -1369,6 +1376,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR((cum_tokens - n_tokens) / 4096.0) AS BIGINT)
                        AS bin_id
             FROM c
+        """,
+        # the export manifest is the per-bin row count of the (already
+        # SQL-twinned) pack_bins assignment at the same budget=4096; a
+        # fresh-dir export writes every bin, so rows is never -1
+        "docs_export_shards": """
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_tokens
+                FROM documents),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS cum_tokens
+                FROM t)
+            SELECT CAST(FLOOR((cum_tokens - n_tokens) / 4096.0) AS BIGINT)
+                       AS bin_id,
+                   COUNT(*)::BIGINT AS "rows"
+            FROM c GROUP BY 1
         """,
         "docs_sample": """
             SELECT doc_id, lang, source, n_chars FROM documents

@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 # bump when any golden kernel below changes
-_GOLDEN_VERSION = 3
+_GOLDEN_VERSION = 4
 
 GOLDEN_ROOT = os.environ.get("METIS_RAY_GOLDEN_DIR", "/tmp/metis_ray_goldens")
 
@@ -267,6 +267,28 @@ def _substring_pairs_golden(doc_ids: np.ndarray, texts: list[str],
                      "shared_windows": pa.array(out_n, pa.int64())})
 
 
+def _hll_users_golden(sf_dir: str) -> pa.Table:
+    """Order-free transcription of events_approx_users: the HLL register
+    array (functions/sketch.py, the published mergeable kernel) is a max-
+    merge — a pure function of each event type's DISTINCT user set — so
+    one sequential pass per type is bit-identical to any distributed merge
+    tree over any batch partitioning."""
+    from metis_ray.functions.sketch import hll_add_values, hll_estimate, \
+        hll_new
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                      columns=["event_type", "user_id"])
+    et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    types, ests = [], []
+    for ty in sorted(set(et.tolist())):
+        reg = hll_add_values(hll_new(), uid[et == ty])
+        types.append(ty)
+        ests.append(int(round(hll_estimate(reg))))
+    return pa.table({"event_type": pa.array(types, pa.string()),
+                     "approx_users": pa.array(ests, pa.int64())})
+
+
 def golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
     """Materialize (once) the documents-derived goldens for one sf dir.
     Idempotent by manifest (source path + mtime + version)."""
@@ -275,8 +297,10 @@ def golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
     name = os.path.basename(os.path.normpath(sf_dir))
     out = os.path.join(root, f"{name}_v{_GOLDEN_VERSION}")
     man = os.path.join(out, "manifest.json")
+    ev_path = os.path.join(sf_dir, "events.parquet")
     src_sig = {"src": docs_path, "mtime": os.path.getmtime(docs_path),
                "emb_mtime": os.path.getmtime(emb_path),
+               "ev_mtime": os.path.getmtime(ev_path),
                "ver": _GOLDEN_VERSION}
     if os.path.exists(man):
         with open(man) as fh:
@@ -310,6 +334,8 @@ def golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
                    os.path.join(tmp, "golden_decontaminate.parquet"))
     pq.write_table(_substring_pairs_golden(doc_ids, texts),
                    os.path.join(tmp, "golden_substring_pairs.parquet"))
+    pq.write_table(_hll_users_golden(sf_dir),
+                   os.path.join(tmp, "golden_hll_users.parquet"))
     with open(os.path.join(tmp, "manifest.json"), "w") as fh:
         json.dump(src_sig, fh)
     if os.path.exists(out):
