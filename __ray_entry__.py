@@ -681,6 +681,11 @@ def _q_multimodal_real_features(sf_dir: str):
         flatten, batch_format="pyarrow")
 
 
+def _semantic_dedup_test_threshold(sf_dir: str, *, stats: dict | None = None):
+    from metis_ray.pipelines import dedup
+    return dedup.semantic_dedup(sf_dir, threshold=0.4, stats=stats)
+
+
 def _bucket_cap_guard(fn: Callable[..., Any]) -> Callable[[str], Any]:
     """The LSH dedup pipelines drop buckets larger than the skew cap (and
     count them); their ORACLES are brute-force all-pairs. A dropped bucket
@@ -763,6 +768,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"a": "int64", "b": "int64", "hamming": "int64"}),
         "emb_neardup": _schema_guard(
             _bucket_cap_guard(dedup.embedding_neardup),
+            {"a": "int64", "b": "int64", "cosine": "float64"}),
+        # SemDeDup (arXiv:2303.09540): k-means clusters as candidate
+        # buckets + exact within-cluster cosine; oracle = brute force over
+        # the sequential k-means golden (margins asserted at generation).
+        # threshold 0.4 here: the synthetic embeddings plant no >=0.95
+        # near-dups (emb_neardup certifies 0 rows), so the driver check
+        # exercises a NON-EMPTY pair set; the API default stays 0.95
+        "emb_semantic_dedup": _schema_guard(
+            _bucket_cap_guard(_semantic_dedup_test_threshold),
             {"a": "int64", "b": "int64", "cosine": "float64"}),
         "ann_topk": similarity.ann_topk,
         "docs_token_count": textstats.token_counts,
@@ -1181,6 +1195,10 @@ def oracle_sql() -> dict[str, str]:
         "events_approx_users": f"""
             SELECT event_type, approx_users
             FROM read_parquet('{d}/golden_hll_users.parquet')
+        """,
+        "emb_semantic_dedup": f"""
+            SELECT a, b, cosine
+            FROM read_parquet('{d}/golden_semantic_pairs.parquet')
         """,
         "docs_token_pieces": """
             SELECT doc_id,

@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 # bump when any golden kernel below changes
-_GOLDEN_VERSION = 4
+_GOLDEN_VERSION = 5
 
 GOLDEN_ROOT = os.environ.get("METIS_RAY_GOLDEN_DIR", "/tmp/metis_ray_goldens")
 
@@ -289,6 +289,37 @@ def _hll_users_golden(sf_dir: str) -> pa.Table:
                      "approx_users": pa.array(ests, pa.int64())})
 
 
+def _semantic_pairs_golden(vec_ids: np.ndarray, mat: np.ndarray,
+                           assign: np.ndarray,
+                           threshold: float = 0.95) -> pa.Table:
+    """Brute-force within-cluster cosine pairs over the sequential k-means
+    golden assignment (margins asserted at generation) — the SemDeDup
+    oracle. Same einsum/norm arithmetic as the engine's verify batch."""
+    o_a, o_b, o_c = [], [], []
+    for c in np.unique(assign):
+        ids = np.sort(vec_ids[assign == c])
+        if len(ids) < 2:
+            continue
+        pos = {int(v): i for i, v in enumerate(vec_ids.tolist())}
+        rows = np.array([pos[int(v)] for v in ids])
+        ii, jj = np.triu_indices(len(ids), k=1)
+        va, vb = mat[rows[ii]], mat[rows[jj]]
+        na = np.linalg.norm(va, axis=1)
+        nb = np.linalg.norm(vb, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        cos = np.einsum("ij,ij->i", va, vb) / (na * nb)
+        keep = cos >= threshold
+        o_a.append(ids[ii[keep]])
+        o_b.append(ids[jj[keep]])
+        o_c.append(np.round(cos[keep], 6))
+    cat = (lambda parts, dt: np.concatenate(parts).astype(dt) if parts
+           else np.empty(0, dt))
+    return pa.table({"a": pa.array(cat(o_a, np.int64), pa.int64()),
+                     "b": pa.array(cat(o_b, np.int64), pa.int64()),
+                     "cosine": pa.array(cat(o_c, np.float64), pa.float64())})
+
+
 def golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
     """Materialize (once) the documents-derived goldens for one sf dir.
     Idempotent by manifest (source path + mtime + version)."""
@@ -326,8 +357,13 @@ def golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
     emb_ids = et["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     emb_mat = np.vstack([np.asarray(v, np.float64)
                          for v in et["embedding"].to_pylist()])
-    pq.write_table(_kmeans_golden(emb_ids, emb_mat),
-                   os.path.join(tmp, "golden_kmeans.parquet"))
+    km = _kmeans_golden(emb_ids, emb_mat)
+    pq.write_table(km, os.path.join(tmp, "golden_kmeans.parquet"))
+    pq.write_table(
+        _semantic_pairs_golden(
+            emb_ids, emb_mat,
+            km["cluster"].to_numpy(zero_copy_only=False), threshold=0.4),
+        os.path.join(tmp, "golden_semantic_pairs.parquet"))
     pq.write_table(_tfidf_golden(doc_ids, texts),
                    os.path.join(tmp, "golden_tfidf.parquet"))
     pq.write_table(_decontaminate_golden(doc_ids, texts),

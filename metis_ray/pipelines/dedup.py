@@ -423,6 +423,16 @@ def embedding_neardup(sf_dir: str, *, n_planes: int = 12, seed: int = 42,
 
     pairs = _split_pairs(_pairs_from_buckets(
         emb.map_batches(bucketize, batch_format="pyarrow")), stats)
+    return _cosine_verify_pairs(emb, pairs, threshold)
+
+
+def _cosine_verify_pairs(emb: rd.Dataset, pairs: rd.Dataset,
+                         threshold: float) -> rd.Dataset:
+    """Exact cosine verification shared by the embedding near-dup
+    candidate generators (LSH buckets / k-means clusters): join the vector
+    table onto each pair side (vectors serialized to binary — list columns
+    don't flow through hash joins), row-wise dot product per batch,
+    threshold on the RAW cosine, round only the emitted column."""
 
     def to_binary(batch: pa.Table) -> pa.Table:
         from metis_ray.pipelines.similarity import _embedding_matrix
@@ -452,8 +462,6 @@ def embedding_neardup(sf_dir: str, *, n_planes: int = 12, seed: int = 42,
         na[na == 0] = 1.0
         nb[nb == 0] = 1.0
         cos = np.einsum("ij,ij->i", va, vb) / (na * nb)
-        # threshold on the RAW cosine, round only the emitted column
-        # (matches the SQL twin's WHERE-on-raw / round-in-SELECT shape)
         keep = cos >= threshold
         return pa.table({
             "a": batch["a"].filter(pa.array(keep)),
@@ -461,6 +469,37 @@ def embedding_neardup(sf_dir: str, *, n_planes: int = 12, seed: int = 42,
             "cosine": pa.array(np.round(cos[keep], 6), pa.float64())})
 
     return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def semantic_dedup(sf_dir: str, *, k: int = 8, iters: int = 5,
+                   threshold: float = 0.95, max_bucket: int = 4000,
+                   stats: dict | None = None) -> rd.Dataset:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", arXiv:2303.09540):
+    semantic near-duplicate pairs (a, b, cosine) via spherical k-means
+    clustering + exact within-cluster cosine — the cluster IS the
+    candidate bucket, so paraphrase pairs a random-hyperplane LSH can
+    split still meet, and the pairwise work drops from O(n^2) to
+    O(n^2/k) exactly as in the paper.
+
+    Scale shape: the cluster assignment is the streaming k-means pass
+    (``similarity.kmeans_clusters`` — only k centroids ever visit the
+    driver), candidates reuse the capped bucket machinery (drops counted
+    via ``stats``), verification the shared hash-partitioned pair join.
+    At 100 TB, k scales with n (SemDeDup uses k ~ sqrt(n)) so the
+    per-cluster bucket stays bounded; ``max_bucket`` is the loud guard.
+    Oracle: brute-force within-cluster pairs over the sequential k-means
+    golden (assignment margins asserted at generation)."""
+    from metis_ray.pipelines.similarity import kmeans_clusters
+
+    assign = kmeans_clusters(sf_dir, k=k, iters=iters)
+    buckets = assign.map_batches(
+        lambda t: pa.table({"bkey": t["cluster"], "doc_id": t["vec_id"]}),
+        batch_format="pyarrow")
+    pairs = _split_pairs(
+        _pairs_from_buckets(buckets, max_bucket=max_bucket), stats)
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return _cosine_verify_pairs(emb, pairs, threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -318,3 +318,28 @@ def test_substring_dedup_matches_bruteforce():
     assert pairs_got == want
     assert len(want) > 0                       # the oracle is non-trivial
     assert (got["shared_windows"] >= 1).all()
+
+
+def test_semantic_dedup_planted(planted_dir):
+    """SemDeDup: the planted near-identical vector pair (0, 1) lands in the
+    same k-means cluster and is emitted; every emitted pair matches the
+    brute-force ALL-PAIRS cosine oracle restricted to shared clusters
+    (exact set equality — cluster co-membership is deterministic, the
+    kmeans golden asserts assignment margins)."""
+    d, _, vecs = planted_dir
+    stats: dict = {}
+    got = dedup.semantic_dedup(d, k=4, threshold=0.9,
+                               stats=stats).to_pandas()
+    assert stats["dropped_buckets"] == 0
+    pairs = set(zip(got["a"].astype(int), got["b"].astype(int)))
+    assert (0, 1) in pairs
+
+    from metis_ray.pipelines.similarity import kmeans_clusters
+    assign = (kmeans_clusters(d, k=4).to_pandas()
+              .set_index("vec_id")["cluster"])
+    v = vecs.astype(np.float64)
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = vn @ vn.T
+    want = {(a, b) for a in range(len(v)) for b in range(a + 1, len(v))
+            if assign[a] == assign[b] and sims[a, b] >= 0.9}
+    assert pairs == want
