@@ -1200,6 +1200,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, cosine
             FROM read_parquet('{d}/golden_semantic_pairs.parquet')
         """,
+        # sequential ANN transcriptions (goldens._ann_lsh_golden /
+        # _ann_ivf_golden): seeded planes / driver-side quantizer are
+        # deterministic; the indexed variant shares the IVF golden via its
+        # tested equal-results contract with the on-the-fly pipeline
+        "ann_lsh_topk": f"""
+            SELECT query_id, neighbor_id, rnk
+            FROM read_parquet('{d}/golden_ann_lsh.parquet')
+        """,
+        "ann_ivf_topk": f"""
+            SELECT query_id, neighbor_id, rnk
+            FROM read_parquet('{d}/golden_ann_ivf.parquet')
+        """,
+        "ann_ivf_indexed_topk": f"""
+            SELECT query_id, neighbor_id, rnk
+            FROM read_parquet('{d}/golden_ann_ivf.parquet')
+        """,
         "docs_token_pieces": """
             SELECT doc_id,
                    len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]'))

@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 # bump when any golden kernel below changes
-_GOLDEN_VERSION = 5
+_GOLDEN_VERSION = 6
 
 GOLDEN_ROOT = os.environ.get("METIS_RAY_GOLDEN_DIR", "/tmp/metis_ray_goldens")
 
@@ -320,6 +320,85 @@ def _semantic_pairs_golden(vec_ids: np.ndarray, mat: np.ndarray,
                      "cosine": pa.array(cat(o_c, np.float64), pa.float64())})
 
 
+def _ann_rank(cand_ids: np.ndarray, scores: np.ndarray,
+              k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Global top-k by (score desc, neighbor_id asc) — the engines' final
+    pandas sort + head(k), sequentially."""
+    order = np.lexsort((cand_ids, -scores))[:k]
+    return cand_ids[order], np.arange(1, len(order) + 1, dtype=np.int64)
+
+
+def _ann_lsh_golden(vec_ids: np.ndarray, mat: np.ndarray, *, k: int = 10,
+                    n_queries: int = 5, n_planes: int = 4,
+                    n_tables: int = 8, seed: int = 42) -> pa.Table:
+    """Sequential transcription of similarity.ann_lsh_topk: the seeded
+    hyperplane tables, the multi-table bucket-share candidate rule, exact
+    scoring, global (score desc, id asc) top-k. The distributed engine's
+    per-batch pre-selection can only diverge on EXACT float score ties
+    (measure-zero for these continuous embeddings)."""
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mn = mat / norms
+    order = np.argsort(vec_ids)
+    qsel = order[:n_queries]
+    dim = mn.shape[1]
+    rng = np.random.RandomState(seed)
+    tables = [rng.normal(size=(dim, n_planes)) for _ in range(n_tables)]
+    keys = np.empty((len(mn), n_tables), dtype=np.int64)
+    for t, pl in enumerate(tables):
+        bits = (mn @ pl) > 0
+        keys[:, t] = bits @ (1 << np.arange(n_planes, dtype=np.int64))
+    o_q, o_n, o_r = [], [], []
+    for qi in qsel:
+        cand = np.flatnonzero((keys == keys[qi][None, :]).any(axis=1))
+        if len(cand) == 0:
+            continue
+        scores = mn[cand] @ mn[qi]
+        nbr, rnk = _ann_rank(vec_ids[cand], scores, k)
+        o_q.extend([int(vec_ids[qi])] * len(nbr))
+        o_n.extend(int(v) for v in nbr)
+        o_r.extend(int(r) for r in rnk)
+    return pa.table({"query_id": pa.array(o_q, pa.int64()),
+                     "neighbor_id": pa.array(o_n, pa.int64()),
+                     "rnk": pa.array(o_r, pa.int64())})
+
+
+def _ann_ivf_golden(sf_dir: str, vec_ids: np.ndarray, mat: np.ndarray, *,
+                    k: int = 10, n_queries: int = 5, n_centroids: int = 16,
+                    nprobe: int = 4, iters: int = 8,
+                    sample_size: int = 2048, seed: int = 42) -> pa.Table:
+    """Sequential transcription of similarity.ann_ivf_topk (and, by the
+    tested equal-results contract, the persisted-index variant): the
+    coarse quantizer is the engines' own DRIVER-SIDE deterministic trainer
+    (train_coarse_quantizer — single-process by construction); the
+    distributed parts (assignment, probe filtering, scoring, top-k) are
+    re-derived sequentially here."""
+    from metis_ray.pipelines.similarity import train_coarse_quantizer
+
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mn = mat / norms
+    order = np.argsort(vec_ids)
+    qsel = order[:n_queries]
+    cents = train_coarse_quantizer(sf_dir, n_centroids, iters,
+                                   sample_size, seed)
+    assign = np.argmax(mn @ cents.T, axis=1)
+    qprobe = np.argsort(-(mn[qsel] @ cents.T), axis=1)[:, :nprobe]
+    o_q, o_n, o_r = [], [], []
+    for row, qi in enumerate(qsel):
+        cand = np.flatnonzero(np.isin(assign, qprobe[row]))
+        if len(cand) == 0:
+            continue
+        scores = mn[cand] @ mn[qi]
+        nbr, rnk = _ann_rank(vec_ids[cand], scores, k)
+        o_q.extend([int(vec_ids[qi])] * len(nbr))
+        o_n.extend(int(v) for v in nbr)
+        o_r.extend(int(r) for r in rnk)
+    return pa.table({"query_id": pa.array(o_q, pa.int64()),
+                     "neighbor_id": pa.array(o_n, pa.int64()),
+                     "rnk": pa.array(o_r, pa.int64())})
+
+
 def golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
     """Materialize (once) the documents-derived goldens for one sf dir.
     Idempotent by manifest (source path + mtime + version)."""
@@ -372,6 +451,10 @@ def golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
                    os.path.join(tmp, "golden_substring_pairs.parquet"))
     pq.write_table(_hll_users_golden(sf_dir),
                    os.path.join(tmp, "golden_hll_users.parquet"))
+    pq.write_table(_ann_lsh_golden(emb_ids, emb_mat),
+                   os.path.join(tmp, "golden_ann_lsh.parquet"))
+    pq.write_table(_ann_ivf_golden(sf_dir, emb_ids, emb_mat),
+                   os.path.join(tmp, "golden_ann_ivf.parquet"))
     with open(os.path.join(tmp, "manifest.json"), "w") as fh:
         json.dump(src_sig, fh)
     if os.path.exists(out):
@@ -387,7 +470,7 @@ def golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
 # for the iterative graph queries the driver otherwise checks rows-only.
 # ---------------------------------------------------------------------------
 
-_GRAPH_GOLDEN_VERSION = 5
+_GRAPH_GOLDEN_VERSION = 6
 
 
 def _core_numbers(n: int, adj: list[np.ndarray]) -> np.ndarray:
