@@ -902,6 +902,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_sssp": _q_sssp,
         "graph_eigenvector": _q_eigenvector,
         "graph_katz": _q_katz,
+        # semi-structured JSON field extraction (SURVEY §2.2 M7 string-
+        # column inference): one C++ NDJSON parse per batch via
+        # pyarrow.json over a binary_join'd buffer — no per-row
+        # json.loads; exact int64 aggregate, DuckDB json_extract twin
+        "events_props_stats": relational.events_props_stats,
+        # kNN majority-vote classification over the labeled embedding
+        # table (broadcast queries, per-batch local top-k WITH neighbor
+        # labels attached, threshold-exact boundary ties; exact DuckDB
+        # list_cosine_similarity twin + sequential numpy pytest oracle)
+        "emb_knn_classify": similarity.knn_classify,
     }
 
 
@@ -1862,5 +1872,45 @@ def oracle_sql() -> dict[str, str]:
                         THEN agg.s * 1.0 / agg.c
                         ELSE 0.0 END AS avg_neighbor_degree
             FROM verts LEFT JOIN agg ON verts.v = agg.v
+        """,
+        # JSON field extraction: DuckDB's json_extract is the independent
+        # parser twin of the engine's pyarrow.json NDJSON batch parse
+        "events_props_stats": """
+            SELECT event_type, COUNT(*)::BIGINT AS n,
+                   SUM(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT
+                       AS sum_k,
+                   MIN(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT
+                       AS min_k,
+                   MAX(CAST(json_extract(props, '$.k') AS BIGINT))::BIGINT
+                       AS max_k
+            FROM events GROUP BY event_type
+        """,
+        # kNN classification: same rank rule as the ann_topk twin
+        # (sim DESC, vec_id ASC), self excluded, majority vote broken by
+        # (votes DESC, label ASC) — both sides integer outputs
+        "emb_knn_classify": """
+            WITH q AS (SELECT * FROM embeddings ORDER BY vec_id LIMIT 20),
+            nn AS (
+                SELECT q.vec_id AS query_id, e.label AS label,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(q.embedding AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[])) DESC,
+                           e.vec_id) AS rnk
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.vec_id
+            ),
+            v AS (
+                SELECT query_id, label, COUNT(*)::BIGINT AS votes
+                FROM nn WHERE rnk <= 10 GROUP BY query_id, label
+            )
+            SELECT query_id, CAST(label AS BIGINT) AS pred_label, votes
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY votes DESC, label) AS r
+                FROM v
+            ) WHERE r = 1
         """,
     }

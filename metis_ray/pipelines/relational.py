@@ -596,3 +596,47 @@ def events_value_quantiles(sf_dir: str, *, k: int = 256,
     return (ev.map_batches(partial, batch_format="pyarrow")
             .groupby("event_type").map_groups(final, batch_format="pyarrow")
             .to_pandas().sort_values("event_type").reset_index(drop=True))
+
+
+def events_props_stats(sf_dir: str) -> rd.Dataset:
+    """Semi-structured JSON extraction (SURVEY §2.2 M7 — the reference
+    infers python types out of string columns at load): pull the integer
+    field ``k`` out of the ``events.props`` JSON-object column and
+    aggregate it per event type.
+
+    The extraction is ONE C++ NDJSON parse per batch
+    (``functions.json.json_field`` — no per-row ``json.loads``); the
+    aggregate is Ray's partial-combine hash shuffle over 5 groups. All
+    outputs are exact int64, so the DuckDB ``json_extract`` twin hashes
+    identically."""
+    from metis_ray.functions.json import json_field
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "k": pa.array([], pa.int64())})
+        return pa.table({
+            "event_type": batch["event_type"],
+            "k": json_field(batch["props"], "k", type=pa.int64())})
+
+    out = (ev.map_batches(extract, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Count(alias_name="n"),
+                      Sum("k", alias_name="sum_k"),
+                      Min("k", alias_name="min_k"),
+                      Max("k", alias_name="max_k")))
+
+    def cast64(batch: pa.Table) -> pa.Table:
+        if "n" not in batch.column_names:   # schema-less zero-row block
+            return pa.schema(
+                [("event_type", pa.string()), ("n", pa.int64()),
+                 ("sum_k", pa.int64()), ("min_k", pa.int64()),
+                 ("max_k", pa.int64())]).empty_table()
+        for c in ("n", "sum_k", "min_k", "max_k"):
+            batch = batch.set_column(batch.column_names.index(c), c,
+                                     pc.cast(batch[c], pa.int64()))
+        return batch
+
+    return out.map_batches(cast64, batch_format="pyarrow")

@@ -457,3 +457,58 @@ def pca_project(sf_dir: str, *, n_components: int = 8) -> rd.Dataset:
         return pa.table(cols)
 
     return emb.map_batches(project, batch_format="pyarrow")
+
+
+def knn_classify(sf_dir: str, *, k: int = 10,
+                 n_queries: int = 20) -> pd.DataFrame:
+    """k-nearest-neighbor majority-vote classification over the labeled
+    embedding table: for each of the ``n_queries`` lowest-vec_id query
+    vectors, find the ``k`` exact cosine-nearest OTHER vectors and
+    predict the majority ``label`` (ties: most votes, then smallest
+    label). Output (query_id, pred_label, votes).
+
+    Scale shape: identical to ``ann_topk`` — the query matrix is one
+    broadcast, each batch emits its local top-k WITH the neighbor labels
+    attached (so no second join to recover labels), the driver merges
+    Q×k-row partials. Tie handling at the k-boundary is threshold-exact
+    (score desc, neighbor_id asc), matching the SQL twin's
+    ``row_number() OVER (ORDER BY sim DESC, vec_id)``."""
+    qids, qm = _query_matrix(sf_dir, n_queries)
+    qn = _normalize(qm)
+    qref = ray.put((qids, qn))
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding", "label"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids_q, qmat = ray.get(qref)
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        labs = batch["label"].to_numpy(zero_copy_only=False)
+        mat = _normalize(_embedding_matrix(batch["embedding"]))
+        sims = qmat @ mat.T if mat.size else np.empty((len(ids_q), 0))
+        o_q, o_n, o_l, o_s = [], [], [], []
+        for qi in range(sims.shape[0]):
+            row = sims[qi].copy()
+            row[vids == ids_q[qi]] = -np.inf        # exclude self
+            pre = _exact_topk_rows(row, vids, k)
+            pre = pre[np.isfinite(row[pre])]
+            o_q.extend([int(ids_q[qi])] * len(pre))
+            o_n.extend(int(v) for v in vids[pre])
+            o_l.extend(int(v) for v in labs[pre])
+            o_s.extend(float(row[j]) for j in pre)
+        return pa.table({"query_id": pa.array(o_q, pa.int64()),
+                         "neighbor_id": pa.array(o_n, pa.int64()),
+                         "label": pa.array(o_l, pa.int64()),
+                         "score": pa.array(o_s, pa.float64())})
+
+    partials = emb.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    partials.sort_values(["query_id", "score", "neighbor_id"],
+                         ascending=[True, False, True], inplace=True)
+    nn = partials.groupby("query_id", sort=True).head(k)
+    votes = (nn.groupby(["query_id", "label"]).size()
+             .rename("votes").reset_index()
+             .sort_values(["query_id", "votes", "label"],
+                          ascending=[True, False, True]))
+    out = votes.groupby("query_id", sort=True).head(1).copy()
+    out = out.rename(columns={"label": "pred_label"})
+    out["votes"] = out["votes"].astype(np.int64)
+    return out[["query_id", "pred_label", "votes"]].reset_index(drop=True)
