@@ -296,11 +296,11 @@ def _semantic_pairs_golden(vec_ids: np.ndarray, mat: np.ndarray,
     golden assignment (margins asserted at generation) — the SemDeDup
     oracle. Same einsum/norm arithmetic as the engine's verify batch."""
     o_a, o_b, o_c = [], [], []
+    pos = {int(v): i for i, v in enumerate(vec_ids.tolist())}
     for c in np.unique(assign):
         ids = np.sort(vec_ids[assign == c])
         if len(ids) < 2:
             continue
-        pos = {int(v): i for i, v in enumerate(vec_ids.tolist())}
         rows = np.array([pos[int(v)] for v in ids])
         ii, jj = np.triu_indices(len(ids), k=1)
         va, vb = mat[rows[ii]], mat[rows[jj]]

@@ -35,6 +35,20 @@ _I64MAX = np.int64(np.iinfo(np.int64).max)
 _U64MAX = np.uint64(np.iinfo(np.uint64).max)
 
 
+def _seed_positions(shard, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(pos, ok) of ``ids`` in this shard's sorted vertex array; ids that
+    live on other shards get ok=False. Safe on ZERO-VERTEX shards
+    (small/skewed graphs backfill empty partitions — partition.py), where
+    the naive ``verts[minimum(pos, n-1)]`` membership probe would
+    IndexError on the empty array."""
+    pos = np.searchsorted(shard.verts, ids)
+    if shard.n == 0:
+        return pos, np.zeros(len(ids), dtype=bool)
+    ok = pos < shard.n
+    ok &= shard.verts[np.minimum(pos, shard.n - 1)] == ids
+    return pos, ok
+
+
 # ---------------------------------------------------------------------------
 # HITS (Kleinberg) — nx.hits semantics: per-round max-normalization, L1
 # convergence on hubs, final sum-normalization. One push (authorities
@@ -108,9 +122,7 @@ def hits_shard(runner: GraphRunner, *, max_iter: int = 100,
 def _bfs_init(shard, seeds: np.ndarray) -> int:
     dist = np.full(shard.n, _I64MAX, dtype=np.int64)
     frontier = np.zeros(shard.n, dtype=np.int64)
-    pos = np.searchsorted(shard.verts, seeds)
-    ok = pos < shard.n
-    ok &= shard.verts[np.minimum(pos, max(0, shard.n - 1))] == seeds
+    pos, ok = _seed_positions(shard, seeds)
     dist[pos[ok]] = 0
     frontier[pos[ok]] = 1
     shard.vals["dist"] = dist
@@ -521,9 +533,7 @@ def _bw_init(shard, src_ids: np.ndarray) -> int:
     k = len(src_ids)
     dist = np.full((shard.n, k), _I32INF, dtype=np.int32)
     sigma = np.zeros((shard.n, k), dtype=np.float64)
-    pos = np.searchsorted(shard.verts, src_ids)
-    ok = pos < shard.n
-    ok &= shard.verts[np.minimum(pos, max(0, shard.n - 1))] == src_ids
+    pos, ok = _seed_positions(shard, src_ids)
     cols = np.flatnonzero(ok)
     dist[pos[cols], cols] = 0
     sigma[pos[cols], cols] = 1.0
@@ -570,9 +580,7 @@ def _bw_bwd_update(shard) -> None:
 
 def _bw_final(shard, src_ids: np.ndarray, halve: bool) -> None:
     delta = shard.vals["delta"]
-    pos = np.searchsorted(shard.verts, src_ids)
-    ok = pos < shard.n
-    ok &= shard.verts[np.minimum(pos, max(0, shard.n - 1))] == src_ids
+    pos, ok = _seed_positions(shard, src_ids)
     cols = np.flatnonzero(ok)
     delta[pos[cols], cols] = 0.0                    # w == s excluded
     bc = delta.sum(axis=1)
@@ -644,9 +652,7 @@ def _sssp_check_weights(shard) -> float:
 def _sssp_init(shard, seeds: np.ndarray) -> int:
     dist = np.full(shard.n, _F64MAX, dtype=np.float64)
     frontier = np.zeros(shard.n, dtype=np.int64)
-    pos = np.searchsorted(shard.verts, seeds)
-    ok = pos < shard.n
-    ok &= shard.verts[np.minimum(pos, max(0, shard.n - 1))] == seeds
+    pos, ok = _seed_positions(shard, seeds)
     dist[pos[ok]] = 0.0
     frontier[pos[ok]] = 1
     shard.vals["dist"] = dist

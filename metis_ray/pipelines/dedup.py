@@ -580,6 +580,11 @@ def fuzzy_dedup(sf_dir: str, *, threshold: float = 0.6,
     near-duplicate clusters."""
     from metis_ray.graph.dataset_engine import components_dataset
 
+    if cc_engine not in ("auto", "dataset", "shard"):
+        # a typo here would silently fall through to the driver-resident
+        # dataset CC — the exact scale path the caller was opting out of
+        raise ValueError(f"cc_engine must be 'auto', 'dataset' or 'shard', "
+                         f"got {cc_engine!r}")
     pairs = minhash_dedup(sf_dir, threshold=threshold, stats=stats)
     pairs_ne, n_pairs = _nonempty_blocks(
         pairs.map_batches(lambda t: t.select(["a", "b"]),

@@ -102,37 +102,65 @@ def _exact_topk_rows(row: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
     return cand[order[:kk]]
 
 
-def ann_topk(sf_dir: str, *, k: int = 10, n_queries: int = 5) -> pd.DataFrame:
-    """Exact cosine top-k: (query_id, neighbor_id, rnk). Ties broken by
-    neighbor_id ascending; the query itself is included (matches the SQL
-    oracle). Scores deliberately omitted from the result so float summation
-    order cannot affect the correctness compare."""
+def _exact_topk_merged(sf_dir: str, *, k: int, n_queries: int,
+                       carry: tuple = (), exclude_self: bool = False
+                       ) -> pd.DataFrame:
+    """Shared exact-top-k scaffold: broadcast the normalized query matrix
+    once, every batch emits its LOCAL top-k per query (with any ``carry``
+    columns attached — e.g. the neighbor's label — so no second join is
+    needed), and the driver exactly merges the tiny Q×k-row partials.
+    Boundary ties are threshold-exact both locally (``_exact_topk_rows``)
+    and at the merge (score desc, neighbor_id asc) — ann_topk and
+    knn_classify share this one code path so the exact-rank guarantee
+    cannot drift between them. Returns the merged
+    (query_id, neighbor_id, score[, *carry]) frame, k rows per query."""
     qids, qm = _query_matrix(sf_dir, n_queries)
     qn = _normalize(qm)
     qref = ray.put((qids, qn))
-    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding", *carry])
 
     def local_topk(batch: pa.Table) -> pa.Table:
         ids_q, qmat = ray.get(qref)
         vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        extra = {c: batch[c].to_numpy(zero_copy_only=False) for c in carry}
         mat = _normalize(_embedding_matrix(batch["embedding"]))
-        sims = qmat @ mat.T                      # (Q, B)
+        sims = qmat @ mat.T if mat.size else np.empty((len(ids_q), 0))
         o_q, o_n, o_s = [], [], []
+        o_extra: dict = {c: [] for c in carry}
         for qi in range(sims.shape[0]):
             row = sims[qi]
+            if exclude_self:
+                row = row.copy()
+                row[vids == ids_q[qi]] = -np.inf
             pre = _exact_topk_rows(row, vids, k)
+            if exclude_self:
+                pre = pre[np.isfinite(row[pre])]
             o_q.extend([int(ids_q[qi])] * len(pre))
             o_n.extend(int(v) for v in vids[pre])
             o_s.extend(float(row[j]) for j in pre)
-        return pa.table({"query_id": pa.array(o_q, pa.int64()),
-                         "neighbor_id": pa.array(o_n, pa.int64()),
-                         "score": pa.array(o_s, pa.float64())})
+            for c in carry:
+                o_extra[c].extend(extra[c][pre])
+        cols = {"query_id": pa.array(o_q, pa.int64()),
+                "neighbor_id": pa.array(o_n, pa.int64()),
+                "score": pa.array(o_s, pa.float64())}
+        for c in carry:
+            cols[c] = pa.array(np.asarray(o_extra[c], np.int64), pa.int64())
+        return pa.table(cols)
 
     partials = emb.map_batches(local_topk, batch_format="pyarrow").to_pandas()
     # exact global merge of the (tiny) per-batch partials
     partials.sort_values(["query_id", "score", "neighbor_id"],
                          ascending=[True, False, True], inplace=True)
-    out = partials.groupby("query_id", sort=True).head(k).copy()
+    return partials.groupby("query_id", sort=True).head(k).copy()
+
+
+def ann_topk(sf_dir: str, *, k: int = 10, n_queries: int = 5) -> pd.DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, rnk). Ties broken by
+    neighbor_id ascending; the query itself is included (matches the SQL
+    oracle). Scores deliberately omitted from the result so float summation
+    order cannot affect the correctness compare."""
+    out = _exact_topk_merged(sf_dir, k=k, n_queries=n_queries)
     out["rnk"] = out.groupby("query_id").cumcount() + 1
     return out[["query_id", "neighbor_id", "rnk"]].reset_index(drop=True)
 
@@ -467,43 +495,15 @@ def knn_classify(sf_dir: str, *, k: int = 10,
     predict the majority ``label`` (ties: most votes, then smallest
     label). Output (query_id, pred_label, votes).
 
-    Scale shape: identical to ``ann_topk`` — the query matrix is one
-    broadcast, each batch emits its local top-k WITH the neighbor labels
-    attached (so no second join to recover labels), the driver merges
-    Q×k-row partials. Tie handling at the k-boundary is threshold-exact
-    (score desc, neighbor_id asc), matching the SQL twin's
+    Scale shape: identical to ``ann_topk`` (both run through
+    ``_exact_topk_merged``) — the query matrix is one broadcast, each
+    batch emits its local top-k WITH the neighbor labels attached (so no
+    second join to recover labels), the driver merges Q×k-row partials.
+    Tie handling at the k-boundary is threshold-exact (score desc,
+    neighbor_id asc), matching the SQL twin's
     ``row_number() OVER (ORDER BY sim DESC, vec_id)``."""
-    qids, qm = _query_matrix(sf_dir, n_queries)
-    qn = _normalize(qm)
-    qref = ray.put((qids, qn))
-    emb = read_table(sf_dir, "embeddings",
-                     columns=["vec_id", "embedding", "label"])
-
-    def local_topk(batch: pa.Table) -> pa.Table:
-        ids_q, qmat = ray.get(qref)
-        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
-        labs = batch["label"].to_numpy(zero_copy_only=False)
-        mat = _normalize(_embedding_matrix(batch["embedding"]))
-        sims = qmat @ mat.T if mat.size else np.empty((len(ids_q), 0))
-        o_q, o_n, o_l, o_s = [], [], [], []
-        for qi in range(sims.shape[0]):
-            row = sims[qi].copy()
-            row[vids == ids_q[qi]] = -np.inf        # exclude self
-            pre = _exact_topk_rows(row, vids, k)
-            pre = pre[np.isfinite(row[pre])]
-            o_q.extend([int(ids_q[qi])] * len(pre))
-            o_n.extend(int(v) for v in vids[pre])
-            o_l.extend(int(v) for v in labs[pre])
-            o_s.extend(float(row[j]) for j in pre)
-        return pa.table({"query_id": pa.array(o_q, pa.int64()),
-                         "neighbor_id": pa.array(o_n, pa.int64()),
-                         "label": pa.array(o_l, pa.int64()),
-                         "score": pa.array(o_s, pa.float64())})
-
-    partials = emb.map_batches(local_topk, batch_format="pyarrow").to_pandas()
-    partials.sort_values(["query_id", "score", "neighbor_id"],
-                         ascending=[True, False, True], inplace=True)
-    nn = partials.groupby("query_id", sort=True).head(k)
+    nn = _exact_topk_merged(sf_dir, k=k, n_queries=n_queries,
+                            carry=("label",), exclude_self=True)
     votes = (nn.groupby(["query_id", "label"]).size()
              .rename("votes").reset_index()
              .sort_values(["query_id", "votes", "label"],

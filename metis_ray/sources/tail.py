@@ -92,8 +92,11 @@ def _rows_table(lines: list[bytes]) -> tuple[pa.Table, int]:
             bad += 1
             continue
         for f in CORPUS_FIELDS:
-            v = rec.get(f, "")
-            cols[f].append(v if isinstance(v, str) else str(v))
+            v = rec.get(f)
+            # explicit JSON null == absent key: both land as "" (M11),
+            # never the literal string "None"
+            cols[f].append(v if isinstance(v, str)
+                           else "" if v is None else str(v))
     return pa.table({f: pa.array(cols[f], pa.string())
                      for f in CORPUS_FIELDS}), bad
 
@@ -105,7 +108,31 @@ def tail_once(src_path: str, corpus_dir: str, state_dir: str) -> dict:
     os.makedirs(state_dir, exist_ok=True)
     st = _load_state(state_dir, src_path)
     offset = int(st["offset"])
+    if not os.path.exists(src_path):
+        if offset > 0:
+            raise ValueError(
+                f"{src_path} vanished below the committed tail offset "
+                f"{offset}: the tail contract is append-only")
+        # daemon started before the producer's first open(): wait
+        return {"new_records": 0, "bad_records": 0, "fragment": None,
+                "offset": offset}
     size = os.path.getsize(src_path)
+    # exactly-once across crash retries: if a PREVIOUS poll wrote a
+    # fragment starting at this offset but died before committing state,
+    # re-cover exactly that byte range (append-only => those bytes are
+    # unchanged), so the name collides, the write is skipped, and the
+    # state commit below completes the interrupted poll. Without this
+    # clamp, bytes appended between the crash and the retry would widen
+    # the range, mint a NEW fragment name, and duplicate the records.
+    stem = hashlib.sha256(os.path.abspath(src_path).encode()).hexdigest()[:8]
+    fdir = _frag_dir(corpus_dir)
+    prefix = f"tail-{stem}-{offset:014d}-"
+    if os.path.isdir(fdir):
+        pend = [f for f in os.listdir(fdir)
+                if f.startswith(prefix) and f.endswith(".parquet")]
+        if pend:
+            size = min([size] + [int(f[len(prefix):-len(".parquet")])
+                                 for f in pend])
     if size < offset:
         raise ValueError(
             f"{src_path} shrank below the committed tail offset "
@@ -123,10 +150,8 @@ def tail_once(src_path: str, corpus_dir: str, state_dir: str) -> dict:
     chunk = buf[:cut + 1]
     tbl, bad = _rows_table(chunk.splitlines())
 
-    stem = hashlib.sha256(os.path.abspath(src_path).encode()).hexdigest()[:8]
     end = offset + cut + 1
     frag = f"tail-{stem}-{offset:014d}-{end:014d}.parquet"
-    fdir = _frag_dir(corpus_dir)
     os.makedirs(fdir, exist_ok=True)
     fpath = os.path.join(fdir, frag)
     if not os.path.exists(fpath):      # crash retry lands the same name

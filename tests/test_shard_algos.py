@@ -676,3 +676,21 @@ def test_katz_shard_divergence_raises(dir_distinct_gw):
                        weighted=True)
     finally:
         r.shutdown()
+
+
+def test_seed_init_safe_on_empty_shard():
+    """Zero-vertex shards are a loadable state (partition backfill on
+    small/skewed graphs): the seed-position probe must not IndexError on
+    the empty vertex array, and no seed may be claimed by an empty shard."""
+    import types
+    from metis_ray.graph.algos import (_bfs_init, _bw_init, _seed_positions,
+                                       _sssp_init)
+    sh = types.SimpleNamespace(n=0, verts=np.empty(0, np.int64), vals={})
+    seeds = np.array([3, 7], dtype=np.int64)
+    pos, ok = _seed_positions(sh, seeds)
+    assert not ok.any()
+    assert _bfs_init(sh, seeds) == 0
+    assert sh.vals["dist"].shape == (0,)
+    assert _sssp_init(sh, seeds) == 0
+    assert _bw_init(sh, seeds) == 0
+    assert sh.vals["dist"].shape == (0, len(seeds))   # bw: (n, k) matrix

@@ -91,3 +91,78 @@ def test_tailed_corpus_matches_batch_ingest(tiny_corpus_dir, tmp_path):
     batch = ingest(tiny_corpus_dir).edges_file.to_pandas()
     assert set(zip(inc["src"], inc["dst"])) == set(zip(batch["src"],
                                                        batch["dst"]))
+
+
+def test_crash_retry_with_concurrent_append_no_duplicates(tmp_path):
+    """Crash between fragment write and state commit, then MORE bytes
+    arrive before the retry: the retry must complete the interrupted poll
+    (same fragment name, no rewrite) — never mint a wider fragment that
+    duplicates the already-landed records."""
+    src = str(tmp_path / "p.jsonl")
+    cd = str(tmp_path / "corpus")
+    state = str(tmp_path / "state")
+    os.makedirs(os.path.join(cd, "corpus"))
+    rec = lambda i: (json.dumps(  # noqa: E731
+        {"repo": "r", "path": f"f{i}.py", "commit": "c", "lang": "python",
+         "content": f"# {i}"}) + "\n").encode()
+    with open(src, "ab") as fh:
+        fh.write(rec(0) + rec(1))
+    out1 = tail_once(src, cd, state)
+    assert out1["new_records"] == 2
+    # simulate the crash: roll the committed state back to offset 0
+    # (fragment written, commit lost)
+    stfile = [f for f in os.listdir(state) if f.endswith(".json")][0]
+    with open(os.path.join(state, stfile)) as fh:
+        st = json.load(fh)
+    st["offset"] = 0; st["records"] = 0
+    with open(os.path.join(state, stfile), "w") as fh:
+        json.dump(st, fh)
+    # producer appends between crash and retry
+    with open(src, "ab") as fh:
+        fh.write(rec(2))
+    out2 = tail_once(src, cd, state)       # retry completes the OLD poll
+    assert out2["fragment"] == out1["fragment"]
+    out3 = tail_once(src, cd, state)       # next poll lands only rec 2
+    assert out3["new_records"] == 1
+    frags = sorted(f for f in os.listdir(os.path.join(cd, "corpus"))
+                   if f.endswith(".parquet"))
+    assert len(frags) == 2
+    total = sum(pq.read_table(os.path.join(cd, "corpus", f)).num_rows
+                for f in frags)
+    assert total == 3                      # nothing duplicated
+
+
+def test_tail_waits_for_producer_file(tmp_path):
+    """A tailer started before the producer's first open() waits instead
+    of dying; once offset is committed, a vanished file raises."""
+    src = str(tmp_path / "notyet.jsonl")
+    cd = str(tmp_path / "corpus")
+    state = str(tmp_path / "state")
+    out = tail_once(src, cd, state)
+    assert out == {"new_records": 0, "bad_records": 0, "fragment": None,
+                   "offset": 0}
+    with open(src, "wb") as fh:
+        fh.write(b'{"repo":"r","path":"a.py","commit":"c",'
+                 b'"lang":"python","content":"x"}\n')
+    assert tail_once(src, cd, state)["new_records"] == 1
+    os.remove(src)
+    try:
+        tail_once(src, cd, state)
+        assert False, "vanished file must raise"
+    except ValueError as e:
+        assert "append-only" in str(e)
+
+
+def test_tail_null_fields_land_as_empty(tmp_path):
+    """Explicit JSON null == absent key: both impute to '' (M11), never
+    the literal string 'None'."""
+    src = str(tmp_path / "p.jsonl")
+    cd = str(tmp_path / "corpus")
+    state = str(tmp_path / "state")
+    os.makedirs(os.path.join(cd, "corpus"))
+    with open(src, "wb") as fh:
+        fh.write(b'{"repo": null, "path": "a.py", "commit": "c", '
+                 b'"lang": "python", "content": "x"}\n')
+    out = tail_once(src, cd, state)
+    t = pq.read_table(os.path.join(cd, "corpus", out["fragment"]))
+    assert t["repo"].to_pylist() == [""]
