@@ -912,6 +912,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # labels attached, threshold-exact boundary ties; exact DuckDB
         # list_cosine_similarity twin + sequential numpy pytest oracle)
         "emb_knn_classify": similarity.knn_classify,
+        # RANGE (interval) join: per event, the same user's strictly-later
+        # events within 1 hour — one equi-key groupby + vectorized
+        # searchsorted window cuts per group; exact DuckDB inequality-join
+        # twin
+        "events_followup_window": relational.events_followup_window,
     }
 
 
@@ -1912,5 +1917,18 @@ def oracle_sql() -> dict[str, str]:
                     ORDER BY votes DESC, label) AS r
                 FROM v
             ) WHERE r = 1
+        """,
+        # range join: the SQL inequality join is the independent twin of
+        # the engine's per-key searchsorted window cuts
+        "events_followup_window": """
+            SELECT e1.event_id,
+                   COUNT(e2.ts)::BIGINT AS n_follow,
+                   ROUND(COALESCE(SUM(e2.value), 0), 2) AS value_sum
+            FROM events e1
+            LEFT JOIN events e2
+              ON e2.user_id = e1.user_id
+             AND e2.ts > e1.ts
+             AND e2.ts <= e1.ts + INTERVAL 60 MINUTE
+            GROUP BY e1.event_id
         """,
     }

@@ -640,3 +640,47 @@ def events_props_stats(sf_dir: str) -> rd.Dataset:
         return batch
 
     return out.map_batches(cast64, batch_format="pyarrow")
+
+
+def events_followup_window(sf_dir: str, *, minutes: int = 60) -> rd.Dataset:
+    """RANGE (interval) JOIN: for each event, aggregate the SAME user's
+    strictly-later events within ``(ts, ts + minutes]`` — the
+    follow-up-activity burst. Output (event_id, n_follow, value_sum);
+    events with no follow-up get (0, 0.0) — LEFT JOIN semantics.
+
+    The portable Ray Data shape for inequality joins (same family as the
+    as-of joins above): ONE hash partition by the equi-key (user), then a
+    vectorized per-key interval probe inside ``map_groups`` — events
+    ts-sorted once per key, each probe's window is two ``searchsorted``
+    cuts, sums via ``np.add.reduceat`` over the sorted slice (both sides
+    round to 2dp). Never an O(n²) per-user cross product in Python, and
+    the only shuffle is the one groupby — at 100 TB the window inequality
+    rides the equi-key partitioning for free. (Here probe and build side
+    are the same table; a two-table range join tags + unions the sides
+    first, exactly like ``orders_last_event``.)"""
+    events = read_table(sf_dir, "events",
+                        columns=["event_id", "user_id", "ts", "value"])
+    span = np.int64(minutes) * 60_000_000           # timestamp[us] window
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g["ts"].to_numpy(np.int64), kind="stable")
+        ts = g["ts"].to_numpy(np.int64)[order]
+        eid = g["event_id"].to_numpy(np.int64)[order]
+        val = g["value"].to_numpy(np.float64)[order]
+        lo = np.searchsorted(ts, ts, side="right")       # strictly later
+        hi = np.searchsorted(ts, ts + span, side="right")  # inclusive end
+        n = (hi - lo).astype(np.int64)
+        sums = np.zeros(len(ts), np.float64)
+        nz = n > 0
+        if nz.any():
+            # reduceat over [lo, hi) slices of the ts-sorted values; a
+            # trailing 0-pad keeps hi == len(val) a valid index without
+            # clipping the last event out of the window
+            cuts = np.stack([lo[nz], hi[nz]], axis=1).ravel()
+            seg = np.add.reduceat(np.append(val, 0.0), cuts)
+            sums[nz] = seg[::2]
+        return pd.DataFrame({"event_id": eid,
+                             "n_follow": n,
+                             "value_sum": np.round(sums, 2)})
+
+    return events.groupby("user_id").map_groups(merge, batch_format="pandas")
