@@ -917,6 +917,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # searchsorted window cuts per group; exact DuckDB inequality-join
         # twin
         "events_followup_window": relational.events_followup_window,
+        # exact corpus-wide top-k terms (the ground-truth twin of the
+        # Misra-Gries docs_heavy_terms sketch; Arrow-vectorized tokenize,
+        # term-partitioned count shuffle, distributed sort+limit)
+        "docs_top_terms_exact": textstats.top_terms_exact,
     }
 
 
@@ -1930,5 +1934,16 @@ def oracle_sql() -> dict[str, str]:
              AND e2.ts > e1.ts
              AND e2.ts <= e1.ts + INTERVAL 60 MINUTE
             GROUP BY e1.event_id
+        """,
+        # same tokenization contract as the docs_unigram_logprob twin
+        # (\s+ split, empty terms dropped)
+        "docs_top_terms_exact": r"""
+            WITH tok AS (
+                SELECT unnest(regexp_split_to_array(lower(text),
+                                                    '\s+')) AS term
+                FROM documents
+            )
+            SELECT term, COUNT(*)::BIGINT AS n FROM tok WHERE term <> ''
+            GROUP BY term ORDER BY n DESC, term LIMIT 30
         """,
     }
