@@ -15,6 +15,16 @@ transcriptions — tests/test_shard_algos.py asserts equality).
 Each closure below is a module-level function: Ray pickles it by reference
 (cheap) and runs it inside the shard actor via ``apply_local``.
 
+Failure semantics: these runs are FAIL-FAST — an actor death mid-run
+surfaces as ``RayActorError`` (Ray restarts the shard with its persisted
+CSR layout, but the in-flight ``vals`` state is gone) and the caller
+reruns the algorithm; every run here is bounded (tens of supersteps over
+a loaded layout), so a rerun costs minutes, not the graph build. The
+checkpoint-and-resume recovery path (``GraphRunner.run`` +
+``save_checkpoint``) belongs to the long-running production PageRank loop,
+where losing hours of convergence would actually hurt
+(tests/test_round4.py::test_shard_death_recovery).
+
 Reference analogue: the per-record state machines of the streaming source
 (``Metis/python/metis_source.py:47-52``) — resident state updated per
 event, never round-tripped through the coordinator.
