@@ -549,6 +549,132 @@ def _q_triangles(sf_dir: str):
             .sort_values("v").reset_index(drop=True))
 
 
+def _q_node2vec(sf_dir: str):
+    """node2vec second-order biased walks (p=0.5 return-averse, q=2.0
+    local): one walk from each of the 32 smallest vertex ids, 8 steps,
+    deterministic exponential-race choice. Exact sequential-transcription
+    oracle in tests/test_node2vec.py; DuckDB twin = the same reference
+    recurrence persisted as a graph golden (goldens.py)."""
+    from metis_ray.graph.node2vec import node2vec_walks
+    from metis_ray.pipelines.linkgraph import graph_vertices, ingest
+    res = ingest(_corpus_dir(sf_dir))
+    vids = sorted(graph_vertices(res.files).to_pandas()["vertex_id"])[:32]
+    out = node2vec_walks(res.edges_file, [int(v) for v in vids],
+                         length=8, p=0.5, q=2.0, seed=42, directed=True)
+    return (out.to_pandas().sort_values(["walk_id", "step"])
+            .reset_index(drop=True))
+
+
+def _q_conductance(sf_dir: str):
+    """Per-community conductance of the certified LPA partition over the
+    undirected corpus graph — exact integer cut/volume moments, float only
+    at the final division (6-dp). DuckDB twin recomputes from
+    golden_labels + golden_edges_file; sequential-transcription pytest
+    oracle in tests/test_conductance.py."""
+    import ray.data as rd
+
+    from metis_ray.graph.community import conductance
+    from metis_ray.pipelines.linkgraph import ingest
+    res = ingest(_corpus_dir(sf_dir))
+    labels = rd.from_pandas(_run_graph(sf_dir, "labelprop"))
+    return conductance(res.edges_file, labels).to_pandas()
+
+
+def _orders_cents(sf_dir: str):
+    """orders with o_totalprice as exact integer cents (sum is then
+    order-free integer arithmetic — bit-identical to the SQL twin)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from metis_ray.sources.parquet import read_table
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    return orders.map_batches(
+        lambda t: pa.table({
+            "o_orderstatus": t["o_orderstatus"],
+            "o_orderpriority": t["o_orderpriority"],
+            "cents": pc.cast(pc.round(pc.multiply(
+                t["o_totalprice"], pa.scalar(100.0))), pa.int64())}),
+        batch_format="pyarrow")
+
+
+def _q_orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (status, priority): the 3-level prefix hierarchy
+    with typed-NULL rolled-up keys and the SQL GROUPING bitmask. Sums are
+    exact integer cents. DuckDB twin: native ROLLUP + GROUPING()."""
+    from metis_ray.pipelines.rollup import rollup
+    out = rollup(_orders_cents(sf_dir),
+                 ["o_orderstatus", "o_orderpriority"],
+                 sum_cols={"cents": "sum_cents"}, count_alias="n_orders")
+    return (out.to_pandas()
+            .sort_values(["grouping_id", "o_orderstatus",
+                          "o_orderpriority"])
+            .reset_index(drop=True))
+
+
+def _q_orders_cube(sf_dir: str):
+    """GROUP BY CUBE (status, priority): all 4 grouping sets. DuckDB
+    twin: native CUBE + GROUPING()."""
+    from metis_ray.pipelines.rollup import cube
+    out = cube(_orders_cents(sf_dir),
+               ["o_orderstatus", "o_orderpriority"],
+               sum_cols={"cents": "sum_cents"}, count_alias="n_orders")
+    return (out.to_pandas()
+            .sort_values(["grouping_id", "o_orderstatus",
+                          "o_orderpriority"])
+            .reset_index(drop=True))
+
+
+_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+_FUNNEL_WINDOW_S = 7 * 24 * 3600
+
+
+def _q_events_funnel(sf_dir: str):
+    """Ordered first-touch funnel signup -> view -> click -> purchase
+    within 7 days of the first signup: per-step distinct-user counts via
+    K filter+join+groupby-min passes (no per-user grouping, nothing on
+    the driver but the K counts). DuckDB twin: chained min-ts CTEs with
+    the identical strict-after / inclusive-window rule; sequential
+    transcription oracle in tests/test_funnel.py."""
+    from metis_ray.pipelines.funnel import funnel
+    from metis_ray.sources.parquet import read_table
+    ev = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "ts"])
+    return funnel(ev, _FUNNEL_STEPS,
+                  within_seconds=_FUNNEL_WINDOW_S).to_pandas()
+
+
+def _q_docs_chunks(sf_dir: str):
+    """Token-budget chunking (max 64 whitespace tokens, overlap 16) —
+    the context-window preprocessing step for training export. Pure
+    per-batch flat-map, no shuffle. DuckDB twin: list-slice transcription
+    of the identical stride rule; sequential oracle in
+    tests/test_chunking.py."""
+    from metis_ray.pipelines.chunking import chunk_documents
+    from metis_ray.sources.parquet import read_table
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = chunk_documents(docs, max_tokens=64, overlap=16)
+    return (out.to_pandas().sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True))
+
+
+_QUANTILE_QS = [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+
+
+def _q_events_quantiles_exact(sf_dir: str):
+    """EXACT percentile_cont of events.value: distributed sort + global
+    block-offset ranks + point lookups (only the 2|qs| order statistics
+    visit the driver) — the ground-truth twin of the mergeable quantile
+    sketch. Both sides evaluate lo + frac*(hi - lo) on the same two exact
+    order statistics, so the IEEE result is bit-identical to DuckDB's
+    quantile_cont."""
+    from metis_ray.pipelines.quantiles import exact_quantiles
+    from metis_ray.sources.parquet import read_table
+    ev = read_table(sf_dir, "events", columns=["value"])
+    return exact_quantiles(ev, "value", _QUANTILE_QS).to_pandas()
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -921,6 +1047,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Misra-Gries docs_heavy_terms sketch; Arrow-vectorized tokenize,
         # term-partitioned count shuffle, distributed sort+limit)
         "docs_top_terms_exact": textstats.top_terms_exact,
+        # node2vec second-order biased walks (exact sequential-
+        # transcription golden — the same documented reference recurrence
+        # both in pytest and as the DuckDB twin)
+        "graph_node2vec": _q_node2vec,
+        # per-community conductance of the LPA partition (exact integer
+        # cut/volume moments; DuckDB twin over golden_labels +
+        # golden_edges_file, sequential pytest oracle)
+        "graph_conductance": _q_conductance,
+        # ROLLUP / CUBE grouping-set levels with the SQL GROUPING bitmask
+        # (exact integer-cents sums; native DuckDB ROLLUP/CUBE twins)
+        "orders_rollup": _q_orders_rollup,
+        "orders_cube": _q_orders_cube,
+        # ordered first-touch funnel over the event stream (K filter+join
+        # +min passes; chained-CTE DuckDB twin, sequential pytest oracle)
+        "events_funnel": _q_events_funnel,
+        # token-budget chunking with overlap (per-batch flat map; list-
+        # slice DuckDB twin, sequential pytest oracle)
+        "docs_chunks": _q_docs_chunks,
+        # exact distributed percentile_cont (ground-truth twin of the
+        # quantile sketch; DuckDB quantile_cont twin is bit-identical)
+        "events_quantiles_exact": _q_events_quantiles_exact,
     }
 
 
@@ -1946,4 +2093,145 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, COUNT(*)::BIGINT AS n FROM tok WHERE term <> ''
             GROUP BY term ORDER BY n DESC, term LIMIT 30
         """,
+        # sequential node2vec transcription golden (goldens.py — the same
+        # documented reference recurrence the pytest oracle checks)
+        "graph_node2vec": f"""
+            SELECT walk_id, step, v
+            FROM read_parquet('{gg}/golden_node2vec.parquet')
+        """,
+        # conductance recomputed from the generator's golden labels +
+        # edge table: same undirected distinct-edge view, same integer
+        # cut/volume moments, same 6-dp final division
+        "graph_conductance": f"""
+            WITH canon AS (
+                SELECT DISTINCT least(src, dst) AS a,
+                                greatest(src, dst) AS b
+                FROM read_parquet('{g}/golden_edges_file.parquet')
+                WHERE src <> dst
+            ), mm AS (SELECT count(*)::BIGINT AS m FROM canon),
+            lab AS (
+                SELECT v, label
+                FROM read_parquet('{g}/golden_labels.parquet')
+            ), deg AS (
+                SELECT v, count(*)::BIGINT AS deg FROM (
+                    SELECT a AS v FROM canon
+                    UNION ALL SELECT b AS v FROM canon
+                ) GROUP BY v
+            ), vol AS (
+                SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS volume
+                FROM deg d JOIN lab l ON d.v = l.v GROUP BY l.label
+            ), crossing AS (
+                SELECT la.label AS label_a, lb.label AS label_b
+                FROM canon c
+                JOIN lab la ON c.a = la.v
+                JOIN lab lb ON c.b = lb.v
+                WHERE la.label <> lb.label
+            ), cut AS (
+                SELECT label, count(*)::BIGINT AS cut_edges FROM (
+                    SELECT label_a AS label FROM crossing
+                    UNION ALL SELECT label_b FROM crossing
+                ) GROUP BY label
+            )
+            SELECT l.label,
+                   coalesce(c.cut_edges, 0)::BIGINT AS cut_edges,
+                   coalesce(v.volume, 0)::BIGINT AS volume,
+                   CASE WHEN least(coalesce(v.volume, 0),
+                                   2 * (SELECT m FROM mm)
+                                   - coalesce(v.volume, 0)) <= 0
+                        THEN NULL
+                        ELSE round(coalesce(c.cut_edges, 0)
+                                   / (1.0 * least(coalesce(v.volume, 0),
+                                       2 * (SELECT m FROM mm)
+                                       - coalesce(v.volume, 0))), 6)
+                   END AS conductance
+            FROM (SELECT DISTINCT label FROM lab) l
+            LEFT JOIN vol v USING (label)
+            LEFT JOIN cut c USING (label)
+        """,
+        "orders_rollup": """
+            SELECT o_orderstatus, o_orderpriority,
+                   (GROUPING(o_orderstatus) * 2
+                    + GROUPING(o_orderpriority))::BIGINT AS grouping_id,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   count(*)::BIGINT AS n_orders
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "orders_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   (GROUPING(o_orderstatus) * 2
+                    + GROUPING(o_orderpriority))::BIGINT AS grouping_id,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   count(*)::BIGINT AS n_orders
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        # first-touch funnel: t1 = earliest step-1 event; each later step
+        # = earliest matching event STRICTLY after the previous step's
+        # time and <= t1 + 7 days (inclusive) — identical rule to
+        # pipelines/funnel.py
+        "events_funnel": f"""
+            WITH s0 AS (
+                SELECT user_id, min(ts) AS t, min(ts) AS t1 FROM events
+                WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+            ), s1 AS (
+                SELECT e.user_id, min(e.ts) AS t, min(f.t1) AS t1
+                FROM events e JOIN s0 f ON e.user_id = f.user_id
+                WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > f.t
+                  AND e.ts <= f.t1 + INTERVAL {_FUNNEL_WINDOW_S} SECONDS
+                GROUP BY e.user_id
+            ), s2 AS (
+                SELECT e.user_id, min(e.ts) AS t, min(f.t1) AS t1
+                FROM events e JOIN s1 f ON e.user_id = f.user_id
+                WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > f.t
+                  AND e.ts <= f.t1 + INTERVAL {_FUNNEL_WINDOW_S} SECONDS
+                GROUP BY e.user_id
+            ), s3 AS (
+                SELECT e.user_id, min(e.ts) AS t
+                FROM events e JOIN s2 f ON e.user_id = f.user_id
+                WHERE e.event_type = '{_FUNNEL_STEPS[3]}' AND e.ts > f.t
+                  AND e.ts <= f.t1 + INTERVAL {_FUNNEL_WINDOW_S} SECONDS
+                GROUP BY e.user_id
+            )
+            SELECT 0::BIGINT AS step_idx, '{_FUNNEL_STEPS[0]}' AS step,
+                   (SELECT count(*) FROM s0)::BIGINT AS users
+            UNION ALL SELECT 1, '{_FUNNEL_STEPS[1]}',
+                   (SELECT count(*) FROM s1)
+            UNION ALL SELECT 2, '{_FUNNEL_STEPS[2]}',
+                   (SELECT count(*) FROM s2)
+            UNION ALL SELECT 3, '{_FUNNEL_STEPS[3]}',
+                   (SELECT count(*) FROM s3)
+        """,
+        # the exact stride rule of pipelines/chunking.py: stride = 48,
+        # nc = ceil((n - 16)/48) past one chunk, 1-based inclusive list
+        # slices; empty-after-trim docs emit nothing
+        "docs_chunks": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text),
+                                                         '\s+'),
+                                   x -> x <> '') AS tl
+                FROM documents
+            ), sized AS (
+                SELECT doc_id, tl, len(tl) AS n,
+                       CASE WHEN len(tl) <= 64 THEN 1
+                            ELSE CAST(ceil((len(tl) - 16) / 48.0)
+                                      AS BIGINT) END AS nc
+                FROM toks WHERE len(tl) > 0
+            )
+            SELECT doc_id, i AS chunk_id, nc AS n_chunks,
+                   array_to_string(tl[i * 48 + 1 : least(i * 48 + 64, n)],
+                                   ' ') AS chunk_text,
+                   (least(i * 48 + 64, n) - i * 48)::BIGINT AS n_tokens
+            FROM sized, unnest(generate_series(0, nc - 1)) AS u(i)
+        """,
+        # DuckDB quantile_cont evaluates lower + frac*(upper - lower) on
+        # the same two exact order statistics — bit-identical IEEE result
+        "events_quantiles_exact": " UNION ALL ".join(
+            f"""SELECT {q} AS q, quantile_cont(value, {q}) AS value
+                FROM (SELECT value FROM events
+                      WHERE value IS NOT NULL AND NOT isnan(value))"""
+            for q in _QUANTILE_QS),
     }

@@ -470,7 +470,7 @@ def golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
 # for the iterative graph queries the driver otherwise checks rows-only.
 # ---------------------------------------------------------------------------
 
-_GRAPH_GOLDEN_VERSION = 6
+_GRAPH_GOLDEN_VERSION = 7
 
 
 def _core_numbers(n: int, adj: list[np.ndarray]) -> np.ndarray:
@@ -963,6 +963,14 @@ def graph_golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
         "step": pa.array([r[1] for r in rows], pa.int64()),
         "v": pa.array([r[2] for r in rows], pa.int64())}),
         os.path.join(tmp, "golden_walks_weighted.parquet"))
+    from metis_ray.graph.node2vec import node2vec_reference
+    rows = node2vec_reference(adj_ids, ids[:32].tolist(), length=8,
+                              p=0.5, q=2.0, seed=42)
+    pq.write_table(pa.table({
+        "walk_id": pa.array([r[0] for r in rows], pa.int64()),
+        "step": pa.array([r[1] for r in rows], pa.int64()),
+        "v": pa.array([r[2] for r in rows], pa.int64())}),
+        os.path.join(tmp, "golden_node2vec.parquet"))
     rows = khop_reference(adj_ids, ids[:16].tolist(), fanouts=(8, 4),
                           seed=42)
     pq.write_table(pa.table({

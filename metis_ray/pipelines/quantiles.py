@@ -90,7 +90,10 @@ def exact_quantiles(ds: rd.Dataset, col: str,
         for local, v in zip(sorted(by_block[b]), vals):
             need[local + int(starts[b])] = v
 
-    out = [need[lo] + frac * (need[hi] - need[lo])
+    # (1-f)*lo + f*hi, NOT lo + f*(hi-lo): the two are equal in exact
+    # arithmetic but differ in the last IEEE bit — this is the form
+    # DuckDB's quantile_cont evaluates, so the SQL twin is bit-identical
+    out = [(1.0 - frac) * need[lo] + frac * need[hi]
            for (_, lo, hi, frac) in plan]
     return pa.table({"q": pa.array([p[0] for p in plan], pa.float64()),
                      "value": pa.array(out, pa.float64())})
