@@ -666,13 +666,29 @@ def _q_events_quantiles_exact(sf_dir: str):
     """EXACT percentile_cont of events.value: distributed sort + global
     block-offset ranks + point lookups (only the 2|qs| order statistics
     visit the driver) — the ground-truth twin of the mergeable quantile
-    sketch. Both sides evaluate lo + frac*(hi - lo) on the same two exact
+    sketch. Both sides evaluate (1-f)*lo + f*hi on the same two exact
     order statistics, so the IEEE result is bit-identical to DuckDB's
     quantile_cont."""
     from metis_ray.pipelines.quantiles import exact_quantiles
     from metis_ray.sources.parquet import read_table
     ev = read_table(sf_dir, "events", columns=["value"])
     return exact_quantiles(ev, "value", _QUANTILE_QS).to_pandas()
+
+
+def _q_graph_mst(sf_dir: str):
+    """Boruvka minimum spanning forest of the undirected corpus graph,
+    weight = edge multiplicity, under the strict (weight, src, dst)
+    total order — unique, so the DuckDB twin is a sequential Kruskal
+    golden under the same order. NetworkX + tie-adversarial pytest
+    oracles in tests/test_mst.py."""
+    from metis_ray.graph.mst import minimum_spanning_forest
+    from metis_ray.pipelines.linkgraph import graph_vertices, ingest
+    res = ingest(_corpus_dir(sf_dir))
+    forest, _, _ = minimum_spanning_forest(
+        res.edges_file, graph_vertices(res.files),
+        weight_col="multiplicity")
+    return (forest.to_pandas().sort_values(["src", "dst"])
+            .reset_index(drop=True))
 
 
 # ---------------------------------------------------------------------------
@@ -1068,6 +1084,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact distributed percentile_cont (ground-truth twin of the
         # quantile sketch; DuckDB quantile_cont twin is bit-identical)
         "events_quantiles_exact": _q_events_quantiles_exact,
+        # Boruvka minimum spanning forest (unique under the strict
+        # (weight, src, dst) order; sequential-Kruskal golden twin,
+        # NetworkX + tie-adversarial pytest oracles)
+        "graph_mst": _q_graph_mst,
     }
 
 
@@ -2234,4 +2254,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT value FROM events
                       WHERE value IS NOT NULL AND NOT isnan(value))"""
             for q in _QUANTILE_QS),
+        # sequential Kruskal under the engine's exact total edge order
+        # (goldens.py; equality argument in graph/mst.py docstring)
+        "graph_mst": f"""
+            SELECT src, dst, weight
+            FROM read_parquet('{gg}/golden_mst.parquet')
+        """,
     }

@@ -470,7 +470,7 @@ def golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
 # for the iterative graph queries the driver otherwise checks rows-only.
 # ---------------------------------------------------------------------------
 
-_GRAPH_GOLDEN_VERSION = 7
+_GRAPH_GOLDEN_VERSION = 8
 
 
 def _core_numbers(n: int, adj: list[np.ndarray]) -> np.ndarray:
@@ -978,6 +978,18 @@ def graph_golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
         "src": pa.array([r[1] for r in rows], pa.int64()),
         "dst": pa.array([r[2] for r in rows], pa.int64())}),
         os.path.join(tmp, "golden_khop.parquet"))
+    # minimum spanning forest: sequential Kruskal under the strict
+    # (weight, src, dst) total order — provably equal to the engine's
+    # Boruvka under the same order (graph/mst.py module docstring)
+    from metis_ray.graph.mst import mst_reference
+    mst_rows = mst_reference(
+        list(zip(ids[si].tolist(), ids[di].tolist(), wt.tolist())),
+        ids.tolist())
+    pq.write_table(pa.table({
+        "src": pa.array([r[0] for r in mst_rows], pa.int64()),
+        "dst": pa.array([r[1] for r in mst_rows], pa.int64()),
+        "weight": pa.array([r[2] for r in mst_rows], pa.float64())}),
+        os.path.join(tmp, "golden_mst.parquet"))
     hb_ball, hb_harm = _hyperball_golden(n, si, di, ids)
     pq.write_table(pa.table({
         "v": pa.array(ids, pa.int64()),
