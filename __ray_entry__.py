@@ -691,6 +691,23 @@ def _q_graph_mst(sf_dir: str):
             .reset_index(drop=True))
 
 
+def _q_graph_coloring(sf_dir: str):
+    """Jones-Plassmann greedy coloring over the undirected corpus graph —
+    SHARD engine: one pair-min exchange (winner selection) + one color
+    frequency exchange per round; provably the sequential greedy coloring
+    in (blake2b(0,v), v) order, which is the DuckDB golden twin. NetworkX
+    greedy_color same-order equality + proper-coloring invariants in
+    tests/test_coloring.py."""
+    from metis_ray.graph.algos import coloring_shard
+    from metis_ray.graph.runner import GraphRunner
+    runner = GraphRunner(_graph_dir(sf_dir, directed=False))
+    try:
+        out, _ = coloring_shard(runner, seed=0)
+    finally:
+        runner.shutdown()
+    return out.to_pandas().sort_values("v").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -1088,6 +1105,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (weight, src, dst) order; sequential-Kruskal golden twin,
         # NetworkX + tie-adversarial pytest oracles)
         "graph_mst": _q_graph_mst,
+        # Jones-Plassmann greedy coloring on the shard engine (== the
+        # sequential greedy in hash-priority order; same-order NetworkX
+        # greedy_color equality in pytest, sequential golden twin)
+        "graph_coloring": _q_graph_coloring,
     }
 
 
@@ -2259,5 +2280,11 @@ def oracle_sql() -> dict[str, str]:
         "graph_mst": f"""
             SELECT src, dst, weight
             FROM read_parquet('{gg}/golden_mst.parquet')
+        """,
+        # sequential greedy coloring in the engine's exact priority order
+        # (goldens.py; JP == greedy argument in graph/algos.py)
+        "graph_coloring": f"""
+            SELECT v, color
+            FROM read_parquet('{gg}/golden_coloring.parquet')
         """,
     }

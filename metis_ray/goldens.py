@@ -470,7 +470,7 @@ def golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
 # for the iterative graph queries the driver otherwise checks rows-only.
 # ---------------------------------------------------------------------------
 
-_GRAPH_GOLDEN_VERSION = 8
+_GRAPH_GOLDEN_VERSION = 9
 
 
 def _core_numbers(n: int, adj: list[np.ndarray]) -> np.ndarray:
@@ -990,6 +990,14 @@ def graph_golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
         "dst": pa.array([r[1] for r in mst_rows], pa.int64()),
         "weight": pa.array([r[2] for r in mst_rows], pa.float64())}),
         os.path.join(tmp, "golden_mst.parquet"))
+    # greedy coloring: the sequential greedy in (blake2b(0,v), v) order —
+    # provably what Jones-Plassmann computes (graph/algos.py docstring)
+    from metis_ray.graph.algos import coloring_reference
+    col_rows = coloring_reference(adj_ids, ids.tolist(), seed=0)
+    pq.write_table(pa.table({
+        "v": pa.array([r[0] for r in col_rows], pa.int64()),
+        "color": pa.array([r[1] for r in col_rows], pa.int64())}),
+        os.path.join(tmp, "golden_coloring.parquet"))
     hb_ball, hb_harm = _hyperball_golden(n, si, di, ids)
     pq.write_table(pa.table({
         "v": pa.array(ids, pa.int64()),

@@ -808,3 +808,130 @@ def katz_shard(runner: GraphRunner, *, alpha: float = 0.1, beta: float = 1.0,
         s = math.sqrt(sum(runner.apply_all(_katz_ssq)))
         runner.apply_all(_katz_scale, (1.0 / s) if s else 1.0)
     return runner.collect_vals({"x": "katz"}), epochs
+
+
+# ---------------------------------------------------------------------------
+# Greedy graph coloring — Jones-Plassmann supersteps (Jones & Plassmann,
+# SIAM J. Sci. Comput. 1993) with the SAME fixed unique priorities as the
+# MIS above (lexicographic (blake2b(seed, vid), vid) order). A vertex
+# colors itself once every lower-priority neighbor is colored, taking the
+# minimum color unused by its colored neighbors (mex) — which makes the
+# result EXACTLY the sequential greedy coloring in increasing priority
+# order (a higher-priority vertex can never act before a lower-priority
+# neighbor, so each mex sees precisely the earlier-ordered neighbors).
+# Graph dir: UNDIRECTED. Self-loops are dropped (a self-loop admits no
+# proper coloring; the corpus graph has none by the dedup contract).
+# Per round: one pair-min exchange (winner selection, reusing the MIS
+# machinery) + one frequency exchange of current colors (-1 = uncolored,
+# ignored by the mex) — O(E) traffic per round like LPA, O(log V)
+# expected rounds under hash priorities.
+# ---------------------------------------------------------------------------
+
+def _color_init(shard, seed: int) -> int:
+    n = _mis_init(shard, seed)          # dig, active, perms (in_mis unused)
+    shard.vals["color"] = np.full(shard.n, -1, dtype=np.int64)
+    return n
+
+
+def _color_pick(shard, bundle) -> int:
+    """Mark ACTIVE local lexicographic minima as this round's winners
+    (``newly``) WITHOUT deactivating them — they deactivate when colored."""
+    payload_refs = bundle[0] if isinstance(bundle, tuple) else bundle
+    mind = np.full(shard.n, _U64MAX, dtype=np.uint64)
+    minv = np.full(shard.n, _I64MAX, dtype=np.int64)
+
+    def fold(pos, pair):
+        d, v = pair
+        better = (d < mind[pos]) | ((d == mind[pos]) & (v < minv[pos]))
+        idx = pos[better]
+        mind[idx] = d[better]
+        minv[idx] = v[better]
+
+    if shard._gstash is not None:
+        fold(shard._out_pos[shard.pid], shard._gstash)
+        shard._gstash = None
+    for j, part in enumerate(_resolve(payload_refs)):
+        pair = part.get(shard.pid) if part else None
+        if pair is not None:
+            fold(shard._in_pos[j], pair)
+    act = shard.vals["active"].astype(bool)
+    dig, vid = shard.vals["dig"], shard.verts
+    newly = act & ((dig < mind) | ((dig == mind) & (vid < minv)))
+    shard.vals["newly"] = newly.astype(np.int64)
+    shard.epoch += 1
+    return int(newly.sum())
+
+
+def _color_assign(shard, pos, lab, cnt) -> int:
+    """mex of colored-neighbor colors for every winner; deactivate."""
+    newly = shard.vals["newly"].astype(bool)
+    color = shard.vals["color"]
+    color[newly] = 0                    # no colored neighbors => mex 0
+    sel = newly[pos] & (lab >= 0)
+    p, l = pos[sel], lab[sel]
+    if len(p):
+        order = np.lexsort((l, p))
+        p, l = p[order], l[order]
+        keep = np.ones(len(p), dtype=bool)
+        keep[1:] = (p[1:] != p[:-1]) | (l[1:] != l[:-1])
+        p, l = p[keep], l[keep]         # distinct (vertex, color), sorted
+        starts = np.flatnonzero(np.r_[True, p[1:] != p[:-1]])
+        rank = np.arange(len(p), dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, len(p))))
+        cand = np.where(l != rank, rank, _I64MAX)
+        first = np.minimum.reduceat(cand, starts)
+        glen = np.diff(np.append(starts, len(p)))
+        color[p[starts]] = np.where(first < _I64MAX, first, glen)
+    shard.vals["active"][newly] = 0
+    return int(shard.vals["active"].sum())
+
+
+def coloring_shard(runner: GraphRunner, *, seed: int = 0,
+                   max_iter: int = 10_000):
+    """((v, color) pa.Table, epochs) — the sequential greedy coloring in
+    (blake2b(seed, v), v) priority order (``coloring_reference``)."""
+    active_total = sum(runner.apply_all(_color_init, seed))
+    epochs = 0
+    while active_total > 0:
+        if epochs >= max_iter:
+            raise RuntimeError(
+                f"coloring: {active_total} vertices uncolored after "
+                f"{max_iter} supersteps")
+        payloads = [s.apply_local.remote(_mis_pair_scatter)
+                    for s in runner.shards]
+        bundle = ray.put((payloads, []))
+        won = sum(ray.get([s.apply_local.remote(_color_pick, bundle)
+                           for s in runner.shards]))
+        epochs += 1
+        if won == 0:                    # unreachable: a global min exists
+            raise RuntimeError("coloring: no winner among active vertices")
+        counts = runner.step_freq("color", _color_assign, drop_self=True)
+        active_total = sum(counts)
+        epochs += 1
+    return runner.collect_vals({"color": "color"}), epochs
+
+
+def coloring_reference(adj: dict[int, set[int]], vids, seed: int = 0,
+                       ) -> list[tuple]:
+    """Sequential greedy coloring in increasing (blake2b(seed, v), v)
+    order over the undirected adjacency (the pytest/DuckDB golden).
+    Returns sorted (v, color) tuples."""
+    def key(v: int) -> tuple:
+        d = int.from_bytes(hashlib.blake2b(
+            b"%d:%d" % (seed, v), digest_size=8).digest(), "big")
+        return (d, v)
+
+    und: dict[int, set[int]] = {int(v): set() for v in vids}
+    for a, nbrs in adj.items():
+        for b in nbrs:
+            if a != b:
+                und.setdefault(int(a), set()).add(int(b))
+                und.setdefault(int(b), set()).add(int(a))
+    color: dict[int, int] = {}
+    for v in sorted(und, key=key):
+        used = {color[u] for u in und[v] if u in color}
+        c = 0
+        while c in used:
+            c += 1
+        color[v] = c
+    return sorted(color.items())
