@@ -1109,6 +1109,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sequential greedy in hash-priority order; same-order NetworkX
         # greedy_color equality in pytest, sequential golden twin)
         "graph_coloring": _q_graph_coloring,
+        # Markov transition counts of consecutive per-user event types
+        # (per-group partial counts + one tiny sum shuffle; LAG-window
+        # DuckDB twin)
+        "events_transitions": relational.events_transitions,
+        # exact cosine k-NN graph over the whole embedding table
+        # (broadcast-once normalized matrix, per-batch local top-k,
+        # threshold-exact ties; cross-join row_number DuckDB twin)
+        "emb_knn_graph": similarity.knn_graph,
     }
 
 
@@ -2286,5 +2294,27 @@ def oracle_sql() -> dict[str, str]:
         "graph_coloring": f"""
             SELECT v, color
             FROM read_parquet('{gg}/golden_coloring.parquet')
+        """,
+        "events_transitions": """
+            SELECT prev_type, event_type, count(*)::BIGINT AS n FROM (
+                SELECT event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts) AS prev_type
+                FROM events
+            ) WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        """,
+        "emb_knn_graph": """
+            SELECT vec_id, neighbor_id, rnk FROM (
+                SELECT q.vec_id AS vec_id, e.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(
+                               CAST(q.embedding AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[])) DESC,
+                           e.vec_id) AS rnk
+                FROM embeddings q CROSS JOIN embeddings e
+                WHERE q.vec_id <> e.vec_id
+            ) WHERE rnk <= 10
         """,
     }

@@ -302,6 +302,44 @@ def events_with_prev(sf_dir: str) -> rd.Dataset:
     return ev.groupby("user_id").map_groups(lag, batch_format="pandas")
 
 
+def events_transitions(sf_dir: str) -> rd.Dataset:
+    """Markov transition matrix of the event stream: global counts of
+    consecutive (prev_type -> event_type) pairs within each user's
+    ts-ordered sequence — the sequence-mining twin of the funnel (which
+    counts a FIXED path; this counts every adjacent pair). Output
+    (prev_type, event_type, n).
+
+    Scale shape: per-user pair extraction is a ``groupby(user)``
+    ``map_groups`` that emits PARTIAL (prev, type) counts (<= |types|^2
+    rows per user, usually far fewer), then one tiny
+    ``groupby(prev, type).sum`` — the second shuffle moves at most
+    |types|^2 * blocks rows regardless of event count. Ordering
+    assumption: ts unique per user (same contract as
+    ``events_with_prev``). Reference analogue: the expected-record-
+    sequence checks of the reference's per-stream state machines
+    (SURVEY.md §2.3 T5) — here the transition structure is LEARNED by
+    counting instead of asserted."""
+    ev = read_table(sf_dir, "events",
+                    columns=["ts", "user_id", "event_type"])
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        t = g["event_type"].to_numpy()
+        if len(t) < 2:
+            return pd.DataFrame({"prev_type": pd.Series([], dtype=str),
+                                 "event_type": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64)})
+        out = (pd.DataFrame({"prev_type": t[:-1], "event_type": t[1:]})
+               .groupby(["prev_type", "event_type"], as_index=False)
+               .size().rename(columns={"size": "n"}))
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    partial = ev.groupby("user_id").map_groups(pairs, batch_format="pandas")
+    return (partial.groupby(["prev_type", "event_type"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
 def events_sessionize(sf_dir: str, *, gap_minutes: int = 30) -> rd.Dataset:
     """Session windows (streaming-shaped): per user, a new session starts
     when the gap to the previous event exceeds ``gap_minutes``. Grouped

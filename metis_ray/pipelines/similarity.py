@@ -165,6 +165,28 @@ def ann_topk(sf_dir: str, *, k: int = 10, n_queries: int = 5) -> pd.DataFrame:
     return out[["query_id", "neighbor_id", "rnk"]].reset_index(drop=True)
 
 
+def knn_graph(sf_dir: str, *, k: int = 10) -> pd.DataFrame:
+    """Exact cosine k-NN GRAPH over the whole embedding table: for every
+    vector, its ``k`` nearest OTHER vectors — (vec_id, neighbor_id, rnk).
+    The symmetric-candidate primitive behind SemDeDup-style curation,
+    graph-based clustering and kNN-graph diffusion.
+
+    Brute-force-exact through the shared top-k scaffold
+    (``_exact_topk_merged``): the "query side" here is the entire
+    normalized table, broadcast ONCE via ``ray.put`` and read zero-copy
+    by every batch task; each batch emits its local k per vector and the
+    driver merges the tiny per-batch partials. The 100 TB path swaps the
+    broadcast for the persisted IVF layout (``ivf_index.py``) with
+    per-list brute force — the output contract is unchanged, recall
+    becomes nprobe-bounded (tests prove nprobe=all == exact)."""
+    n = read_table(sf_dir, "embeddings", columns=["vec_id"]).count()
+    out = _exact_topk_merged(sf_dir, k=k, n_queries=int(n),
+                             exclude_self=True)
+    out["rnk"] = out.groupby("query_id").cumcount() + 1
+    out = out.rename(columns={"query_id": "vec_id"})
+    return out[["vec_id", "neighbor_id", "rnk"]].reset_index(drop=True)
+
+
 def ann_lsh_topk(sf_dir: str, *, k: int = 10, n_queries: int = 5,
                  n_planes: int = 4, n_tables: int = 8,
                  seed: int = 42) -> pd.DataFrame:

@@ -555,3 +555,41 @@ def test_pca_project_empty_table():
         ds = similarity.pca_project(d, n_components=4)
         assert ds.count() == 0
         assert ds.schema().names == ["vec_id", "pc0", "pc1", "pc2", "pc3"]
+
+
+def test_knn_graph_matches_bruteforce():
+    """Exact k-NN graph: every vector's top-k OTHER vectors, sequential
+    numpy transcription as the oracle (self excluded, (sim desc, id)
+    ties)."""
+    got = similarity.knn_graph(SF, k=5)
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas().sort_values(
+        "vec_id")
+    mat = np.vstack([np.asarray(v, np.float64) for v in t["embedding"]])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = t["vec_id"].to_numpy()
+    sims = mat @ mat.T
+    for qi, qid in enumerate(ids):
+        order = sorted((j for j in range(len(ids)) if j != qi),
+                       key=lambda j: (-sims[qi, j], ids[j]))
+        want = [int(ids[j]) for j in order[:5]]
+        g = got[got["vec_id"] == qid].sort_values("rnk")
+        assert g["neighbor_id"].tolist() == want, qid
+        assert g["rnk"].tolist() == list(range(1, len(want) + 1))
+    assert set(got["vec_id"]) == set(int(i) for i in ids)
+
+
+def test_events_transitions_matches_sequential():
+    """Markov transition counts vs a sequential per-user scan."""
+    from collections import Counter
+
+    from metis_ray.pipelines.relational import events_transitions
+    got = events_transitions(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas().sort_values(
+        ["user_id", "ts"])
+    want: Counter = Counter()
+    for _, g in ev.groupby("user_id"):
+        ts = g["event_type"].tolist()
+        want.update(zip(ts[:-1], ts[1:]))
+    gmap = {(r.prev_type, r.event_type): int(r.n)
+            for r in got.itertuples()}
+    assert gmap == dict(want)
