@@ -626,6 +626,20 @@ def _q_orders_cube(sf_dir: str):
             .reset_index(drop=True))
 
 
+def _q_orders_pivot(sf_dir: str):
+    """PIVOT by counting: orders per (priority row, status column) —
+    one indicator pass + one groupby sum shuffle. DuckDB twin: the
+    classic SUM(CASE WHEN ...) conditional aggregation."""
+    from metis_ray.pipelines.rollup import pivot_counts
+    from metis_ray.sources.parquet import read_table
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderpriority", "o_orderstatus"])
+    out = pivot_counts(orders, "o_orderpriority", "o_orderstatus",
+                       ["F", "O", "P"])
+    return (out.to_pandas().sort_values("o_orderpriority")
+            .reset_index(drop=True))
+
+
 _FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
 _FUNNEL_WINDOW_S = 7 * 24 * 3600
 
@@ -1117,6 +1131,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (broadcast-once normalized matrix, per-batch local top-k,
         # threshold-exact ties; cross-join row_number DuckDB twin)
         "emb_knn_graph": similarity.knn_graph,
+        # PIVOT by counting (indicator pass + one sum shuffle;
+        # SUM(CASE WHEN) DuckDB twin)
+        "orders_pivot": _q_orders_pivot,
     }
 
 
@@ -2316,5 +2333,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings q CROSS JOIN embeddings e
                 WHERE q.vec_id <> e.vec_id
             ) WHERE rnk <= 10
+        """,
+        "orders_pivot": """
+            SELECT o_orderpriority,
+                   sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0
+                       END)::BIGINT AS n_F,
+                   sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0
+                       END)::BIGINT AS n_O,
+                   sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0
+                       END)::BIGINT AS n_P
+            FROM orders GROUP BY o_orderpriority
         """,
     }

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
@@ -116,3 +117,34 @@ def cube(ds: rd.Dataset, keys: list[str], *,
             for mask in range(2 ** n - 1, -1, -1)]
     return grouping_sets(ds, keys, sets, sum_cols=sum_cols,
                          count_alias=count_alias)
+
+
+def pivot_counts(ds: rd.Dataset, row_key: str, col_key: str,
+                 col_values: list[str], *,
+                 prefix: str = "n_") -> rd.Dataset:
+    """PIVOT by counting: one output row per ``row_key`` value, one int64
+    count column per entry of ``col_values`` (rows of ``col_key`` outside
+    the list are ignored). The column set is EXPLICIT so the Arrow schema
+    is static — at scale, enumerate the distinct ``col_key`` values with
+    a cheap groupby first, exactly like SQL PIVOT's IN list.
+
+    Scale shape: one map_batches pass adds the |col_values| indicator
+    columns (vectorized equality casts, no Python loop over rows), then a
+    single groupby(row_key).sum shuffle — the exchange carries one int64
+    per indicator per batch-group, independent of row count."""
+    if not col_values:
+        raise ValueError("col_values must be non-empty")
+
+    def indicators(t: pa.Table) -> pa.Table:
+        cols = {row_key: t[row_key]}
+        arr = t[col_key]
+        f = pa.scalar(False)
+        for v in col_values:
+            cols[prefix + v] = pc.cast(
+                pc.coalesce(pc.equal(arr, pa.scalar(v)), f), pa.int64())
+        return pa.table(cols)
+
+    aggs = [Sum(prefix + v, alias_name=prefix + v) for v in col_values]
+    return (ds.select_columns([row_key, col_key])
+            .map_batches(indicators, batch_format="pyarrow")
+            .groupby(row_key).aggregate(*aggs))

@@ -97,3 +97,28 @@ def test_rollup_rejects_unknown_keys():
         rollup(ds, ["k1", "nope"], sum_cols={"qty": "s"})
     with pytest.raises(KeyError, match="unknown keys"):
         grouping_sets(ds, ["k1"], [("k2",)], sum_cols={"qty": "s"})
+
+
+def test_pivot_counts_matches_pandas(ray_session):
+    import pandas as pd
+
+    import ray.data as rd
+
+    from metis_ray.pipelines.rollup import pivot_counts
+    rng = np.random.RandomState(5)
+    rows = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 500),
+        "s": rng.choice(["x", "y", "z", "w"], 500)})
+    ds = rd.from_pandas(rows)
+    got = (pivot_counts(ds, "k", "s", ["x", "y", "z"]).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    want = (rows[rows["s"].isin(["x", "y", "z"])]
+            .pivot_table(index="k", columns="s", aggfunc="size",
+                         fill_value=0).reset_index())
+    for v in ["x", "y", "z"]:
+        assert got[f"n_{v}"].tolist() == want[v].tolist()
+    assert got["k"].tolist() == want["k"].tolist()
+    # a row-key whose rows are all outside the IN list still appears
+    ds2 = rd.from_pandas(pd.DataFrame({"k": ["q"] * 3, "s": ["w"] * 3}))
+    g2 = pivot_counts(ds2, "k", "s", ["x"]).to_pandas()
+    assert g2["n_x"].tolist() == [0]
