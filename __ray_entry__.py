@@ -1134,6 +1134,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # PIVOT by counting (indicator pass + one sum shuffle;
         # SUM(CASE WHEN) DuckDB twin)
         "orders_pivot": _q_orders_pivot,
+        # deterministic weighted sampling without replacement (P ∝
+        # n_chars; Efraimidis-Spirakis race on md5 uniforms, per-batch
+        # local-k combiner; identical-expression DuckDB twin)
+        "docs_weighted_sample": textstats.weighted_sample,
     }
 
 
@@ -2343,5 +2347,18 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0
                        END)::BIGINT AS n_P
             FROM orders GROUP BY o_orderpriority
+        """,
+        # the engine's exact race-key expression: u = (15-hex-digit md5
+        # prefix + 1) / 16^15 (division by 2^60 is exact), key =
+        # -ln(u)/max(n_chars,1); only ids/metadata are compared
+        "docs_weighted_sample": """
+            SELECT doc_id, lang, source, n_chars FROM (
+                SELECT doc_id, lang, source, n_chars,
+                       -ln((('0x' || left(md5(concat('42:',
+                                CAST(doc_id AS VARCHAR))), 15))::UBIGINT
+                            + 1) / 1152921504606846976.0)
+                       / greatest(n_chars, 1) AS race_key
+                FROM documents
+            ) ORDER BY race_key LIMIT 50
         """,
     }

@@ -136,6 +136,46 @@ def lang_distribution(sf_dir: str, concurrency: int = 2) -> rd.Dataset:
             .groupby("lang_pred").aggregate(Count(alias_name="n_docs")))
 
 
+def weighted_sample(sf_dir: str, *, k: int = 50,
+                    seed: int = 42) -> pd.DataFrame:
+    """Deterministic WEIGHTED sampling without replacement — inclusion
+    probability proportional to weight = max(n_chars, 1) — via the
+    Efraimidis-Spirakis exponential race with md5-derived uniforms:
+    u = (first 15 md5(f"{seed}:{doc_id}") hex digits + 1) / 16^15 in
+    (0, 1], race key = -ln(u)/weight, the sample = the k SMALLEST keys
+    (ties impossible: md5 is injective over the distinct doc ids here).
+    Membership is a pure function of (seed, doc_id, weight) — stable
+    across runs, parallelism and block layout — and the identical
+    expression runs in SQL (md5 + ('0x'||hex)::UBIGINT + ln), which is
+    the DuckDB twin; only ids/metadata are emitted so the compare never
+    touches the float keys. The size-biased complement of ``sample_docs``
+    (uniform md5-threshold sampling).
+
+    Scale shape: per-batch local k-smallest (a combiner), the driver
+    merges k x blocks tiny partials — the full table never leaves the
+    workers. Output (doc_id, lang, source, n_chars) sorted by doc_id."""
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "lang", "source", "n_chars"])
+    denom = float(16 ** 15)             # 2^60: division is exact
+
+    def local_k(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        u = (np.array([int(hashlib.md5(f"{seed}:{i}".encode())
+                           .hexdigest()[:15], 16) + 1 for i in ids],
+                      np.float64) / denom)
+        w = np.maximum(batch["n_chars"].to_numpy(zero_copy_only=False)
+                       .astype(np.float64), 1.0)
+        key = -np.log(u) / w
+        keep = np.sort(np.argsort(key, kind="stable")[:k])
+        t = batch.take(pa.array(keep))
+        return t.append_column("_key", pa.array(key[keep], pa.float64()))
+
+    part = docs.map_batches(local_k, batch_format="pyarrow").to_pandas()
+    part = part.sort_values("_key").head(k)
+    return (part.drop(columns="_key").sort_values("doc_id")
+            .reset_index(drop=True))
+
+
 def sample_docs(sf_dir: str, *, prefix_lt: str = "29") -> rd.Dataset:
     """Deterministic uniform document sample: keep docs whose
     ``md5(str(doc_id))`` hex digest starts below ``prefix_lt``

@@ -593,3 +593,34 @@ def test_events_transitions_matches_sequential():
     gmap = {(r.prev_type, r.event_type): int(r.n)
             for r in got.itertuples()}
     assert gmap == dict(want)
+
+
+def test_weighted_sample_matches_sequential_and_is_size_biased():
+    """Efraimidis-Spirakis weighted sample: exact equality vs the
+    sequential transcription, plus the size-bias signal (selected docs
+    are longer on average than the corpus, across seeds)."""
+    import hashlib
+
+    from metis_ray.pipelines.textstats import weighted_sample
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "n_chars"]).to_pandas()
+    denom = float(16 ** 15)
+
+    def seq(k, seed):
+        u = np.array([int(hashlib.md5(f"{seed}:{i}".encode())
+                          .hexdigest()[:15], 16) + 1
+                      for i in docs["doc_id"]], np.float64) / denom
+        w = np.maximum(docs["n_chars"].to_numpy().astype(np.float64), 1.0)
+        key = -np.log(u) / w
+        return sorted(int(docs["doc_id"].iloc[j])
+                      for j in np.argsort(key, kind="stable")[:k])
+
+    for seed in (42, 7):
+        got = weighted_sample(SF, k=10, seed=seed)
+        assert got["doc_id"].tolist() == seq(10, seed), seed
+
+    mean_all = docs["n_chars"].mean()
+    mean_sel = np.mean([docs.set_index("doc_id").loc[seq(10, s),
+                                                     "n_chars"].mean()
+                        for s in range(30)])
+    assert mean_sel > mean_all * 1.1, (mean_sel, mean_all)
