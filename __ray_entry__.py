@@ -722,6 +722,25 @@ def _q_graph_coloring(sf_dir: str):
     return out.to_pandas().sort_values("v").reset_index(drop=True)
 
 
+def _q_graph_diameter(sf_dir: str):
+    """Double-sweep diameter lower bound of the undirected corpus graph
+    (two shard-engine BFS runs; only a (max, argmax) pair per shard
+    reaches the driver). Exact sequential transcription as the pytest
+    oracle and the DuckDB golden twin; NetworkX-exact on structured
+    graphs in tests/test_diameter.py."""
+    import pandas as pd
+
+    from metis_ray.graph.algos import double_sweep_diameter
+    from metis_ray.graph.runner import GraphRunner
+    runner = GraphRunner(_graph_dir(sf_dir, directed=False))
+    try:
+        d = double_sweep_diameter(runner)
+    finally:
+        runner.shutdown()
+    return pd.DataFrame([{k: d[k] for k in
+                          ("start", "far_vertex", "diameter_lb")}])
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -1138,6 +1157,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # n_chars; Efraimidis-Spirakis race on md5 uniforms, per-batch
         # local-k combiner; identical-expression DuckDB twin)
         "docs_weighted_sample": textstats.weighted_sample,
+        # double-sweep diameter lower bound (two shard-engine BFS runs;
+        # sequential transcription golden twin)
+        "graph_diameter": _q_graph_diameter,
     }
 
 
@@ -2360,5 +2382,10 @@ def oracle_sql() -> dict[str, str]:
                        / greatest(n_chars, 1) AS race_key
                 FROM documents
             ) ORDER BY race_key LIMIT 50
+        """,
+        # exact sequential double-sweep transcription (goldens.py)
+        "graph_diameter": f"""
+            SELECT start, far_vertex, diameter_lb
+            FROM read_parquet('{gg}/golden_diameter.parquet')
         """,
     }

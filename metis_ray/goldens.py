@@ -470,7 +470,7 @@ def golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
 # for the iterative graph queries the driver otherwise checks rows-only.
 # ---------------------------------------------------------------------------
 
-_GRAPH_GOLDEN_VERSION = 9
+_GRAPH_GOLDEN_VERSION = 10
 
 
 def _core_numbers(n: int, adj: list[np.ndarray]) -> np.ndarray:
@@ -990,6 +990,14 @@ def graph_golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
         "dst": pa.array([r[1] for r in mst_rows], pa.int64()),
         "weight": pa.array([r[2] for r in mst_rows], pa.float64())}),
         os.path.join(tmp, "golden_mst.parquet"))
+    # double-sweep diameter lower bound: exact sequential transcription
+    from metis_ray.graph.algos import diameter_reference
+    dia = diameter_reference(adj_ids, ids.tolist())
+    pq.write_table(pa.table({
+        "start": pa.array([dia["start"]], pa.int64()),
+        "far_vertex": pa.array([dia["far_vertex"]], pa.int64()),
+        "diameter_lb": pa.array([dia["diameter_lb"]], pa.int64())}),
+        os.path.join(tmp, "golden_diameter.parquet"))
     # greedy coloring: the sequential greedy in (blake2b(0,v), v) order —
     # provably what Jones-Plassmann computes (graph/algos.py docstring)
     from metis_ray.graph.algos import coloring_reference

@@ -935,3 +935,82 @@ def coloring_reference(adj: dict[int, set[int]], vids, seed: int = 0,
             c += 1
         color[v] = c
     return sorted(color.items())
+
+
+# ---------------------------------------------------------------------------
+# Double-sweep diameter lower bound (Magnien, Latapy & Habib 2009): BFS
+# from a fixed start, then BFS from the farthest vertex found — max
+# eccentricity seen is a (usually tight) lower bound on the diameter of
+# the start's component. Deterministic: start = smallest vertex id,
+# farthest ties break to the smallest id. Two shard-engine BFS runs; the
+# only driver traffic is one (max dist, argmax vertex) pair per shard.
+# Use an UNDIRECTED graph dir for the standard (symmetric) diameter.
+# ---------------------------------------------------------------------------
+
+def _far_vertex(shard) -> tuple[int, int]:
+    """(max finite dist, smallest vertex at it) over local vertices;
+    (-1, I64MAX) when nothing is reachable locally."""
+    d = shard.vals["dist"]
+    fin = d >= 0
+    if not fin.any():
+        return (-1, int(_I64MAX))
+    mx = int(d[fin].max())
+    at = shard.verts[fin & (d == mx)]
+    return (mx, int(at.min()))
+
+
+def double_sweep_diameter(runner: GraphRunner) -> dict:
+    """{'start', 'far_vertex', 'diameter_lb', 'epochs'} — the double-sweep
+    lower bound on the diameter of the start vertex's component."""
+    start = _min_vertex_ids(runner, 1)
+    if not start:
+        raise ValueError("empty graph")
+    _, e1 = bfs_shard(runner, start)
+    d1, u1 = max(runner.apply_all(_far_vertex),
+                 key=lambda t: (t[0], -t[1]))
+    if d1 <= 0:                          # isolated start: bound is 0
+        return {"start": start[0], "far_vertex": start[0],
+                "diameter_lb": 0, "epochs": e1}
+    _, e2 = bfs_shard(runner, [u1])
+    d2, _ = max(runner.apply_all(_far_vertex), key=lambda t: (t[0], -t[1]))
+    return {"start": start[0], "far_vertex": u1,
+            "diameter_lb": int(max(d1, d2)), "epochs": e1 + e2}
+
+
+def _min_vertex_ids(runner: GraphRunner, k: int) -> list[int]:
+    heads = runner.apply_all(lambda sh, _k=k: sh.verts[:_k])
+    return sorted(np.concatenate(heads).tolist())[:k]
+
+
+def diameter_reference(adj: dict[int, set[int]], vids) -> dict:
+    """Sequential transcription of the exact double-sweep rule over the
+    SYMMETRIZED adjacency (the pytest/DuckDB golden)."""
+    from collections import deque
+
+    und: dict[int, set[int]] = {int(v): set() for v in vids}
+    for a, nbrs in adj.items():
+        for b in nbrs:
+            if a != b:
+                und.setdefault(int(a), set()).add(int(b))
+                und.setdefault(int(b), set()).add(int(a))
+
+    def bfs(s: int) -> tuple[int, int]:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for u in und[v]:
+                if u not in dist:
+                    dist[u] = dist[v] + 1
+                    q.append(u)
+        mx = max(dist.values())
+        at = min(v for v, d in dist.items() if d == mx)
+        return mx, at
+
+    start = min(und)
+    d1, u1 = bfs(start)
+    if d1 <= 0:
+        return {"start": start, "far_vertex": start, "diameter_lb": 0}
+    d2, _ = bfs(u1)
+    return {"start": start, "far_vertex": u1,
+            "diameter_lb": int(max(d1, d2))}
