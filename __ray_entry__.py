@@ -741,6 +741,19 @@ def _q_graph_diameter(sf_dir: str):
                           ("start", "far_vertex", "diameter_lb")}])
 
 
+def _q_mutual_edges(sf_dir: str):
+    """Reciprocal (mutual) edge pairs of the directed corpus graph —
+    canonical pairs present in both orientations. One canonicalize
+    combiner + one groupby max-shuffle. DuckDB twin: reverse self-join
+    over the golden edge table; NetworkX reciprocity oracle in
+    tests/test_graph_stats.py."""
+    from metis_ray.graph.stats import mutual_edges
+    from metis_ray.pipelines.linkgraph import ingest
+    out = mutual_edges(ingest(_corpus_dir(sf_dir)).edges_file)
+    return (out.to_pandas().sort_values(["src", "dst"])
+            .reset_index(drop=True))
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -1160,6 +1173,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # double-sweep diameter lower bound (two shard-engine BFS runs;
         # sequential transcription golden twin)
         "graph_diameter": _q_graph_diameter,
+        # reciprocal edge pairs (canonicalize combiner + one max-shuffle;
+        # reverse self-join DuckDB twin)
+        "graph_mutual_edges": _q_mutual_edges,
     }
 
 
@@ -2387,5 +2403,12 @@ def oracle_sql() -> dict[str, str]:
         "graph_diameter": f"""
             SELECT start, far_vertex, diameter_lb
             FROM read_parquet('{gg}/golden_diameter.parquet')
+        """,
+        "graph_mutual_edges": f"""
+            SELECT DISTINCT a.src AS src, a.dst AS dst
+            FROM read_parquet('{g}/golden_edges_file.parquet') a
+            JOIN read_parquet('{g}/golden_edges_file.parquet') b
+              ON a.src = b.dst AND a.dst = b.src
+            WHERE a.src < a.dst
         """,
     }

@@ -402,3 +402,38 @@ def clustering_coefficients(edges: rd.Dataset,
                                                 pa.float64())})
 
     return j.map_batches(cc, batch_format="pyarrow")
+
+
+def mutual_edges(edges: rd.Dataset) -> rd.Dataset:
+    """Reciprocal pairs of the DIRECTED distinct-edge view: canonical
+    (src < dst) pairs present in BOTH orientations — the edge set whose
+    cardinality drives ``summary()``'s reciprocity quotient. One
+    canonicalize pass with a per-batch (pair -> orientation flags)
+    combiner, then a single groupby(src, dst) max-shuffle; self-loops
+    dropped (a loop is trivially its own reverse). Output (src, dst)."""
+    from ray.data.aggregate import Max
+
+    e = distinct_edges(_no_self_loops(edges))
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = batch["src"].to_numpy(zero_copy_only=False)
+        b = batch["dst"].to_numpy(zero_copy_only=False)
+        fwd = a < b
+        t = pa.table({
+            "src": pa.array(np.minimum(a, b), pa.int64()),
+            "dst": pa.array(np.maximum(a, b), pa.int64()),
+            "fwd": pa.array(fwd.astype(np.int64), pa.int64()),
+            "bwd": pa.array((~fwd).astype(np.int64), pa.int64())})
+        g = t.group_by(["src", "dst"]).aggregate(
+            [("fwd", "max"), ("bwd", "max")])
+        return g.rename_columns(["src", "dst", "fwd", "bwd"])
+
+    both = (e.map_batches(canon, batch_format="pyarrow")
+            .groupby(["src", "dst"])
+            .aggregate(Max("fwd", alias_name="fwd"),
+                       Max("bwd", alias_name="bwd")))
+    return both.map_batches(
+        lambda t: t.filter(pc.and_(pc.greater(t["fwd"], 0),
+                                   pc.greater(t["bwd"], 0)))
+        .select(["src", "dst"]),
+        batch_format="pyarrow")

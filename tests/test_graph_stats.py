@@ -334,3 +334,28 @@ def test_modularity_duplicate_labels_raise():
         "label": pa.array([0, 0, 0], pa.int64())}))
     with pytest.raises(ValueError, match="not a partition"):
         modularity(edges, labels)
+
+
+def test_mutual_edges_matches_networkx_reciprocity(ray_session):
+    import networkx as nx
+
+    import ray.data as rd
+
+    from metis_ray.graph.stats import mutual_edges
+    rng = np.random.RandomState(17)
+    n, m = 40, 400
+    src = rng.randint(0, n, m).astype(np.int64)
+    dst = rng.randint(0, n, m).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    got = mutual_edges(ds).to_pandas()
+    pairs = {(int(r.src), int(r.dst)) for r in got.itertuples()}
+
+    E = {(int(a), int(b)) for a, b in zip(src, dst) if a != b}
+    want = {(min(a, b), max(a, b)) for (a, b) in E if (b, a) in E}
+    assert pairs == want
+    # cardinality ties out with nx.overall_reciprocity over the DiGraph
+    G = nx.DiGraph()
+    G.add_nodes_from(range(n))
+    G.add_edges_from(E)
+    assert 2 * len(pairs) == round(nx.overall_reciprocity(G) *
+                                   G.number_of_edges())
