@@ -754,6 +754,26 @@ def _q_mutual_edges(sf_dir: str):
             .reset_index(drop=True))
 
 
+def _q_edge_betweenness(sf_dir: str):
+    """Brandes EDGE betweenness from the 16 smallest vertex ids over the
+    directed corpus graph — the per-edge scores accumulate in a
+    shard-resident (m_local,) buffer inside the same backward pull that
+    feeds the vertex delta recurrence. NetworkX-exact (both graph kinds)
+    + sequential-transcription pytest oracles in
+    tests/test_edge_betweenness.py; sequential Brandes-edge golden twin."""
+    from metis_ray.graph.algos import edge_betweenness_shard
+    from metis_ray.graph.runner import GraphRunner
+    runner = GraphRunner(_graph_dir(sf_dir, directed=True))
+    try:
+        out, _ = edge_betweenness_shard(
+            runner, sources=_min_vertex_ids(runner, 16), directed=True)
+    finally:
+        runner.shutdown()
+    df = out.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    df["betweenness"] = df["betweenness"].round(6)
+    return df
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -1176,6 +1196,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reciprocal edge pairs (canonicalize combiner + one max-shuffle;
         # reverse self-join DuckDB twin)
         "graph_mutual_edges": _q_mutual_edges,
+        # Brandes EDGE betweenness (per-edge scores shard-resident in the
+        # same backward pull as the vertex delta; NetworkX-exact pytest +
+        # sequential Brandes-edge golden twin)
+        "graph_edge_betweenness": _q_edge_betweenness,
     }
 
 
@@ -2410,5 +2434,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN read_parquet('{g}/golden_edges_file.parquet') b
               ON a.src = b.dst AND a.dst = b.src
             WHERE a.src < a.dst
+        """,
+        # sequential Brandes-edge transcription (goldens.py), same
+        # 16-smallest-source set and 6-dp rounding as the engine query
+        "graph_edge_betweenness": f"""
+            SELECT src, dst, betweenness
+            FROM read_parquet('{gg}/golden_edge_betweenness.parquet')
         """,
     }

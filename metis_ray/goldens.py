@@ -470,7 +470,7 @@ def golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
 # for the iterative graph queries the driver otherwise checks rows-only.
 # ---------------------------------------------------------------------------
 
-_GRAPH_GOLDEN_VERSION = 10
+_GRAPH_GOLDEN_VERSION = 11
 
 
 def _core_numbers(n: int, adj: list[np.ndarray]) -> np.ndarray:
@@ -733,6 +733,46 @@ def _mis_golden(n: int, si: np.ndarray, di: np.ndarray, ids: np.ndarray,
     return in_mis
 
 
+def _edge_betweenness_golden(n: int, si: np.ndarray, di: np.ndarray,
+                             sources: np.ndarray) -> dict:
+    """Sequential Brandes with EDGE accumulation (directed, raw
+    dependency sums restricted to ``sources``) — independent of the
+    engine's per-edge shard accumulator. Returns {(u_pos, v_pos): ebc}."""
+    from collections import deque
+
+    order = np.argsort(si, kind="stable")
+    s_srt, d_srt = si[order], di[order]
+    starts = np.searchsorted(s_srt, np.arange(n))
+    ends = np.searchsorted(s_srt, np.arange(n), side="right")
+    ebc: dict = {}
+    for s in sources:
+        s = int(s)
+        dist = np.full(n, -1, dtype=np.int64)
+        sigma = np.zeros(n, dtype=np.float64)
+        dist[s], sigma[s] = 0, 1.0
+        stack: list[int] = []
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            stack.append(v)
+            for j in range(starts[v], ends[v]):
+                u = int(d_srt[j])
+                if dist[u] < 0:
+                    dist[u] = dist[v] + 1
+                    q.append(u)
+                if dist[u] == dist[v] + 1:
+                    sigma[u] += sigma[v]
+        delta = np.zeros(n, dtype=np.float64)
+        for v in reversed(stack):
+            for j in range(starts[v], ends[v]):
+                u = int(d_srt[j])
+                if dist[u] == dist[v] + 1:
+                    c = sigma[v] / sigma[u] * (1.0 + delta[u])
+                    ebc[(v, u)] = ebc.get((v, u), 0.0) + c
+                    delta[v] += c
+    return ebc
+
+
 def _betweenness_golden(n: int, si: np.ndarray, di: np.ndarray,
                         sources: np.ndarray) -> np.ndarray:
     """Sequential Brandes (unweighted, directed, raw dependency sums
@@ -929,6 +969,14 @@ def graph_golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
                              "in_mis": pa.array(mis.astype(bool),
                                                 pa.bool_())}),
                    os.path.join(tmp, "golden_mis.parquet"))
+    eb = _edge_betweenness_golden(n, si, di, np.arange(min(16, n)))
+    eb_rows = sorted((int(ids[a]), int(ids[b]), round(v, 6))
+                     for (a, b), v in eb.items())
+    pq.write_table(pa.table({
+        "src": pa.array([r[0] for r in eb_rows], pa.int64()),
+        "dst": pa.array([r[1] for r in eb_rows], pa.int64()),
+        "betweenness": pa.array([r[2] for r in eb_rows], pa.float64())}),
+        os.path.join(tmp, "golden_edge_betweenness.parquet"))
     bc = _betweenness_golden(n, si, di, np.arange(min(16, n)))
     pq.write_table(pa.table({"v": pa.array(ids, pa.int64()),
                              "betweenness": pa.array(np.round(bc, 6),

@@ -1014,3 +1014,135 @@ def diameter_reference(adj: dict[int, set[int]], vids) -> dict:
     d2, _ = bfs(u1)
     return {"start": start, "far_vertex": u1,
             "diameter_lb": int(max(d1, d2))}
+
+
+# ---------------------------------------------------------------------------
+# EDGE betweenness centrality — the Brandes backward pass accumulated per
+# EDGE instead of per vertex: at level lvl the pulled factor q(v) =
+# (1+δ(v))/σ(v) [dist(v)=lvl+1] times the local multiplier smask(u) =
+# σ(u)[dist(u)=lvl] is exactly each edge's dependency contribution, so the
+# same exchange that feeds the vertex δ update writes the per-edge scores
+# into a shard-resident (m_local,) accumulator on the way through. Forward
+# pass, staging and δ recurrence are shared verbatim with
+# ``betweenness_shard``. Each directed edge is owned by exactly one shard
+# (its source's shard), so the final per-shard tables concatenate without
+# double counting; undirected dirs sum both orientations and halve, the
+# same convention as the vertex result.
+# ---------------------------------------------------------------------------
+
+def _ebw_init_edges(shard) -> None:
+    shard.vals["_ebc"] = np.zeros(shard.m, dtype=np.float64)
+
+
+def _ebw_bwd_gather(shard, bundle) -> None:
+    """Expand served q rows per edge, multiply by the local σ·[dist=lvl]
+    factor, accumulate per-edge into _ebc and per-source into δ."""
+    payload_refs = bundle[0] if isinstance(bundle, tuple) else bundle
+    parts = _resolve(payload_refs)
+    smask = shard.vals["smask"]
+    ebc = shard.vals["_ebc"]
+    delta = shard.vals["delta"]
+    acc = np.zeros_like(delta)
+    for t in range(shard.P):
+        if t == shard.pid:
+            vec = shard._gstash
+            shard._gstash = None
+        else:
+            part = parts[t]
+            vec = part.get(shard.pid) if part else None
+        if vec is None:
+            continue
+        s, e = shard._tslice(t)
+        pe = np.repeat(vec, shard._run_lengths(t), axis=0).astype(
+            np.float64, copy=False)
+        rows = shard._row_sorted[s:e]
+        pe = pe * smask[rows]
+        ebc[s:e] += pe.sum(axis=1)
+        order = np.argsort(rows, kind="stable")
+        r2, p2 = rows[order], pe[order]
+        bounds = np.flatnonzero(np.r_[True, r2[1:] != r2[:-1]])
+        comb = np.add.reduceat(p2, bounds, axis=0)
+        acc[r2[bounds]] += comb
+    shard.vals["delta"] = delta + acc
+    shard.epoch += 1
+
+
+def _ebw_edge_table(shard):
+    """(u, v, ebc) rows for this shard's edges with a nonzero score."""
+    import pyarrow as pa
+    ebc = shard.vals["_ebc"]
+    nz = np.flatnonzero(ebc)
+    dst = np.empty(shard.m, np.int64)
+    for t in range(shard.P):
+        s, e = shard._tslice(t)
+        if e == s:
+            continue
+        dst[s:e] = np.repeat(shard._uniq_dst[t], shard._run_lengths(t))
+    return pa.table({
+        "u": pa.array(shard.verts[shard._row_sorted[nz]], pa.int64()),
+        "v": pa.array(dst[nz], pa.int64()),
+        "ebc": pa.array(ebc[nz], pa.float64())})
+
+
+def edge_betweenness_shard(runner: GraphRunner, *, sources=None,
+                           directed: bool = True, max_iter: int = 10_000):
+    """((src, dst, betweenness) pa.Table, epochs) — Brandes EDGE
+    betweenness with the source sum restricted to ``sources`` (None =
+    all = exact, matching nx.edge_betweenness_centrality(normalized=
+    False)). ``directed`` must match the graph dir; undirected dirs sum
+    both orientations of each unordered pair and halve. Only touched
+    edges are emitted (untouched edges score 0); the per-shard result
+    tables are small (DAG edges of k sources) — at full scale write
+    them per-shard instead of collecting."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if sources is None:
+        src_ids = np.sort(np.concatenate(
+            runner.apply_all(lambda sh: sh.verts)))
+    else:
+        src_ids = np.asarray(sorted(set(int(s) for s in sources)), np.int64)
+    found = sum(runner.apply_all(_bw_init, src_ids))
+    if found != len(src_ids):
+        raise ValueError("source is not a graph vertex")
+    runner.apply_all(_ebw_init_edges)
+    k = len(src_ids)
+
+    epochs = 0
+    levels = 0
+    for t in range(max_iter):
+        if not any(runner.apply_all(_bw_stage)):
+            break
+        touched = runner.step_push("sf", "sum", "_inc", k=k, mask="fany",
+                                   update=_bw_fwd_update, uargs=(t,))
+        epochs += 1
+        if not any(touched):
+            break
+        levels = t + 1
+
+    for lvl in range(levels - 1, -1, -1):
+        runner.apply_all(_bw_bwd_stage, lvl)
+        payloads = [s.pull_serve.remote("q") for s in runner.shards]
+        bundle = ray.put((payloads, []))
+        ray.get([s.apply_local.remote(_ebw_bwd_gather, bundle)
+                 for s in runner.shards])
+        epochs += 1
+
+    parts = [p for p in runner.apply_all(_ebw_edge_table) if p.num_rows]
+    if not parts:
+        return pa.table({"src": pa.array([], pa.int64()),
+                         "dst": pa.array([], pa.int64()),
+                         "betweenness": pa.array([], pa.float64())}), epochs
+    df = pa.concat_tables(parts).to_pandas()
+    if not directed:
+        lo = np.minimum(df["u"], df["v"])
+        hi = np.maximum(df["u"], df["v"])
+        df = pd.DataFrame({"src": lo, "dst": hi, "ebc": df["ebc"]})
+        df = df.groupby(["src", "dst"], as_index=False)["ebc"].sum()
+        df["ebc"] = df["ebc"] / 2.0
+    else:
+        df = df.rename(columns={"u": "src", "v": "dst"})
+        df = df.groupby(["src", "dst"], as_index=False)["ebc"].sum()
+    df = df.rename(columns={"ebc": "betweenness"}).sort_values(
+        ["src", "dst"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False), epochs
