@@ -774,6 +774,26 @@ def _q_edge_betweenness(sf_dir: str):
     return df
 
 
+def _q_harmonic(sf_dir: str):
+    """Exact harmonic centrality from the 16 smallest vertex ids over the
+    directed corpus graph (h(v) = sum 1/d(s,v)) — the exact ground-truth
+    twin of graph_hyperball's harmonic estimate; just the (n,k) forward
+    BFS of the betweenness machinery + a local fold. NetworkX
+    harmonic_centrality exact at sources=all in pytest; per-source
+    sequential BFS golden twin."""
+    from metis_ray.graph.algos import harmonic_shard
+    from metis_ray.graph.runner import GraphRunner
+    runner = GraphRunner(_graph_dir(sf_dir, directed=True))
+    try:
+        out, _ = harmonic_shard(runner,
+                                sources=_min_vertex_ids(runner, 16))
+    finally:
+        runner.shutdown()
+    df = out.to_pandas().sort_values("v").reset_index(drop=True)
+    df["harmonic"] = df["harmonic"].round(6)
+    return df
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -1200,6 +1220,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # same backward pull as the vertex delta; NetworkX-exact pytest +
         # sequential Brandes-edge golden twin)
         "graph_edge_betweenness": _q_edge_betweenness,
+        # exact k-source harmonic centrality (the ground-truth twin of
+        # the HyperBall estimate; NetworkX-exact pytest + per-source
+        # BFS golden twin)
+        "graph_harmonic": _q_harmonic,
     }
 
 
@@ -2440,5 +2464,10 @@ def oracle_sql() -> dict[str, str]:
         "graph_edge_betweenness": f"""
             SELECT src, dst, betweenness
             FROM read_parquet('{gg}/golden_edge_betweenness.parquet')
+        """,
+        # per-source sequential BFS 1/dist accumulation (goldens.py)
+        "graph_harmonic": f"""
+            SELECT v, harmonic
+            FROM read_parquet('{gg}/golden_harmonic.parquet')
         """,
     }

@@ -470,7 +470,7 @@ def golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
 # for the iterative graph queries the driver otherwise checks rows-only.
 # ---------------------------------------------------------------------------
 
-_GRAPH_GOLDEN_VERSION = 11
+_GRAPH_GOLDEN_VERSION = 12
 
 
 def _core_numbers(n: int, adj: list[np.ndarray]) -> np.ndarray:
@@ -969,6 +969,31 @@ def graph_golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
                              "in_mis": pa.array(mis.astype(bool),
                                                 pa.bool_())}),
                    os.path.join(tmp, "golden_mis.parquet"))
+    # exact k-source harmonic centrality: per-source sequential BFS
+    # accumulating 1/dist (the exact twin of HyperBall's estimate)
+    from collections import deque as _deque
+    h_order = np.argsort(si, kind="stable")
+    h_s, h_d = si[h_order], di[h_order]
+    h_starts = np.searchsorted(h_s, np.arange(n))
+    h_ends = np.searchsorted(h_s, np.arange(n), side="right")
+    harm = np.zeros(n, dtype=np.float64)
+    for s0 in range(min(16, n)):
+        hd = np.full(n, -1, dtype=np.int64)
+        hd[s0] = 0
+        hq = _deque([s0])
+        while hq:
+            v0 = hq.popleft()
+            for j0 in range(h_starts[v0], h_ends[v0]):
+                u0 = int(h_d[j0])
+                if hd[u0] < 0:
+                    hd[u0] = hd[v0] + 1
+                    hq.append(u0)
+        pos_h = hd > 0
+        harm[pos_h] += 1.0 / hd[pos_h]
+    pq.write_table(pa.table({
+        "v": pa.array(ids, pa.int64()),
+        "harmonic": pa.array(np.round(harm, 6), pa.float64())}),
+        os.path.join(tmp, "golden_harmonic.parquet"))
     eb = _edge_betweenness_golden(n, si, di, np.arange(min(16, n)))
     eb_rows = sorted((int(ids[a]), int(ids[b]), round(v, 6))
                      for (a, b), v in eb.items())

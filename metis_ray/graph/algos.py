@@ -1146,3 +1146,46 @@ def edge_betweenness_shard(runner: GraphRunner, *, sources=None,
     df = df.rename(columns={"ebc": "betweenness"}).sort_values(
         ["src", "dst"]).reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False), epochs
+
+
+# ---------------------------------------------------------------------------
+# Exact harmonic centrality from a source set — h(v) = Σ_{s≠v} 1/d(s, v)
+# over the k sources, i.e. the EXACT ground-truth twin of HyperBall's
+# harmonic estimate (sources=all == nx.harmonic_centrality exactly). Just
+# the multi-source forward BFS of the betweenness machinery ((n, k) dist
+# sharded in the actors) plus one local fold; no backward pass.
+# ---------------------------------------------------------------------------
+
+def _harm_fold(shard, src_ids: np.ndarray) -> None:
+    dist = shard.vals["dist"].astype(np.float64)
+    ok = (shard.vals["dist"] != _I32INF) & (shard.vals["dist"] > 0)
+    shard.vals["harmonic"] = np.where(ok, 1.0 / np.where(ok, dist, 1.0),
+                                      0.0).sum(axis=1)
+
+
+def harmonic_shard(runner: GraphRunner, *, sources=None,
+                   max_iter: int = 10_000):
+    """((v, harmonic) pa.Table, epochs): h(v) = Σ 1/d(s, v) over sources
+    s (s = v and unreachable excluded), distances following the graph
+    dir's edge direction — ``sources=None`` (all) equals NetworkX
+    ``harmonic_centrality`` exactly."""
+    if sources is None:
+        src_ids = np.sort(np.concatenate(
+            runner.apply_all(lambda sh: sh.verts)))
+    else:
+        src_ids = np.asarray(sorted(set(int(s) for s in sources)), np.int64)
+    found = sum(runner.apply_all(_bw_init, src_ids))
+    if found != len(src_ids):
+        raise ValueError("source is not a graph vertex")
+    k = len(src_ids)
+    epochs = 0
+    for t in range(max_iter):
+        if not any(runner.apply_all(_bw_stage)):
+            break
+        touched = runner.step_push("sf", "sum", "_inc", k=k, mask="fany",
+                                   update=_bw_fwd_update, uargs=(t,))
+        epochs += 1
+        if not any(touched):
+            break
+    runner.apply_all(_harm_fold, src_ids)
+    return runner.collect_vals({"harmonic": "harmonic"}), epochs

@@ -120,3 +120,62 @@ def test_edge_betweenness_k_sources_matches_transcription(ray_session,
     for e in set(want) | set(got):
         assert got.get(e, 0.0) == pytest.approx(want.get(e, 0.0),
                                                 abs=1e-9), e
+
+
+def test_harmonic_full_matches_networkx(ray_session, tmp_path):
+    import networkx as nx
+    from metis_ray.graph.algos import harmonic_shard
+    from metis_ray.graph.runner import GraphRunner
+    rng = np.random.RandomState(53)
+    n, m = 30, 100
+    src, dst = rng.randint(0, n, m), rng.randint(0, n, m)
+    d, pairs = _dir(src, dst, n, tmp_path, directed=True)
+    runner = GraphRunner(d)
+    try:
+        out, _ = harmonic_shard(runner)      # sources = all = exact
+    finally:
+        runner.shutdown()
+    got = {int(r.v): float(r.harmonic)
+           for r in out.to_pandas().itertuples()}
+    G = nx.DiGraph()
+    G.add_nodes_from(range(n))
+    G.add_edges_from(pairs)
+    want = nx.harmonic_centrality(G)
+    for v in range(n):
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+
+
+def test_harmonic_k_sources_matches_transcription(ray_session, tmp_path):
+    from metis_ray.graph.algos import harmonic_shard
+    from metis_ray.graph.runner import GraphRunner
+    rng = np.random.RandomState(59)
+    n, m = 40, 150
+    src, dst = rng.randint(0, n, m), rng.randint(0, n, m)
+    sources = list(range(6))
+    d, pairs = _dir(src, dst, n, tmp_path, directed=True)
+    runner = GraphRunner(d)
+    try:
+        out, _ = harmonic_shard(runner, sources=sources)
+    finally:
+        runner.shutdown()
+    got = {int(r.v): float(r.harmonic)
+           for r in out.to_pandas().itertuples()}
+
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+    want = {v: 0.0 for v in range(n)}
+    for s in sources:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for u in adj.get(v, ()):
+                if u not in dist:
+                    dist[u] = dist[v] + 1
+                    q.append(u)
+        for v, dd in dist.items():
+            if dd > 0:
+                want[v] += 1.0 / dd
+    for v in range(n):
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
