@@ -92,3 +92,22 @@ def test_coloring_structured_cases(ray_session, tmp_path):
     assert sorted(col[v] for v in range(6)) == [0, 1, 2, 3, 4, 5]
     assert col[99] == 0
     assert max(col[v] for v in range(10, 14)) <= 1
+
+
+def test_run_table_algorithm_registry(ray_session, tmp_path):
+    """The extension-surface registry resolves and runs a tail algorithm
+    end-to-end on a graph dir."""
+    from metis_ray.graph import _table_algorithms, run_table_algorithm
+    src, dst = [0, 1, 2], [1, 2, 3]
+    d = build_graph_dir(_edges_ds(src, dst), _verts_ds(range(4)),
+                        str(tmp_path) + "/g", P, directed=False)
+    out, epochs = run_table_algorithm("coloring", d, seed=0)
+    assert out.num_rows == 4 and epochs > 0
+    res = run_table_algorithm("diameter", d)
+    assert res["diameter_lb"] == 3
+    assert sorted(_table_algorithms()) == sorted([
+        "hits", "bfs", "kcore", "scc", "mis", "hyperball", "betweenness",
+        "edge_betweenness", "sssp", "eigenvector", "katz", "coloring",
+        "harmonic", "diameter"])
+    with pytest.raises(KeyError):
+        run_table_algorithm("nope", d)
