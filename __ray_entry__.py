@@ -1224,6 +1224,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the HyperBall estimate; NetworkX-exact pytest + per-source
         # BFS golden twin)
         "graph_harmonic": _q_harmonic,
+        # SURVEY S8/S9 CSV interchange proof: the same hourly aggregate
+        # over a CSV round trip of the events table; the twin runs over
+        # the PARQUET view, so a hash match certifies losslessness
+        "events_hourly_csv": relational.events_hourly_csv,
     }
 
 
@@ -2469,5 +2473,16 @@ def oracle_sql() -> dict[str, str]:
         "graph_harmonic": f"""
             SELECT v, harmonic
             FROM read_parquet('{gg}/golden_harmonic.parquet')
+        """,
+        # deliberately the PARQUET-view twin: the Ray side answered from
+        # the CSV round trip, so the hash match proves losslessness
+        "events_hourly_csv": """
+            SELECT event_type,
+                   epoch_us(ts) // 3600000000 AS hour,
+                   count(*)::BIGINT AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM events
+            GROUP BY event_type, hour
         """,
     }

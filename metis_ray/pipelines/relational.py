@@ -228,7 +228,45 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
     hour per event_type. (event_type, hour, n_events, sum_value). ``hour`` is
     epoch-hours (int) so the SQL twin is exact."""
     ev = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+    return _events_hourly_agg(ev)
 
+
+_EVENTS_SCHEMA = pa.schema([
+    ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+    ("user_id", pa.int64()), ("event_type", pa.string()),
+    ("value", pa.float64()), ("props", pa.string())])
+
+
+def events_hourly_csv(sf_dir: str) -> rd.Dataset:
+    """The S8/S9 CSV interchange proof: land the events table as CSV,
+    read it back with the explicit schema (``sources/csvio.py``), run the
+    hourly aggregate with EXACT integer-cent sums — the DuckDB twin runs
+    over the PARQUET view, so a hash match certifies the CSV round trip
+    lost nothing (timestamps to the microsecond, doubles to the bit;
+    integer sums are block-order-free, unlike the float sums of
+    ``events_hourly`` whose bit pattern would depend on the CSV block
+    split)."""
+    from metis_ray.sources.csvio import csv_roundtrip_table
+    ev = csv_roundtrip_table(sf_dir, "events", _EVENTS_SCHEMA)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        hour = pc.divide(us, pa.scalar(3_600_000_000))
+        cents = pc.cast(pc.round(pc.multiply(batch["value"],
+                                             pa.scalar(100.0))),
+                        pa.int64())
+        return pa.table({"event_type": batch["event_type"],
+                         "hour": pc.cast(hour, pa.int64()),
+                         "cents": cents})
+
+    return (ev.select_columns(["ts", "event_type", "value"])
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby(["event_type", "hour"])
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("cents", alias_name="sum_cents")))
+
+
+def _events_hourly_agg(ev: rd.Dataset) -> rd.Dataset:
     def prep(batch: pa.Table) -> pa.Table:
         us = pc.cast(batch["ts"], pa.int64())       # microseconds since epoch
         hour = pc.divide(us, pa.scalar(3_600_000_000))
