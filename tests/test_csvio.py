@@ -42,3 +42,21 @@ def test_csv_hourly_equals_parquet_recomputation(ray_session):
     assert got["sum_cents"].tolist() == want["sum_cents"].tolist()
     assert got["event_type"].tolist() == want["event_type"].tolist()
     assert got["hour"].tolist() == want["hour"].tolist()
+
+
+def test_csv_quoting_adversarial_roundtrip(ray_session, tmp_path):
+    """M13 evidence: quotes, commas, newlines, unicode and empty strings
+    survive the CSV round trip verbatim."""
+    import ray.data as rd
+
+    from metis_ray.sources.csvio import read_table_csv, write_table_csv
+    vals = ['plain', 'comma, inside', 'quote " inside', "new\nline",
+            '", tricky ""csv"" case\n,"', 'ünïcodé → 終わり', '',
+            ' leading and trailing ']
+    t = pa.table({"id": pa.array(list(range(len(vals))), pa.int64()),
+                  "s": pa.array(vals, pa.string())})
+    out = str(tmp_path / "adv")
+    write_table_csv(rd.from_arrow(t), out)
+    got = (read_table_csv(out, t.schema).to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    assert got["s"].tolist() == vals
