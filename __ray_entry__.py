@@ -1228,6 +1228,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # over a CSV round trip of the events table; the twin runs over
         # the PARQUET view, so a hash match certifies losslessness
         "events_hourly_csv": relational.events_hourly_csv,
+        # predicate pushdown INTO the parquet scan (row-group stats prune
+        # rows at the read, not just columns); cent-exact sums
+        "orders_recent_status": relational.orders_recent_status,
     }
 
 
@@ -2484,5 +2487,14 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_cents
             FROM events
             GROUP BY event_type, hour
+        """,
+        "orders_recent_status": """
+            SELECT o_orderstatus,
+                   count(*)::BIGINT AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+            GROUP BY o_orderstatus
         """,
     }

@@ -13,6 +13,8 @@ broadcast dimension tables instead of shuffling fact tables.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -338,6 +340,37 @@ def events_with_prev(sf_dir: str) -> rd.Dataset:
         return out
 
     return ev.groupby("user_id").map_groups(lag, batch_format="pandas")
+
+
+def orders_recent_status(sf_dir: str, *, since: str = "2000-01-01",
+                         ) -> rd.Dataset:
+    """Status counts + cent-exact totals over orders at or after
+    ``since`` — with the predicate pushed INTO the parquet scan
+    (``filter=`` rides pyarrow's dataset scanner, so row groups whose
+    min/max statistics exclude the range never leave storage; the
+    SURVEY "prune at the read" rule applied to ROWS, not just columns).
+    Output (o_orderstatus, n_orders, sum_cents)."""
+    import datetime as _dt
+
+    import pyarrow.dataset as _pads
+
+    cutoff = _dt.datetime.fromisoformat(since)
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderstatus", "o_totalprice", "o_orderdate"],
+        filter=_pads.field("o_orderdate") >= pa.scalar(
+            cutoff, pa.timestamp("us")))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderstatus": batch["o_orderstatus"],
+            "cents": pc.cast(pc.round(pc.multiply(
+                batch["o_totalprice"], pa.scalar(100.0))), pa.int64())})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("o_orderstatus")
+            .aggregate(Count(alias_name="n_orders"),
+                       Sum("cents", alias_name="sum_cents")))
 
 
 def events_transitions(sf_dir: str) -> rd.Dataset:
