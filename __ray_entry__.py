@@ -626,6 +626,23 @@ def _q_orders_cube(sf_dir: str):
             .reset_index(drop=True))
 
 
+def _q_orders_unpivot(sf_dir: str):
+    """UNPIVOT (melt) of the pivot output back to long form: the
+    pivot/unpivot pair proves both reshapes are lossless. DuckDB twin:
+    the three SUM(CASE) columns unioned as rows (zero-count combos
+    included on both sides)."""
+    from metis_ray.pipelines.rollup import melt, pivot_counts
+    from metis_ray.sources.parquet import read_table
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderpriority", "o_orderstatus"])
+    wide = pivot_counts(orders, "o_orderpriority", "o_orderstatus",
+                        ["F", "O", "P"])
+    out = melt(wide, ["o_orderpriority"], ["n_F", "n_O", "n_P"],
+               var_name="status", value_name="n")
+    return (out.to_pandas().sort_values(["o_orderpriority", "status"])
+            .reset_index(drop=True))
+
+
 def _q_orders_pivot(sf_dir: str):
     """PIVOT by counting: orders per (priority row, status column) —
     one indicator pass + one groupby sum shuffle. DuckDB twin: the
@@ -1231,6 +1248,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # predicate pushdown INTO the parquet scan (row-group stats prune
         # rows at the read, not just columns); cent-exact sums
         "orders_recent_status": relational.orders_recent_status,
+        # UNPIVOT/melt of the pivot output (lossless reshape pair;
+        # SUM(CASE)-union DuckDB twin)
+        "orders_unpivot": _q_orders_unpivot,
     }
 
 
@@ -2496,5 +2516,21 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderdate >= TIMESTAMP '2000-01-01'
             GROUP BY o_orderstatus
+        """,
+        "orders_unpivot": """
+            SELECT o_orderpriority, 'n_F' AS status,
+                   sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0
+                       END)::BIGINT AS n
+            FROM orders GROUP BY o_orderpriority
+            UNION ALL
+            SELECT o_orderpriority, 'n_O',
+                   sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0
+                       END)::BIGINT
+            FROM orders GROUP BY o_orderpriority
+            UNION ALL
+            SELECT o_orderpriority, 'n_P',
+                   sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0
+                       END)::BIGINT
+            FROM orders GROUP BY o_orderpriority
         """,
     }

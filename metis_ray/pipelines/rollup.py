@@ -148,3 +148,26 @@ def pivot_counts(ds: rd.Dataset, row_key: str, col_key: str,
     return (ds.select_columns([row_key, col_key])
             .map_batches(indicators, batch_format="pyarrow")
             .groupby(row_key).aggregate(*aggs))
+
+
+def melt(ds: rd.Dataset, id_cols: list[str], value_cols: list[str], *,
+         var_name: str = "variable",
+         value_name: str = "value") -> rd.Dataset:
+    """UNPIVOT: one output row per (input row x value column) — the
+    inverse of ``pivot_counts``. Pure per-batch flat transform (column
+    slicing + concat, no shuffle, no Python loop over rows); the value
+    columns must share one Arrow type."""
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+
+    def unpivot(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            cols = {k: t[k] for k in id_cols}
+            cols[var_name] = pa.array([c] * t.num_rows, pa.string())
+            cols[value_name] = t[c]
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.select_columns(id_cols + value_cols).map_batches(
+        unpivot, batch_format="pyarrow")

@@ -122,3 +122,26 @@ def test_pivot_counts_matches_pandas(ray_session):
     ds2 = rd.from_pandas(pd.DataFrame({"k": ["q"] * 3, "s": ["w"] * 3}))
     g2 = pivot_counts(ds2, "k", "s", ["x"]).to_pandas()
     assert g2["n_x"].tolist() == [0]
+
+
+def test_melt_inverts_pivot(ray_session):
+    import pandas as pd
+
+    import ray.data as rd
+
+    from metis_ray.pipelines.rollup import melt, pivot_counts
+    rng = np.random.RandomState(9)
+    rows = pd.DataFrame({
+        "k": rng.choice(["a", "b"], 200),
+        "s": rng.choice(["x", "y"], 200)})
+    wide = pivot_counts(rd.from_pandas(rows), "k", "s", ["x", "y"])
+    long = (melt(wide, ["k"], ["n_x", "n_y"], var_name="s",
+                 value_name="n").to_pandas()
+            .sort_values(["k", "s"]).reset_index(drop=True))
+    want = (rows.groupby(["k", "s"], as_index=False).size()
+            .rename(columns={"size": "n"}))
+    want["s"] = "n_" + want["s"]
+    want = want.sort_values(["k", "s"]).reset_index(drop=True)
+    assert long["n"].tolist() == want["n"].tolist()
+    assert long["k"].tolist() == want["k"].tolist()
+    assert long["s"].tolist() == want["s"].tolist()
