@@ -1251,6 +1251,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # UNPIVOT/melt of the pivot output (lossless reshape pair;
         # SUM(CASE)-union DuckDB twin)
         "orders_unpivot": _q_orders_unpivot,
+        # cohort retention triangle (first-touch weekly cohorts, exact
+        # distinct actives per offset; LAG-free two-shuffle shape)
+        "events_retention": relational.events_retention,
     }
 
 
@@ -2532,5 +2535,21 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0
                        END)::BIGINT
             FROM orders GROUP BY o_orderpriority
+        """,
+        # identical first-touch weekly-cohort rule: cohort = epoch-week
+        # of the user's earliest signup, k = event week - cohort week
+        "events_retention": """
+            WITH c AS (
+                SELECT user_id,
+                       epoch_us(min(ts)) // 604800000000 AS cohort_week
+                FROM events WHERE event_type = 'signup' GROUP BY user_id
+            )
+            SELECT c.cohort_week,
+                   epoch_us(e.ts) // 604800000000 - c.cohort_week
+                       AS week_offset,
+                   count(DISTINCT e.user_id)::BIGINT AS users
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE epoch_us(e.ts) // 604800000000 >= c.cohort_week
+            GROUP BY c.cohort_week, week_offset
         """,
     }

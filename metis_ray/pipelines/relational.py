@@ -373,6 +373,62 @@ def orders_recent_status(sf_dir: str, *, since: str = "2000-01-01",
                        Sum("cents", alias_name="sum_cents")))
 
 
+def events_retention(sf_dir: str, *, cohort_type: str = "signup",
+                     ) -> rd.Dataset:
+    """Cohort retention: users are cohorted by the epoch-WEEK of their
+    first ``cohort_type`` event; for each (cohort_week, week_offset k)
+    count the distinct cohort members active (any event) in week
+    cohort+k. The classic product-analytics retention triangle. Output
+    (cohort_week, week_offset, users), k >= 0.
+
+    Scale shape: the cohort table is one groupby(user).min over the
+    FILTERED signup pass; attaching cohorts to events is one hash join;
+    distinct-user counting is a (cohort, k, user) dedup groupby followed
+    by a (cohort, k) count — the same two-shuffle shape as exact
+    count-distinct everywhere else. Nothing visits the driver."""
+    from metis_ray.pipelines.dedup import _join_parts, _nonempty_blocks
+
+    ev = read_table(sf_dir, "events",
+                    columns=["ts", "user_id", "event_type"])
+    wk = 7 * 24 * 3_600_000_000          # a week in microseconds
+
+    def first_touch(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["event_type"],
+                                  pa.scalar(cohort_type)))
+        return pa.table({"user_id": t["user_id"], "_ts": t["ts"]})
+
+    cohorts = (ev.map_batches(first_touch, batch_format="pyarrow")
+               .groupby("user_id").aggregate(Min("_ts", alias_name="_t0")))
+    cohorts, n = _nonempty_blocks(cohorts)
+    if cohorts is None or n == 0:
+        return rd.from_arrow(pa.table({
+            "cohort_week": pa.array([], pa.int64()),
+            "week_offset": pa.array([], pa.int64()),
+            "users": pa.array([], pa.int64())}))
+
+    j = ev.select_columns(["ts", "user_id"]).join(
+        cohorts, join_type="inner", num_partitions=_join_parts(),
+        on=("user_id",))
+
+    def weeks(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64())
+        t0 = pc.cast(batch["_t0"], pa.int64())
+        cw = pc.divide(t0, pa.scalar(wk))
+        k = pc.subtract(pc.divide(us, pa.scalar(wk)), cw)
+        t = pa.table({"cohort_week": pc.cast(cw, pa.int64()),
+                      "week_offset": pc.cast(k, pa.int64()),
+                      "user_id": batch["user_id"]})
+        t = t.filter(pc.greater_equal(t["week_offset"], 0))
+        return t.group_by(
+            ["cohort_week", "week_offset", "user_id"]).aggregate([])
+
+    distinct = (j.map_batches(weeks, batch_format="pyarrow")
+                .groupby(["cohort_week", "week_offset", "user_id"])
+                .aggregate(Count(alias_name="_n")))
+    return (distinct.groupby(["cohort_week", "week_offset"])
+            .aggregate(Count(alias_name="users")))
+
+
 def events_transitions(sf_dir: str) -> rd.Dataset:
     """Markov transition matrix of the event stream: global counts of
     consecutive (prev_type -> event_type) pairs within each user's

@@ -109,3 +109,32 @@ def test_funnel_empty_and_errors():
     assert _got(t, ["nosuch", "view"]) == [(0, "nosuch", 0), (1, "view", 0)]
     with pytest.raises(ValueError, match="non-empty"):
         funnel(rd.from_arrow(t), [])
+
+
+def test_retention_matches_sequential(ray_session):
+    """Cohort retention vs a sequential per-user transcription."""
+    import pyarrow.parquet as pq
+
+    from metis_ray.pipelines.relational import events_retention
+    SF = "/root/testdata/sf0.001"
+    got = {(int(r.cohort_week), int(r.week_offset)): int(r.users)
+           for r in events_retention(SF).to_pandas().itertuples()}
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "user_id", "event_type"]).to_pandas()
+    ev["week"] = ev["ts"].astype("int64") // (7 * 24 * 3_600_000_000)
+    first = (ev[ev["event_type"] == "signup"]
+             .groupby("user_id")["week"].min())
+    want: dict = {}
+    for u, wk, in ev[["user_id", "week"]].itertuples(index=False):
+        if u not in first.index:
+            continue
+        k = int(wk - first[u])
+        if k < 0:
+            continue
+        want.setdefault((int(first[u]), k), set()).add(int(u))
+    want = {key: len(s) for key, s in want.items()}
+    assert got == want
+    # retention never exceeds the cohort size (k=0 row)
+    for (cw, k), n in got.items():
+        assert n <= got[(cw, 0)]
