@@ -811,6 +811,25 @@ def _q_harmonic(sf_dir: str):
     return df
 
 
+def _q_closeness(sf_dir: str):
+    """k-source closeness centrality (unscaled r/sd over the 16 smallest
+    vertex ids) on the directed corpus graph — the reciprocal-of-mean
+    sibling of graph_harmonic, sharing the same (n,k) shard-resident
+    forward BFS. NetworkX closeness_centrality exact at sources=all
+    (Wasserman-Faust) in pytest; per-source sequential BFS golden twin."""
+    from metis_ray.graph.algos import closeness_shard
+    from metis_ray.graph.runner import GraphRunner
+    runner = GraphRunner(_graph_dir(sf_dir, directed=True))
+    try:
+        out, _ = closeness_shard(runner,
+                                 sources=_min_vertex_ids(runner, 16))
+    finally:
+        runner.shutdown()
+    df = out.to_pandas().sort_values("v").reset_index(drop=True)
+    df["closeness"] = df["closeness"].round(6)
+    return df
+
+
 # ---------------------------------------------------------------------------
 
 def entry() -> Any:
@@ -1241,6 +1260,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the HyperBall estimate; NetworkX-exact pytest + per-source
         # BFS golden twin)
         "graph_harmonic": _q_harmonic,
+        # k-source closeness centrality (same shard-resident BFS, r/sd
+        # fold; NetworkX-exact pytest at sources=all + BFS golden twin)
+        "graph_closeness": _q_closeness,
         # SURVEY S8/S9 CSV interchange proof: the same hourly aggregate
         # over a CSV round trip of the events table; the twin runs over
         # the PARQUET view, so a hash match certifies losslessness
@@ -2499,6 +2521,11 @@ def oracle_sql() -> dict[str, str]:
         "graph_harmonic": f"""
             SELECT v, harmonic
             FROM read_parquet('{gg}/golden_harmonic.parquet')
+        """,
+        # same 16-source sequential BFS, r/sd fold (goldens.py)
+        "graph_closeness": f"""
+            SELECT v, closeness
+            FROM read_parquet('{gg}/golden_closeness.parquet')
         """,
         # deliberately the PARQUET-view twin: the Ray side answered from
         # the CSV round trip, so the hash match proves losslessness

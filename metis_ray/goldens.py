@@ -470,7 +470,7 @@ def golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
 # for the iterative graph queries the driver otherwise checks rows-only.
 # ---------------------------------------------------------------------------
 
-_GRAPH_GOLDEN_VERSION = 12
+_GRAPH_GOLDEN_VERSION = 13
 
 
 def _core_numbers(n: int, adj: list[np.ndarray]) -> np.ndarray:
@@ -977,6 +977,8 @@ def graph_golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
     h_starts = np.searchsorted(h_s, np.arange(n))
     h_ends = np.searchsorted(h_s, np.arange(n), side="right")
     harm = np.zeros(n, dtype=np.float64)
+    clo_r = np.zeros(n, dtype=np.float64)       # #sources reaching v
+    clo_sd = np.zeros(n, dtype=np.float64)      # Σ d(s, v) over them
     for s0 in range(min(16, n)):
         hd = np.full(n, -1, dtype=np.int64)
         hd[s0] = 0
@@ -990,10 +992,20 @@ def graph_golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
                     hq.append(u0)
         pos_h = hd > 0
         harm[pos_h] += 1.0 / hd[pos_h]
+        clo_r[pos_h] += 1.0
+        clo_sd[pos_h] += hd[pos_h]
     pq.write_table(pa.table({
         "v": pa.array(ids, pa.int64()),
         "harmonic": pa.array(np.round(harm, 6), pa.float64())}),
         os.path.join(tmp, "golden_harmonic.parquet"))
+    # k-source closeness: the unscaled r/sd fold over the SAME 16-source
+    # BFS distances (the engine's closeness_shard(sources=...) variant)
+    clo = np.divide(clo_r, clo_sd, out=np.zeros_like(clo_r),
+                    where=clo_sd > 0)
+    pq.write_table(pa.table({
+        "v": pa.array(ids, pa.int64()),
+        "closeness": pa.array(np.round(clo, 6), pa.float64())}),
+        os.path.join(tmp, "golden_closeness.parquet"))
     eb = _edge_betweenness_golden(n, si, di, np.arange(min(16, n)))
     eb_rows = sorted((int(ids[a]), int(ids[b]), round(v, 6))
                      for (a, b), v in eb.items())

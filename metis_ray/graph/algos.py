@@ -1189,3 +1189,60 @@ def harmonic_shard(runner: GraphRunner, *, sources=None,
             break
     runner.apply_all(_harm_fold, src_ids)
     return runner.collect_vals({"harmonic": "harmonic"}), epochs
+
+
+# ---------------------------------------------------------------------------
+# Closeness centrality from a source set — same (n, k) multi-source
+# forward BFS as harmonic (incoming distances d(s, v) at each v), with the
+# reciprocal-of-mean fold instead of the mean-of-reciprocals:
+#   r(v)  = #sources s≠v with d(s, v) < ∞
+#   sd(v) = Σ d(s, v) over those sources
+#   c(v)  = r/sd           (k-source variant; 0 when nothing reaches v)
+# With sources=None and wf_improved=True the Wasserman–Faust scaling
+# r/(n-1) is applied, matching nx.closeness_centrality (which uses
+# INCOMING distance on digraphs) exactly.
+# ---------------------------------------------------------------------------
+
+def _close_fold(shard, scale_den: float) -> None:
+    dist = shard.vals["dist"]
+    ok = (dist != _I32INF) & (dist > 0)
+    r = ok.sum(axis=1).astype(np.float64)
+    sd = np.where(ok, dist, 0).astype(np.float64).sum(axis=1)
+    c = np.divide(r, sd, out=np.zeros_like(r), where=sd > 0)
+    if scale_den > 0:
+        c *= r / scale_den
+    shard.vals["closeness"] = c
+
+
+def closeness_shard(runner: GraphRunner, *, sources=None,
+                    wf_improved: bool = True, max_iter: int = 10_000):
+    """((v, closeness) pa.Table, epochs). ``sources=None`` (all sources,
+    Wasserman–Faust scaled when ``wf_improved``) equals NetworkX
+    ``closeness_centrality`` on the directed graph exactly; an explicit
+    ``sources`` list computes the unscaled k-source estimate r/sd (the
+    ``wf_improved`` flag is ignored — there is no standard scaling for a
+    source subset)."""
+    if sources is None:
+        src_ids = np.sort(np.concatenate(
+            runner.apply_all(lambda sh: sh.verts)))
+        n_total = len(src_ids)
+        scale_den = float(n_total - 1) if (wf_improved and n_total > 1) \
+            else 0.0
+    else:
+        src_ids = np.asarray(sorted(set(int(s) for s in sources)), np.int64)
+        scale_den = 0.0
+    found = sum(runner.apply_all(_bw_init, src_ids))
+    if found != len(src_ids):
+        raise ValueError("source is not a graph vertex")
+    k = len(src_ids)
+    epochs = 0
+    for t in range(max_iter):
+        if not any(runner.apply_all(_bw_stage)):
+            break
+        touched = runner.step_push("sf", "sum", "_inc", k=k, mask="fany",
+                                   update=_bw_fwd_update, uargs=(t,))
+        epochs += 1
+        if not any(touched):
+            break
+    runner.apply_all(_close_fold, scale_den)
+    return runner.collect_vals({"closeness": "closeness"}), epochs

@@ -179,3 +179,65 @@ def test_harmonic_k_sources_matches_transcription(ray_session, tmp_path):
                 want[v] += 1.0 / dd
     for v in range(n):
         assert got[v] == pytest.approx(want[v], abs=1e-9), v
+
+
+def test_closeness_full_matches_networkx(ray_session, tmp_path):
+    import networkx as nx
+    from metis_ray.graph.algos import closeness_shard
+    from metis_ray.graph.runner import GraphRunner
+    rng = np.random.RandomState(61)
+    n, m = 30, 100
+    src, dst = rng.randint(0, n, m), rng.randint(0, n, m)
+    d, pairs = _dir(src, dst, n, tmp_path, directed=True)
+    runner = GraphRunner(d)
+    try:
+        out, _ = closeness_shard(runner)     # sources = all, WF-scaled
+    finally:
+        runner.shutdown()
+    got = {int(r.v): float(r.closeness)
+           for r in out.to_pandas().itertuples()}
+    G = nx.DiGraph()
+    G.add_nodes_from(range(n))
+    G.add_edges_from(pairs)
+    want = nx.closeness_centrality(G)        # incoming-distance, WF-scaled
+    for v in range(n):
+        assert got[v] == pytest.approx(want[v], abs=1e-9), v
+
+
+def test_closeness_k_sources_matches_transcription(ray_session, tmp_path):
+    from metis_ray.graph.algos import closeness_shard
+    from metis_ray.graph.runner import GraphRunner
+    rng = np.random.RandomState(67)
+    n, m = 40, 150
+    src, dst = rng.randint(0, n, m), rng.randint(0, n, m)
+    sources = list(range(6))
+    d, pairs = _dir(src, dst, n, tmp_path, directed=True)
+    runner = GraphRunner(d)
+    try:
+        out, _ = closeness_shard(runner, sources=sources)
+    finally:
+        runner.shutdown()
+    got = {int(r.v): float(r.closeness)
+           for r in out.to_pandas().itertuples()}
+
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+    r_cnt = {v: 0 for v in range(n)}
+    sd = {v: 0 for v in range(n)}
+    for s in sources:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for u in adj.get(v, ()):
+                if u not in dist:
+                    dist[u] = dist[v] + 1
+                    q.append(u)
+        for v, dd in dist.items():
+            if dd > 0:
+                r_cnt[v] += 1
+                sd[v] += dd
+    for v in range(n):
+        want = r_cnt[v] / sd[v] if sd[v] > 0 else 0.0
+        assert got[v] == pytest.approx(want, abs=1e-9), v
