@@ -1035,6 +1035,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_brand_stats": relational.part_brand_stats,
         "part_top2_per_brand": relational.part_top2_per_brand,
         "part_brand_median": relational.part_brand_median,
+        # grouped second-order aggregates (corr/covar/regression) from
+        # exact int64 moment lanes; twin sums the same integers in
+        # HUGEINT and evaluates the identical double expression
+        "lineitem_corr_stats": relational.lineitem_corr_stats,
         "nation_union": relational.supplier_customer_nation_union,
         # --- training-data pipelines ---
         "docs_exact_dedup": dedup.exact_dedup,
@@ -1737,6 +1741,45 @@ def oracle_sql() -> dict[str, str]:
         "part_brand_median": """
             SELECT p_brand, round(median(p_retailprice), 2) AS median_price
             FROM part GROUP BY p_brand
+        """,
+        # same exact integer moments (HUGEINT sums), same final double
+        # expression term for term as relational.lineitem_corr_stats
+        "lineitem_corr_stats": """
+            WITH b AS (
+                SELECT l_returnflag,
+                       CAST(round(l_quantity) AS BIGINT) AS x,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                FROM lineitem
+            ), m AS (
+                SELECT l_returnflag,
+                       CAST(count(*) AS HUGEINT) AS n,
+                       CAST(sum(x) AS HUGEINT) AS sx,
+                       CAST(sum(y) AS HUGEINT) AS sy,
+                       CAST(sum(x * x) AS HUGEINT) AS sxx,
+                       CAST(sum(y * y) AS HUGEINT) AS syy,
+                       CAST(sum(x * y) AS HUGEINT) AS sxy
+                FROM b GROUP BY l_returnflag
+            )
+            SELECT l_returnflag,
+                   CAST(n AS BIGINT) AS n_rows,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))),
+                         6) AS corr_qty_price,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * (n - 1) AS DOUBLE),
+                         6) AS covar_qty_price,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE),
+                         6) AS regr_slope,
+                   round((CAST(sy AS DOUBLE)
+                          * CAST(n * sxx - sx * sx AS DOUBLE)
+                          - CAST(n * sxy - sx * sy AS DOUBLE)
+                            * CAST(sx AS DOUBLE))
+                         / (CAST(n AS DOUBLE)
+                            * CAST(n * sxx - sx * sx AS DOUBLE)),
+                         6) AS regr_intercept
+            FROM m
         """,
         "nation_union": """
             SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier

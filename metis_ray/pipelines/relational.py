@@ -701,6 +701,78 @@ def part_brand_median(sf_dir: str) -> rd.Dataset:
     return part.groupby("p_brand").map_groups(med, batch_format="pandas")
 
 
+def lineitem_corr_stats(sf_dir: str) -> pd.DataFrame:
+    """Grouped SECOND-ORDER aggregates (SURVEY §2.5 widened past
+    sum/mean): Pearson correlation, sample covariance and the
+    least-squares slope/intercept of quantity vs extended price per
+    return flag. (l_returnflag, n_rows, corr_qty_price, covar_qty_price,
+    regr_slope, regr_intercept); price in cents.
+
+    Exactness contract: x = quantity (int), y = price cents (int);
+    per-batch partials accumulate the six moments (n, Σx, Σy, Σx²,
+    Σy², Σxy) with int64 ``np.add.at`` (no float summation path), the
+    Σy² lane split into 1e9 hi/lo halves so neither a batch partial nor
+    the groupby-Sum total can overflow int64 (per-row y² ≤ 1e14; the
+    unsplit corpus total passes 2^63 near sf1). One tiny groupby
+    shuffle over k×batches moment rows; the driver reassembles exact
+    Python-int moments and evaluates the SAME double expression as the
+    DuckDB twin (which sums the identical integers in HUGEINT), so the
+    6-dp rounding hashes identically."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity",
+                             "l_extendedprice"])
+    split = 1_000_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        flags = np.asarray(t["l_returnflag"].to_pylist())
+        x = np.rint(t["l_quantity"].to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+        y = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                    * 100).astype(np.int64)
+        uniq, codes = np.unique(flags, return_inverse=True)
+        k = len(uniq)
+        yy = y * y
+        lanes = {"n": np.ones(len(x), np.int64), "sx": x, "sy": y,
+                 "sxx": x * x, "syy_hi": yy // split, "syy_lo": yy % split,
+                 "sxy": x * y}
+        cols: dict = {"l_returnflag": pa.array(uniq.tolist(), pa.string())}
+        for name, v in lanes.items():
+            acc = np.zeros(k, np.int64)
+            np.add.at(acc, codes, v)
+            cols[name] = pa.array(acc, pa.int64())
+        return pa.table(cols)
+
+    agg = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_returnflag")
+           .aggregate(*[Sum(c, alias_name=c) for c in
+                        ("n", "sx", "sy", "sxx", "syy_hi", "syy_lo",
+                         "sxy")]))
+    rows = []
+    for r in agg.to_pandas().itertuples():
+        n, sx, sy = int(r.n), int(r.sx), int(r.sy)
+        sxx, sxy = int(r.sxx), int(r.sxy)
+        syy = int(r.syy_hi) * split + int(r.syy_lo)   # exact Python int
+        num = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        if n < 2 or vx == 0 or vy == 0:
+            corr = covar = slope = icept = float("nan")
+        else:
+            # mirror the twin's double expression term for term
+            corr = float(num) / (np.sqrt(float(vx)) * np.sqrt(float(vy)))
+            covar = float(num) / float(n * (n - 1))
+            slope = float(num) / float(vx)
+            icept = ((float(sy) * float(vx) - float(num) * float(sx))
+                     / (float(n) * float(vx)))
+        rows.append({"l_returnflag": r.l_returnflag, "n_rows": n,
+                     "corr_qty_price": round(corr, 6),
+                     "covar_qty_price": round(covar, 6),
+                     "regr_slope": round(slope, 6),
+                     "regr_intercept": round(icept, 6)})
+    return (pd.DataFrame(rows).sort_values("l_returnflag")
+            .reset_index(drop=True))
+
+
 def supplier_customer_nation_union(sf_dir: str) -> rd.Dataset:
     """Set op (union + distinct): nation keys that appear as a supplier
     nation OR a customer nation. (nationkey,)."""
