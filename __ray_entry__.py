@@ -1112,6 +1112,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Misra-Gries heavy hitters (survival + undercount-bound pytest;
         # exact-equality twin on the small-vocab corpus)
         "docs_heavy_terms": textstats.heavy_terms,
+        # Count-Min point queries (linear sketch; never-undercount +
+        # eps-bound + exact-linearity pytest). The small synthetic
+        # vocabulary leaves every probe collision-free in all 4 rows, so
+        # the exact token-count SQL is a true twin at the test scales —
+        # verified at sf0.001/0.01/0.1; a collision would fail parity
+        # loudly, not silently
+        "docs_term_counts_cms": textstats.term_counts_cms,
         # PII redaction — Arrow RE2 kernels, exact-equality DuckDB twin on
         # a planted-PII corpus in pytest (same RE2 engine both sides)
         "docs_pii_scrub": textstats.pii_scrub,
@@ -1796,6 +1803,22 @@ def oracle_sql() -> dict[str, str]:
                         ELSE length(regexp_split_to_array(trim(text), '\\s+'))
                    END AS n_tokens
             FROM documents
+        """,
+        # exact token counts for the CMS probe terms — a true twin only
+        # because the probes are collision-free in all CM_DEPTH rows on
+        # this vocabulary (see queries() note); verified per scale
+        "docs_term_counts_cms": """
+            WITH toks AS (
+                SELECT unnest(regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+')) AS term
+                FROM documents WHERE trim(text) <> ''
+            )
+            SELECT term, count(*)::BIGINT AS approx_count
+            FROM toks
+            WHERE term IN ('batch', 'hash', 'join', 'merge', 'order',
+                           'scan', 'sort', 'stream', 'table', 'the',
+                           'window')
+            GROUP BY term
         """,
         "docs_cum_tokens": """
             WITH t AS (

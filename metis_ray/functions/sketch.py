@@ -136,3 +136,55 @@ def mg_merge(a: tuple[np.ndarray, np.ndarray],
     summed = np.zeros(len(uniq), dtype=np.int64)
     np.add.at(summed, inv, counts)
     return mg_compress(uniq, summed, k)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): point-queryable
+# frequency summary. LINEAR — merge is element-wise addition, so the
+# sketch of a union is exactly the sum of the parts' sketches in any
+# fold shape. Estimates never undercount; the overcount of any single
+# query is <= (e / width) * total_count with probability 1 - e^-depth.
+# ---------------------------------------------------------------------------
+
+CM_DEPTH = 4
+
+
+def _cms_rows(items, width: int) -> np.ndarray:
+    """(CM_DEPTH, len(items)) column indices via Kirsch-Mitzenmacher
+    double hashing over the 64-bit item hash: idx_r = (h1 + r*h2) % w
+    with h2 forced odd so rows can't all collapse to one index."""
+    h = hash64([str(v) for v in items]).astype(np.uint64)
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)
+    r = np.arange(CM_DEPTH, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + r * h2[None, :]) % np.uint64(width)
+            ).astype(np.int64)
+
+
+def cms_new(width: int = 8192) -> np.ndarray:
+    return np.zeros((CM_DEPTH, width), dtype=np.int64)
+
+
+def cms_add(sk: np.ndarray, items, counts=None) -> np.ndarray:
+    """Fold (item, count) pairs into the counter matrix in place."""
+    if len(items) == 0:
+        return sk
+    c = (np.ones(len(items), np.int64) if counts is None
+         else np.asarray(counts, dtype=np.int64))
+    idx = _cms_rows(items, sk.shape[1])
+    for r in range(CM_DEPTH):
+        np.add.at(sk[r], idx[r], c)
+    return sk
+
+
+def cms_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a + b
+
+
+def cms_query(sk: np.ndarray, items) -> np.ndarray:
+    """Estimated count per item: the row-wise minimum of its counters."""
+    if len(items) == 0:
+        return np.empty(0, np.int64)
+    idx = _cms_rows(items, sk.shape[1])
+    return np.min(
+        np.stack([sk[r, idx[r]] for r in range(CM_DEPTH)]), axis=0)

@@ -390,6 +390,61 @@ def heavy_terms(sf_dir: str, *, k: int = 4096, top: int = 20) -> pd.DataFrame:
             .head(top).reset_index(drop=True))
 
 
+# deterministic probe set for the registered docs_term_counts_cms query:
+# common tokens of the synthetic documents vocabulary, present at every sf
+CMS_PROBE_TERMS = ("batch", "hash", "join", "merge", "order", "scan",
+                   "sort", "stream", "table", "the", "window")
+
+
+def term_counts_cms(sf_dir: str, *, probes=CMS_PROBE_TERMS,
+                    width: int = 8192) -> pd.DataFrame:
+    """Point-query term frequencies via a Count-Min sketch — the
+    LINEAR member of the mergeable-sketch family (HLL distincts,
+    quantile summary, Misra-Gries heavy hitters, CMS point queries).
+    Per-batch exact token counts fold into a (CM_DEPTH, width) int64
+    counter matrix; because CMS merge is element-wise addition, the
+    tree-merge is exact in any fold shape and the shuffle moves a
+    fixed CM_DEPTH*width*8 bytes per block regardless of vocabulary
+    size. Output (term, approx_count) for the probe terms, term-asc.
+    Guarantees (never undercounts; overcount <= (e/width)*total w.p.
+    1-e^-CM_DEPTH; linearity exact) tested in tests/test_cms.py."""
+    from metis_ray.functions.sketch import CM_DEPTH, cms_add, cms_new, \
+        cms_query
+
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = cms_new(width)
+        words: list[str] = []
+        for t in batch["text"].to_pylist():
+            words.extend(t.lower().split())
+        if words:
+            u, c = np.unique(np.asarray(words, dtype=object),
+                             return_counts=True)
+            cms_add(sk, u, c.astype(np.int64))
+        return pa.table({"sk": pa.array([sk.ravel().tolist()],
+                                        pa.list_(pa.int64()))})
+
+    def merge_level(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(CM_DEPTH * width, dtype=np.int64)
+        for row in batch["sk"].to_pylist():
+            acc += np.asarray(row, dtype=np.int64)
+        return pa.table({"sk": pa.array([acc.tolist()],
+                                        pa.list_(pa.int64()))})
+
+    rows = (docs.map_batches(partial, batch_format="pyarrow")
+            .map_batches(merge_level, batch_format="pyarrow",
+                         batch_size=64)
+            .take_all())
+    sk = np.zeros((CM_DEPTH, width), dtype=np.int64)
+    for r in rows:
+        sk += np.asarray(r["sk"], dtype=np.int64).reshape(CM_DEPTH, width)
+    terms = sorted(str(p) for p in probes)
+    est = cms_query(sk, np.asarray(terms, dtype=object))
+    return pd.DataFrame({"term": terms,
+                         "approx_count": est.astype(np.int64)})
+
+
 # ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------
