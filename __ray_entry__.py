@@ -1093,6 +1093,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_approx_users": relational.events_approx_users,
         "ann_lsh_topk": similarity.ann_lsh_topk,
         "ann_ivf_topk": similarity.ann_ivf_topk,
+        # product-quantization ADC top-k (8-byte codes, 32x compression —
+        # the memory path for 10^12 vectors); recall-vs-exact pytest,
+        # exact-equality sequential golden twin (batch-invariant math)
+        "ann_pq_topk": similarity.ann_pq_topk,
         "pagerank_weighted": _q_pagerank_weighted,
         # persisted partition-by-centroid IVF: only the probed list dirs are
         # READ off storage (pytest: identical to ann_ivf_topk; nprobe=all
@@ -1600,6 +1604,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_indexed_topk": f"""
             SELECT query_id, neighbor_id, rnk
             FROM read_parquet('{d}/golden_ann_ivf.parquet')
+        """,
+        "ann_pq_topk": f"""
+            SELECT query_id, neighbor_id, rnk
+            FROM read_parquet('{d}/golden_ann_pq.parquet')
         """,
         "docs_token_pieces": """
             SELECT doc_id,

@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 # bump when any golden kernel below changes
-_GOLDEN_VERSION = 6
+_GOLDEN_VERSION = 8
 
 GOLDEN_ROOT = os.environ.get("METIS_RAY_GOLDEN_DIR", "/tmp/metis_ray_goldens")
 
@@ -455,6 +455,8 @@ def golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
                    os.path.join(tmp, "golden_ann_lsh.parquet"))
     pq.write_table(_ann_ivf_golden(sf_dir, emb_ids, emb_mat),
                    os.path.join(tmp, "golden_ann_ivf.parquet"))
+    pq.write_table(_ann_pq_golden(sf_dir, emb_ids, emb_mat),
+                   os.path.join(tmp, "golden_ann_pq.parquet"))
     with open(os.path.join(tmp, "manifest.json"), "w") as fh:
         json.dump(src_sig, fh)
     if os.path.exists(out):
@@ -860,6 +862,44 @@ def _hyperball_golden(n: int, si: np.ndarray, di: np.ndarray,
         prev, est = est, _estimate_rows(regs)
         harmonic += np.maximum(est - prev, 0.0) / t
     return est, harmonic
+
+
+def _ann_pq_golden(sf_dir: str, vec_ids: np.ndarray, mat: np.ndarray, *,
+                   k: int = 10, n_queries: int = 5, m: int = 8,
+                   ksub: int = 256, iters: int = 10,
+                   sample_size: int = 2048, seed: int = 42) -> pa.Table:
+    """Sequential transcription of similarity.ann_pq_topk: the codebooks
+    are the engine's own DRIVER-SIDE deterministic trainer
+    (train_pq_codebooks — single-process by construction, the
+    coarse-quantizer precedent); encoding, the per-query ADC lookup
+    table and the (score desc, id asc) top-k are re-derived here. The
+    engine's per-row float math is batch-invariant (fixed subspace
+    order), so equality is exact, not approximate."""
+    from metis_ray.pipelines.similarity import _pq_encode, \
+        train_pq_codebooks
+
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mn = mat / norms
+    order = np.argsort(vec_ids)
+    qsel = order[:n_queries]
+    books = train_pq_codebooks(sf_dir, m, ksub, iters, sample_size, seed)
+    dsub = books.shape[2]
+    codes = _pq_encode(mn, books)
+    o_q, o_n, o_r = [], [], []
+    for qi in qsel:
+        lut = np.stack([books[j] @ mn[qi, j * dsub:(j + 1) * dsub]
+                        for j in range(m)])
+        scores = np.zeros(len(mn), np.float64)
+        for j in range(m):
+            scores += lut[j, codes[:, j]]
+        nbr, rnk = _ann_rank(vec_ids, scores, k)
+        o_q.extend([int(vec_ids[qi])] * len(nbr))
+        o_n.extend(int(v) for v in nbr)
+        o_r.extend(int(r) for r in rnk)
+    return pa.table({"query_id": pa.array(o_q, pa.int64()),
+                     "neighbor_id": pa.array(o_n, pa.int64()),
+                     "rnk": pa.array(o_r, pa.int64())})
 
 
 def graph_golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
