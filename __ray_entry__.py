@@ -811,6 +811,22 @@ def _q_harmonic(sf_dir: str):
     return df
 
 
+def _q_topo_layers(sf_dir: str):
+    """Kahn topological layers of the directed corpus dependency graph —
+    the parallel build schedule (layer t = everything compilable once
+    layers < t are built); vertices on or downstream of an import cycle
+    keep layer = -1. Shard-resident in-degree peel; sequential-Kahn
+    golden twin + NetworkX topological_generations pytest oracle."""
+    from metis_ray.graph.algos import topo_shard
+    from metis_ray.graph.runner import GraphRunner
+    runner = GraphRunner(_graph_dir(sf_dir, directed=True))
+    try:
+        out, _ = topo_shard(runner)
+    finally:
+        runner.shutdown()
+    return out.to_pandas().sort_values("v").reset_index(drop=True)
+
+
 def _q_closeness(sf_dir: str):
     """k-source closeness centrality (unscaled r/sd over the 16 smallest
     vertex ids) on the directed corpus graph — the reciprocal-of-mean
@@ -1278,6 +1294,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # k-source closeness centrality (same shard-resident BFS, r/sd
         # fold; NetworkX-exact pytest at sources=all + BFS golden twin)
         "graph_closeness": _q_closeness,
+        # Kahn topological layers / cycle taint (shard-resident in-degree
+        # peel; nx.topological_generations pytest + sequential golden)
+        "graph_topo_layers": _q_topo_layers,
         # SURVEY S8/S9 CSV interchange proof: the same hourly aggregate
         # over a CSV round trip of the events table; the twin runs over
         # the PARQUET view, so a hash match certifies losslessness
@@ -2600,6 +2619,11 @@ def oracle_sql() -> dict[str, str]:
         "graph_closeness": f"""
             SELECT v, closeness
             FROM read_parquet('{gg}/golden_closeness.parquet')
+        """,
+        # sequential Kahn peel over the golden edge table (goldens.py)
+        "graph_topo_layers": f"""
+            SELECT v, layer
+            FROM read_parquet('{gg}/golden_topo.parquet')
         """,
         # deliberately the PARQUET-view twin: the Ray side answered from
         # the CSV round trip, so the hash match proves losslessness

@@ -472,7 +472,7 @@ def golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
 # for the iterative graph queries the driver otherwise checks rows-only.
 # ---------------------------------------------------------------------------
 
-_GRAPH_GOLDEN_VERSION = 13
+_GRAPH_GOLDEN_VERSION = 14
 
 
 def _core_numbers(n: int, adj: list[np.ndarray]) -> np.ndarray:
@@ -1046,6 +1046,28 @@ def graph_golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
         "v": pa.array(ids, pa.int64()),
         "closeness": pa.array(np.round(clo, 6), pa.float64())}),
         os.path.join(tmp, "golden_closeness.parquet"))
+    # Kahn topological layers over the same adjacency (sequential peel);
+    # vertices on or downstream of a cycle keep layer = -1
+    indeg = np.zeros(n, dtype=np.int64)
+    np.add.at(indeg, di, 1)
+    t_layer = np.full(n, -1, dtype=np.int64)
+    frontier = np.flatnonzero(indeg == 0)
+    t0 = 0
+    while len(frontier):
+        t_layer[frontier] = t0
+        nxt: list[int] = []
+        for v0 in frontier:
+            for j0 in range(h_starts[v0], h_ends[v0]):
+                u0 = int(h_d[j0])
+                indeg[u0] -= 1
+                if indeg[u0] == 0:
+                    nxt.append(u0)
+        frontier = np.asarray(nxt, dtype=np.int64)
+        t0 += 1
+    pq.write_table(pa.table({
+        "v": pa.array(ids, pa.int64()),
+        "layer": pa.array(t_layer, pa.int64())}),
+        os.path.join(tmp, "golden_topo.parquet"))
     eb = _edge_betweenness_golden(n, si, di, np.arange(min(16, n)))
     eb_rows = sorted((int(ids[a]), int(ids[b]), round(v, 6))
                      for (a, b), v in eb.items())

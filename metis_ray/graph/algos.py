@@ -174,6 +174,62 @@ def bfs_shard(runner: GraphRunner, seeds, *, max_iter: int = 10_000):
 
 
 # ---------------------------------------------------------------------------
+# Topological layering (Kahn peeling) — layer(v) = the superstep at which
+# v's in-degree reaches zero, i.e. nx.topological_generations on the
+# acyclic part; vertices on or downstream of a cycle are never removable
+# and keep layer = -1. For a code-dependency graph this is the parallel
+# build schedule (everything in one layer can compile concurrently) plus
+# the cycle taint set. One sum-push to seed in-degrees, one masked
+# sum-push per peel round.
+# ---------------------------------------------------------------------------
+
+def _topo_init(shard) -> None:
+    shard.vals["one"] = np.ones(shard.n, dtype=np.int64)
+    shard.vals["layer"] = np.full(shard.n, -1, dtype=np.int64)
+    shard.vals["fr"] = np.zeros(shard.n, dtype=np.int64)
+
+
+def _topo_set_indeg(shard) -> int:
+    shard.vals["indeg"] = shard.vals.pop("_ind").astype(np.int64)
+    del shard.vals["one"]
+    return 0
+
+
+def _topo_mark(shard, t: int) -> int:
+    fr = (shard.vals["layer"] == -1) & (shard.vals["indeg"] == 0)
+    shard.vals["layer"][fr] = t
+    shard.vals["fr"] = fr.astype(np.int64)
+    return int(fr.sum())
+
+
+def _topo_update(shard) -> int:
+    shard.vals["indeg"] = shard.vals["indeg"] - \
+        shard.vals.pop("_dec").astype(np.int64)
+    return 0
+
+
+def topo_shard(runner: GraphRunner, *, max_iter: int = 100_000):
+    """((v, layer) pa.Table, epochs) — Kahn layers following the graph
+    dir's edge direction over the DISTINCT edge set, self-loops ignored;
+    layer = -1 marks vertices on or downstream of a directed cycle.
+    Matches nx.topological_generations exactly on DAGs and the
+    sequential Kahn transcription on cyclic graphs
+    (tests/test_topo.py)."""
+    runner.apply_all(_topo_init)
+    runner.step_push("one", "sum", "_ind", dtype="int64", drop_self=True)
+    runner.apply_all(_topo_set_indeg)
+    epochs = 0
+    for t in range(max_iter):
+        marked = sum(runner.apply_all(_topo_mark, t))
+        if marked == 0:
+            break
+        runner.step_push("fr", "sum", "_dec", dtype="int64", mask="fr",
+                         drop_self=True, update=_topo_update)
+        epochs += 1
+    return runner.collect_vals({"layer": "layer"}), epochs
+
+
+# ---------------------------------------------------------------------------
 # k-core decomposition — h-index iteration (same fixpoint as
 # ``coreness_dataset``); one frequency exchange per superstep. Graph dir
 # must be UNDIRECTED (symmetrized); self-loops are dropped at runtime.
