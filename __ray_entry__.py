@@ -1044,6 +1044,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": relational.events_hourly,
         "events_sliding": relational.events_sliding,
         "events_with_prev": relational.events_with_prev,
+        # per-key cumulative window (unbounded-preceding frame; cent-exact
+        # running sums vs the HUGEINT window twin)
+        "events_running_total": relational.events_running_total,
         "events_sessionize": relational.events_sessionize,
         "orders_last_event": relational.orders_last_event,
         "events_last_order": relational.events_last_order,
@@ -1706,6 +1709,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, user_id,
                    round(coalesce(LAG(value) OVER (PARTITION BY user_id ORDER BY ts),
                                   -1.0), 2) AS prev_value
+            FROM events
+        """,
+        "events_running_total": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts)
+                        AS BIGINT) AS cum_cents
             FROM events
         """,
         "events_sessionize": """

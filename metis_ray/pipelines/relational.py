@@ -342,6 +342,30 @@ def events_with_prev(sf_dir: str) -> rd.Dataset:
     return ev.groupby("user_id").map_groups(lag, batch_format="pandas")
 
 
+def events_running_total(sf_dir: str) -> rd.Dataset:
+    """Per-key CUMULATIVE window (SUM OVER PARTITION BY key ORDER BY ts):
+    each user's running cent total in time order — the unbounded-preceding
+    frame completing the window family (tumbling/sliding/session/lag).
+    Hash-partition by user, per-group vectorized cumsum over the ts-sorted
+    group — no global sort, no driver state; cents keep the running sums
+    integer-exact against the HUGEINT window twin.
+    Output (event_id, user_id, cum_cents)."""
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "value"])
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        cents = np.rint(g["value"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "cum_cents": np.cumsum(cents),
+        })
+
+    return ev.groupby("user_id").map_groups(cum, batch_format="pandas")
+
+
 def orders_recent_status(sf_dir: str, *, since: str = "2000-01-01",
                          ) -> rd.Dataset:
     """Status counts + cent-exact totals over orders at or after
