@@ -1041,6 +1041,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts": relational.top_parts,
         "distinct_segments": relational.distinct_segments,
         "customers_without_orders": relational.customers_without_orders,
+        # hash-shuffle SEMI-join (EXISTS shape; left_semi)
+        "customers_with_orders": relational.customers_with_orders,
         "events_hourly": relational.events_hourly,
         "events_sliding": relational.events_sliding,
         "events_with_prev": relational.events_with_prev,
@@ -1686,6 +1688,10 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": """
             SELECT c_custkey FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "customers_with_orders": """
+            SELECT c_custkey FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         """,
         "events_hourly": """
             SELECT event_type,

@@ -225,6 +225,24 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def customers_with_orders(sf_dir: str) -> pd.DataFrame:
+    """Hash-shuffle SEMI-join (``left_semi`` — the EXISTS shape, completing
+    the join family next to the anti above): customers that placed at
+    least one order, each emitted once regardless of order count — the
+    property an inner join + dedup would need a second shuffle for.
+    Output (c_custkey)."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    okeys = read_table(sf_dir, "orders", columns=["o_custkey"]).rename_columns(
+        {"o_custkey": "c_custkey"})
+    nparts = max(2, min(8, int(ray.cluster_resources().get("CPU", 8)) - 2))
+    res = cust.join(okeys, join_type="left_semi", num_partitions=nparts,
+                    on=("c_custkey",))
+    df = res.to_pandas()
+    if "c_custkey" not in df.columns:
+        df = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64")})
+    return df
+
+
 def events_hourly(sf_dir: str) -> rd.Dataset:
     """Tumbling-window aggregate (streaming-shaped): events bucketed to the
     hour per event_type. (event_type, hour, n_events, sum_value). ``hour`` is
