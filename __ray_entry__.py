@@ -811,6 +811,21 @@ def _q_harmonic(sf_dir: str):
     return df
 
 
+def _q_louvain(sf_dir: str):
+    """Louvain phase-1 communities (synchronous local moving, alternating
+    parity, exact INTEGER modularity-gain arithmetic) over the undirected
+    multiplicity-weighted corpus graph — pure-Dataset rounds (label /
+    volume joins + groupbys; no driver-resident per-vertex state).
+    Deterministic ⇒ the sequential transcription
+    (graph/louvain.py::louvain_reference) is an exact golden twin;
+    planted-partition recovery in tests/test_louvain.py."""
+    from metis_ray.graph.louvain import louvain_dataset
+    from metis_ray.pipelines.linkgraph import graph_vertices, ingest
+    res = ingest(_corpus_dir(sf_dir))
+    out, _ = louvain_dataset(res.edges_file, graph_vertices(res.files))
+    return out.to_pandas().sort_values("v").reset_index(drop=True)
+
+
 def _q_topo_layers(sf_dir: str):
     """Kahn topological layers of the directed corpus dependency graph —
     the parallel build schedule (layer t = everything compilable once
@@ -1302,6 +1317,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Kahn topological layers / cycle taint (shard-resident in-degree
         # peel; nx.topological_generations pytest + sequential golden)
         "graph_topo_layers": _q_topo_layers,
+        # Louvain phase-1 communities (pure-Dataset rounds, integer gain
+        # arithmetic; transcription golden + planted-recovery pytest)
+        "graph_louvain": _q_louvain,
         # SURVEY S8/S9 CSV interchange proof: the same hourly aggregate
         # over a CSV round trip of the events table; the twin runs over
         # the PARQUET view, so a hash match certifies losslessness
@@ -2640,6 +2658,12 @@ def oracle_sql() -> dict[str, str]:
         "graph_topo_layers": f"""
             SELECT v, layer
             FROM read_parquet('{gg}/golden_topo.parquet')
+        """,
+        # sequential Louvain phase-1 transcription (louvain_reference
+        # over the golden edge table, goldens.py)
+        "graph_louvain": f"""
+            SELECT v, comm
+            FROM read_parquet('{gg}/golden_louvain.parquet')
         """,
         # deliberately the PARQUET-view twin: the Ray side answered from
         # the CSV round trip, so the hash match proves losslessness

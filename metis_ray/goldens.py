@@ -472,7 +472,7 @@ def golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
 # for the iterative graph queries the driver otherwise checks rows-only.
 # ---------------------------------------------------------------------------
 
-_GRAPH_GOLDEN_VERSION = 14
+_GRAPH_GOLDEN_VERSION = 16
 
 
 def _core_numbers(n: int, adj: list[np.ndarray]) -> np.ndarray:
@@ -1068,6 +1068,18 @@ def graph_golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
         "v": pa.array(ids, pa.int64()),
         "layer": pa.array(t_layer, pa.int64())}),
         os.path.join(tmp, "golden_topo.parquet"))
+    # Louvain phase-1: the module's documented sequential transcription
+    # over the undirected multiplicity-weighted pair set
+    from metis_ray.graph.louvain import louvain_reference
+    lv_pairs: dict = {}
+    for a0, b0, w0 in zip(ids[si].tolist(), ids[di].tolist(), wt.tolist()):
+        k0 = (min(a0, b0), max(a0, b0))
+        lv_pairs[k0] = lv_pairs.get(k0, 0) + int(w0)
+    lv = louvain_reference(lv_pairs, ids.tolist())
+    pq.write_table(pa.table({
+        "v": pa.array(ids, pa.int64()),
+        "comm": pa.array([lv[int(v)] for v in ids], pa.int64())}),
+        os.path.join(tmp, "golden_louvain.parquet"))
     eb = _edge_betweenness_golden(n, si, di, np.arange(min(16, n)))
     eb_rows = sorted((int(ids[a]), int(ids[b]), round(v, 6))
                      for (a, b), v in eb.items())
