@@ -38,6 +38,8 @@ def _table_algorithms() -> dict:
         "katz": algos.katz_shard,
         "coloring": algos.coloring_shard,
         "harmonic": algos.harmonic_shard,
+        "closeness": algos.closeness_shard,
+        "topo": algos.topo_shard,
         "diameter": algos.double_sweep_diameter,   # -> dict
     }
 

@@ -108,6 +108,6 @@ def test_run_table_algorithm_registry(ray_session, tmp_path):
     assert sorted(_table_algorithms()) == sorted([
         "hits", "bfs", "kcore", "scc", "mis", "hyperball", "betweenness",
         "edge_betweenness", "sssp", "eigenvector", "katz", "coloring",
-        "harmonic", "diameter"])
+        "harmonic", "closeness", "topo", "diameter"])
     with pytest.raises(KeyError):
         run_table_algorithm("nope", d)
