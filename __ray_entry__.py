@@ -812,7 +812,7 @@ def _q_harmonic(sf_dir: str):
 
 
 def _q_louvain(sf_dir: str):
-    """Louvain phase-1 communities (synchronous local moving, alternating
+    """Two-level Louvain communities (synchronous local moving, alternating
     parity, exact INTEGER modularity-gain arithmetic) over the undirected
     multiplicity-weighted corpus graph — pure-Dataset rounds (label /
     volume joins + groupbys; no driver-resident per-vertex state).
@@ -822,7 +822,8 @@ def _q_louvain(sf_dir: str):
     from metis_ray.graph.louvain import louvain_dataset
     from metis_ray.pipelines.linkgraph import graph_vertices, ingest
     res = ingest(_corpus_dir(sf_dir))
-    out, _ = louvain_dataset(res.edges_file, graph_vertices(res.files))
+    out, _ = louvain_dataset(res.edges_file, graph_vertices(res.files),
+                             levels=2, max_rounds=8)
     return out.to_pandas().sort_values("v").reset_index(drop=True)
 
 

@@ -472,7 +472,7 @@ def golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
 # for the iterative graph queries the driver otherwise checks rows-only.
 # ---------------------------------------------------------------------------
 
-_GRAPH_GOLDEN_VERSION = 16
+_GRAPH_GOLDEN_VERSION = 18
 
 
 def _core_numbers(n: int, adj: list[np.ndarray]) -> np.ndarray:
@@ -1075,7 +1075,8 @@ def graph_golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
     for a0, b0, w0 in zip(ids[si].tolist(), ids[di].tolist(), wt.tolist()):
         k0 = (min(a0, b0), max(a0, b0))
         lv_pairs[k0] = lv_pairs.get(k0, 0) + int(w0)
-    lv = louvain_reference(lv_pairs, ids.tolist())
+    lv = louvain_reference(lv_pairs, ids.tolist(), levels=2,
+                           max_rounds=8)
     pq.write_table(pa.table({
         "v": pa.array(ids, pa.int64()),
         "comm": pa.array([lv[int(v)] for v in ids], pa.int64())}),

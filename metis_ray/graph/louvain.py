@@ -1,8 +1,7 @@
-"""Louvain community detection, phase 1 (synchronous local moving) as a
-PURE-Dataset formulation — every round is label/volume joins + groupby
-shuffles over Datasets; no per-vertex state ever sits on the driver (the
-round-4 verdict's anti-pattern), which is what lets the label table scale
-past one machine.
+"""Louvain community detection as a PURE-Dataset formulation — every
+local-moving round is label/volume joins + groupby shuffles over Datasets;
+no per-vertex state ever sits on the driver (the round-4 verdict's
+anti-pattern), which is what lets the label table scale past one machine.
 
 Semantics (deterministic by construction, so a sequential transcription is
 an exact-equality oracle):
@@ -10,11 +9,11 @@ an exact-equality oracle):
 * Undirected weighted graph: w{a,b} = total multiplicity over both
   directed orientations, self-loops dropped; vol(v) = weighted degree,
   2m = Σ vol.
-* Round t: every vertex v with (v + t) % 2 == 0 (the alternating-parity
-  gate of distributed Louvain — prevents the synchronous two-cycle where
-  neighbor pairs endlessly swap communities) evaluates the classic
-  modularity gain of joining each NEIGHBOR community C against staying,
-  using the PRE-round labels and volumes:
+* Local-moving round t: every node v with (v + t) % 2 == 0 (the
+  alternating-parity gate of distributed Louvain — prevents the
+  synchronous two-cycle where neighbor pairs endlessly swap communities)
+  evaluates the classic modularity gain of joining each NEIGHBOR
+  community C against staying, using the PRE-round labels and volumes:
 
       score(move to C) = 2m * w(v, C)   - deg(v) * vol(C)
       score(stay)      = 2m * w(v, own) - deg(v) * (vol(own) - deg(v))
@@ -26,21 +25,27 @@ an exact-equality oracle):
   ~10^9 total edge multiplicity with 10^6-weight neighbors — past that,
   switch the score lanes to the hi/lo-split trick of
   relational.lineitem_corr_stats.
-* Stop when an even+odd round pair moves nothing, or after max_rounds
-  (default 12: the bulk of consolidation lands in the first ~8 rounds;
-  past that the synchronous dynamics enter a small 2-round limit cycle —
-  vertices shuttling between equally attractive communities as volumes
-  flip — that phase-2 coarsening would dissolve. The cap is part of the
-  recurrence, so the transcription stops at the identical state).
-
-Phase 2 (coarsening) composes on top by contracting each community to a
-vertex (groupby the labels) and re-running; phase 1 is where all the
-distributed machinery lives.
+* A level stops when an even+odd round pair moves nothing, or after
+  max_rounds (default 12: the bulk of consolidation lands in the first
+  ~8 rounds; past that the synchronous dynamics enter a small 2-round
+  limit cycle — vertices shuttling between equally attractive
+  communities as volumes flip — which the NEXT coarsening level
+  dissolves. The cap is part of the recurrence, so the transcription
+  stops at the identical state).
+* Phase 2 (``levels`` > 1): contract each community to a node — coarse
+  edge weights = summed inter-community weights (one groupby), coarse
+  node degree = the community's FULL volume (internal mass included, the
+  standard Louvain coarse-level degree; 2m is invariant) — and re-run
+  local moving on the contracted graph; final labels project back
+  through one join per level. Internal (self-loop) weight never appears
+  as a move candidate — it travels with the node — but it DOES ride in
+  deg/vol, exactly as Louvain requires.
 
 Scale shape per round: one label join onto the edge table, one
-(vertex, neighbor-community) weight groupby, two small attach joins, one
-per-vertex map_groups argmax, one volume groupby — label and volume
-tables stay distributed, the driver sees one moved-count scalar.
+(node, neighbor-community) weight groupby, three small attach joins, one
+bucket-vectorized argmax, one volume groupby — label and volume tables
+stay distributed, the driver sees one moved-count scalar. Contraction is
+two label joins + one groupby per level.
 
 Reference analogue: the iterative min-label convergence loops the
 reference runs per wafer region (SURVEY.md §2.9); NetworkX's
@@ -59,8 +64,6 @@ import ray.data as rd
 from ray.data.aggregate import Sum
 
 from metis_ray.pipelines.dedup import _join_parts, _nonempty_blocks
-
-_EMPTY = pa.schema([("v", pa.int64()), ("comm", pa.int64())])
 
 
 def _undirected_weights(edges: rd.Dataset) -> rd.Dataset:
@@ -98,43 +101,43 @@ def _undirected_weights(edges: rd.Dataset) -> rd.Dataset:
     return und.map_batches(both, batch_format="pyarrow")
 
 
-def louvain_dataset(edges: rd.Dataset, vertices: rd.Dataset, *,
-                    max_rounds: int = 12) -> tuple[rd.Dataset, int]:
-    """((v, comm) Dataset over ALL vertices — isolated ones stay
-    singleton — and the number of rounds executed). See module docstring
-    for the exact synchronous recurrence."""
-    parts = _join_parts()
-    e, n_e = _nonempty_blocks(_undirected_weights(edges))
-    if e is None:
-        def single(batch: pa.Table) -> pa.Table:
-            v = batch["vertex_id"]
-            return pa.table({"v": v, "comm": v})
-        return vertices.map_batches(single, batch_format="pyarrow"), 0
-    e = e.materialize()
-
-    deg = e.groupby("a").aggregate(Sum("w", alias_name="deg"))
-    deg, _ = _nonempty_blocks(deg)
-    deg = deg.materialize()
-    two_m = int(e.aggregate(Sum("w"))["sum(w)"])   # both orientations = 2m
-
-    def init_labels(batch: pa.Table) -> pa.Table:
-        return pa.table({"v": batch["a"], "comm": batch["a"]})
-
-    labels = deg.map_batches(init_labels, batch_format="pyarrow"
-                             ).materialize()
-    labels, _ = _nonempty_blocks(labels)
-    # static per round: deg keyed for the vertex attach
-    dg = deg.map_batches(lambda tb: tb.rename_columns(["a", "deg"]),
-                         batch_format="pyarrow")
-    dg, _ = _nonempty_blocks(dg)
-    dg = dg.materialize()
-    dg_v = deg.map_batches(lambda tb: tb.rename_columns(["v", "deg"]),
-                           batch_format="pyarrow")
+def _local_moving(e: rd.Dataset, deg: rd.Dataset, two_m: int, parts: int,
+                  max_rounds: int) -> tuple[rd.Dataset, int]:
+    """One Louvain level over ``e`` (a, b, w — both orientations, no
+    self rows, compacted+materialized) with node degrees from ``deg``
+    (v, deg — may include internal mass at coarse levels and may cover
+    nodes absent from ``e``; those keep their singleton label).
+    Returns ((v, comm) Dataset covering every deg node, rounds)."""
+    dg_v = deg.materialize()
     dg_v, _ = _nonempty_blocks(dg_v)
-    dg_v = dg_v.materialize()
+    if dg_v is None:
+        return rd.from_arrow(pa.table({"v": pa.array([], pa.int64()),
+                                       "comm": pa.array([], pa.int64())})), 0
+    dg = dg_v.map_batches(lambda tb: tb.rename_columns(["a", "deg"]),
+                          batch_format="pyarrow").materialize()
+
+    # nodes with at least one external edge run the loop; the rest keep
+    # their singleton label (they can never move nor be a move target)
+    enodes = e.groupby("a").aggregate(Sum("w", alias_name="_d"))
+    enodes, _ = _nonempty_blocks(enodes)
+    if enodes is None:
+        lonely_all = dg_v.map_batches(
+            lambda tb: pa.table({"v": tb["v"], "comm": tb["v"]}),
+            batch_format="pyarrow")
+        return lonely_all, 0
+    loop_nodes = enodes.map_batches(
+        lambda tb: pa.table({"v": tb["a"]}), batch_format="pyarrow")
+    loop_nodes, _ = _nonempty_blocks(loop_nodes)
+    lonely = dg_v.select_columns(["v"]).join(
+        loop_nodes, join_type="left_anti", num_partitions=parts, on=("v",))
+    lonely, _ = _nonempty_blocks(lonely)
+
+    labels = loop_nodes.map_batches(
+        lambda tb: pa.table({"v": tb["v"], "comm": tb["v"]}),
+        batch_format="pyarrow").materialize()
+    labels, _ = _nonempty_blocks(labels)
 
     def volumes(lab: rd.Dataset) -> rd.Dataset:
-        # lab arrives compacted; rename map_batches preserves that
         j = lab.join(dg_v, join_type="inner",
                      num_partitions=parts, on=("v",))
         vol = j.groupby("comm").aggregate(Sum("deg", alias_name="vol"))
@@ -184,7 +187,7 @@ def louvain_dataset(edges: rd.Dataset, vertices: rd.Dataset, *,
             return tb.append_column("bucket", pa.array(b, pa.int64()))
 
         def pick(g: pd.DataFrame, _t=t, _2m=two_m) -> pd.DataFrame:
-            # vectorized argmax over every vertex in this hash bucket
+            # vectorized argmax over every node in this hash bucket
             a = g["a"].to_numpy(np.int64)
             order = np.argsort(a, kind="stable")
             a = a[order]
@@ -207,7 +210,7 @@ def louvain_dataset(edges: rd.Dataset, vertices: rd.Dataset, *,
             best_s = np.full(len(ua), np.iinfo(np.int64).min, np.int64)
             best_c = np.zeros(len(ua), np.int64)
             if len(s):
-                o2 = np.lexsort((ci, -s, gi))   # per vertex: score desc,
+                o2 = np.lexsort((ci, -s, gi))   # per node: score desc,
                 gi2, s2, c2 = gi[o2], s[o2], ci[o2]   # then comm-id asc
                 head = np.r_[True, gi2[1:] != gi2[:-1]]
                 best_s[gi2[head]] = s2[head]
@@ -233,6 +236,92 @@ def louvain_dataset(edges: rd.Dataset, vertices: rd.Dataset, *,
         else:
             quiet = 0
             vol = volumes(labels)
+    if lonely is not None:
+        singles = lonely.map_batches(
+            lambda tb: pa.table({"v": tb["v"], "comm": tb["v"]}),
+            batch_format="pyarrow")
+        labels = labels.union(singles).materialize()
+        labels, _ = _nonempty_blocks(labels)
+    return labels, rounds
+
+
+def louvain_dataset(edges: rd.Dataset, vertices: rd.Dataset, *,
+                    max_rounds: int = 12,
+                    levels: int = 1) -> tuple[rd.Dataset, int]:
+    """((v, comm) Dataset over ALL vertices — isolated ones stay
+    singleton — and the total local-moving rounds across levels). See
+    module docstring for the exact recurrence; ``levels`` > 1 adds
+    coarsening passes (full multi-level Louvain)."""
+    parts = _join_parts()
+    e, _ = _nonempty_blocks(_undirected_weights(edges))
+    if e is None:
+        def single(batch: pa.Table) -> pa.Table:
+            v = batch["vertex_id"]
+            return pa.table({"v": v, "comm": v})
+        return vertices.map_batches(single, batch_format="pyarrow"), 0
+    e = e.materialize()
+
+    deg = (e.groupby("a").aggregate(Sum("w", alias_name="deg"))
+           .map_batches(lambda tb: tb.rename_columns(["v", "deg"]),
+                        batch_format="pyarrow"))
+    two_m = int(e.aggregate(Sum("w"))["sum(w)"])   # both orientations = 2m
+
+    labels, total_rounds = _local_moving(e, deg, two_m, parts, max_rounds)
+
+    for _lvl in range(1, levels):
+        # coarse node degree = FULL community volume (internal mass rides
+        # in deg/vol; 2m is invariant across levels)
+        deg2 = (labels.join(deg, join_type="inner", num_partitions=parts,
+                            on=("v",))
+                .groupby("comm").aggregate(Sum("deg", alias_name="deg"))
+                .map_batches(lambda tb: tb.rename_columns(["v", "deg"]),
+                             batch_format="pyarrow"))
+        # contract: inter-community weights only (self rows dropped)
+        lab_a = labels.map_batches(
+            lambda tb: tb.rename_columns(["a", "ca"]),
+            batch_format="pyarrow")
+        lab_b = labels.map_batches(
+            lambda tb: tb.rename_columns(["b", "cb"]),
+            batch_format="pyarrow")
+        ej = e.join(lab_a, join_type="inner", num_partitions=parts,
+                    on=("a",))
+        ej, _ = _nonempty_blocks(ej)
+        if ej is None:
+            break
+        ej = ej.join(lab_b, join_type="inner", num_partitions=parts,
+                     on=("b",))
+
+        def coarse(tb: pa.Table) -> pa.Table:
+            ca = tb["ca"].to_numpy(zero_copy_only=False)
+            cb = tb["cb"].to_numpy(zero_copy_only=False)
+            w = tb["w"].to_numpy(zero_copy_only=False)
+            keep = ca != cb
+            return pa.table({"a": pa.array(ca[keep], pa.int64()),
+                             "b": pa.array(cb[keep], pa.int64()),
+                             "w": pa.array(w[keep].astype(np.int64),
+                                           pa.int64())})
+
+        e2 = (ej.map_batches(coarse, batch_format="pyarrow")
+              .groupby(["a", "b"]).aggregate(Sum("w", alias_name="w")))
+        e2, _ = _nonempty_blocks(e2)
+        if e2 is None:
+            break                                # one community per block
+        e2 = e2.materialize()
+        l2, r2 = _local_moving(e2, deg2, two_m, parts, max_rounds)
+        total_rounds += r2
+        # project: v -> c1 -> c2
+        l2r = l2.map_batches(
+            lambda tb: tb.rename_columns(["comm", "comm2"]),
+            batch_format="pyarrow")
+        l2r, _ = _nonempty_blocks(l2r)
+        labels = labels.join(l2r, join_type="inner", num_partitions=parts,
+                             on=("comm",))
+        labels = labels.map_batches(
+            lambda tb: pa.table({"v": tb["v"], "comm": tb["comm2"]}),
+            batch_format="pyarrow").materialize()
+        labels, _ = _nonempty_blocks(labels)
+        e, deg = e2, deg2
+
     # isolated vertices: not in any edge -> singleton communities
     lab_r, _ = _nonempty_blocks(labels)
     vt = vertices.map_batches(
@@ -243,7 +332,7 @@ def louvain_dataset(edges: rd.Dataset, vertices: rd.Dataset, *,
         out = vt.map_batches(lambda tb: pa.table({"v": tb["v"],
                                                   "comm": tb["v"]}),
                              batch_format="pyarrow")
-        return out, rounds
+        return out, total_rounds
     iso = vt.join(lab_r.select_columns(["v"]), join_type="left_anti",
                   num_partitions=parts, on=("v",))
     iso, _ = _nonempty_blocks(iso)
@@ -252,32 +341,25 @@ def louvain_dataset(edges: rd.Dataset, vertices: rd.Dataset, *,
             lambda tb: pa.table({"v": tb["v"], "comm": tb["v"]}),
             batch_format="pyarrow")
         labels = labels.union(singles)
-    return labels, rounds
+    return labels, total_rounds
 
 
-def louvain_reference(pairs_w: dict, vids, *,
-                      max_rounds: int = 12) -> dict[int, int]:
-    """Sequential transcription of the EXACT recurrence above (the pytest
-    and golden oracle): ``pairs_w`` maps canonical (a < b) pairs to their
-    undirected integer weight."""
-    adj: dict = {int(v): {} for v in vids}
-    for (a, b), w in pairs_w.items():
-        if a == b:
-            continue
-        adj[a][b] = adj[a].get(b, 0) + int(w)
-        adj[b][a] = adj[b].get(a, 0) + int(w)
-    deg = {v: sum(adj[v].values()) for v in adj}
-    two_m = sum(deg.values())
-    comm = {v: v for v in adj}
-    vol = {v: deg[v] for v in adj}              # vol keyed by community id
+def _local_moving_ref(adj: dict, deg: dict, two_m: int,
+                      max_rounds: int) -> tuple[dict, int]:
+    """Sequential transcription of one ``_local_moving`` level."""
+    comm = {v: v for v in adj if adj[v]}
+    for v in deg:
+        comm.setdefault(v, v)                   # lonely -> singleton
+    vol: dict = {}
+    for v, c in comm.items():
+        if adj.get(v):
+            vol[c] = vol.get(c, 0) + deg.get(v, 0)
     quiet = 0
     rounds = 0
     for t in range(max_rounds):
-        if two_m == 0:
-            break
         new_comm = dict(comm)
         moves = 0
-        for v in adj:
+        for v in sorted(adj):
             if not adj[v] or (v + t) % 2:
                 continue
             own_c = comm[v]
@@ -307,5 +389,45 @@ def louvain_reference(pairs_w: dict, vids, *,
             quiet = 0
             vol = {}
             for v in adj:
-                vol[comm[v]] = vol.get(comm[v], 0) + deg[v]
-    return comm
+                if adj[v]:
+                    vol[comm[v]] = vol.get(comm[v], 0) + deg[v]
+    return comm, rounds
+
+
+def louvain_reference(pairs_w: dict, vids, *, max_rounds: int = 12,
+                      levels: int = 1) -> dict[int, int]:
+    """Sequential transcription of the EXACT multi-level recurrence above
+    (the pytest and golden oracle): ``pairs_w`` maps canonical (a < b)
+    pairs to their undirected integer weight."""
+    adj: dict = {int(v): {} for v in vids}
+    for (a, b), w in pairs_w.items():
+        if a == b:
+            continue
+        adj.setdefault(a, {})
+        adj.setdefault(b, {})
+        adj[a][b] = adj[a].get(b, 0) + int(w)
+        adj[b][a] = adj[b].get(a, 0) + int(w)
+    deg = {v: sum(adj[v].values()) for v in adj}
+    two_m = sum(deg.values())
+    if two_m == 0:
+        return {int(v): int(v) for v in vids}
+    comm, _ = _local_moving_ref(adj, deg, two_m, max_rounds)
+    for _lvl in range(1, levels):
+        deg2: dict = {}
+        for v, d in deg.items():
+            if adj.get(v):
+                deg2[comm[v]] = deg2.get(comm[v], 0) + d
+        adj2: dict = {c: {} for c in deg2}
+        for v in adj:
+            for u, w in adj[v].items():
+                cv, cu = comm[v], comm[u]
+                if cv != cu:
+                    adj2[cv][cu] = adj2[cv].get(cu, 0) + w
+        if not any(adj2[c] for c in adj2):
+            break
+        comm2, _ = _local_moving_ref(adj2, deg2, two_m, max_rounds)
+        comm = {v: comm2.get(c, c) for v, c in comm.items()}
+        adj, deg = adj2, deg2
+    out = {int(v): int(v) for v in vids}
+    out.update({v: c for v, c in comm.items()})
+    return out

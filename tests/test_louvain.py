@@ -59,3 +59,46 @@ def test_louvain_empty_graph_all_singletons(ray_session):
     got, rounds = _run({}, 5)
     assert got == {v: v for v in range(5)}
     assert rounds == 0
+
+
+def test_louvain_two_level_merges_hierarchy(ray_session):
+    """Hierarchical plant: 4 cliques of 5; cliques (0,1) and (2,3) are
+    bridged by 5 weight-2 edges each, the two super-groups by one weak
+    edge. Level 1 alone leaves 10 communities on this graph; level 2
+    must collapse each bridged pair — final partition = exactly the two
+    super-groups (verified against the transcription too)."""
+    from metis_ray.graph.louvain import louvain_reference
+    pairs = {}
+    members = [list(range(b, b + 5)) for b in (0, 5, 10, 15)]
+    for mem in members:
+        for i in mem:
+            for j in mem:
+                if i < j:
+                    pairs[(i, j)] = 1
+    for a, b in ((0, 5), (1, 6), (2, 7), (3, 8), (4, 9)):
+        pairs[(a, b)] = 2                          # bridge cliques 0-1
+    for a, b in ((10, 15), (11, 16), (12, 17), (13, 18), (14, 19)):
+        pairs[(a, b)] = 2                          # bridge cliques 2-3
+    pairs[(4, 19)] = 1                             # weak super-group link
+    assert len(set(louvain_reference(pairs, range(20),
+                                     levels=1).values())) > 2
+    got, _ = _run(pairs, 20, levels=2)
+    want = louvain_reference(pairs, range(20), levels=2)
+    assert got == want
+    g01 = {got[v] for v in range(10)}
+    g23 = {got[v] for v in range(10, 20)}
+    assert len(g01) == 1 and len(g23) == 1 and g01 != g23
+
+
+def test_louvain_two_level_matches_transcription_random(ray_session):
+    from metis_ray.graph.louvain import louvain_reference
+    rng = np.random.RandomState(43)
+    n, m = 35, 100
+    pw: dict = {}
+    for a, b in zip(rng.randint(0, n, m), rng.randint(0, n, m)):
+        if a != b:
+            k = (min(int(a), int(b)), max(int(a), int(b)))
+            pw[k] = pw.get(k, 0) + int(rng.randint(1, 4))
+    got, _ = _run(pw, n, levels=2)
+    want = louvain_reference(pw, range(n), levels=2)
+    assert got == want
