@@ -1134,6 +1134,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the memory path for 10^12 vectors); recall-vs-exact pytest,
         # exact-equality sequential golden twin (batch-invariant math)
         "ann_pq_topk": similarity.ann_pq_topk,
+        # IVFADC: coarse lists prune WHAT is read, PQ codes compress WHAT
+        # is scored — the canonical 10^12-vector composition; recall
+        # pytest + exact-equality sequential golden twin
+        "ann_ivfpq_topk": similarity.ann_ivfpq_topk,
         "pagerank_weighted": _q_pagerank_weighted,
         # persisted partition-by-centroid IVF: only the probed list dirs are
         # READ off storage (pytest: identical to ann_ivf_topk; nprobe=all
@@ -1651,6 +1655,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": f"""
             SELECT query_id, neighbor_id, rnk
             FROM read_parquet('{d}/golden_ann_pq.parquet')
+        """,
+        "ann_ivfpq_topk": f"""
+            SELECT query_id, neighbor_id, rnk
+            FROM read_parquet('{d}/golden_ann_ivfpq.parquet')
         """,
         "docs_token_pieces": """
             SELECT doc_id,

@@ -33,7 +33,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 # bump when any golden kernel below changes
-_GOLDEN_VERSION = 8
+_GOLDEN_VERSION = 9
 
 GOLDEN_ROOT = os.environ.get("METIS_RAY_GOLDEN_DIR", "/tmp/metis_ray_goldens")
 
@@ -457,6 +457,8 @@ def golden_dir_for_sf(sf_dir: str, root: str = GOLDEN_ROOT) -> str:
                    os.path.join(tmp, "golden_ann_ivf.parquet"))
     pq.write_table(_ann_pq_golden(sf_dir, emb_ids, emb_mat),
                    os.path.join(tmp, "golden_ann_pq.parquet"))
+    pq.write_table(_ann_ivfpq_golden(sf_dir, emb_ids, emb_mat),
+                   os.path.join(tmp, "golden_ann_ivfpq.parquet"))
     with open(os.path.join(tmp, "manifest.json"), "w") as fh:
         json.dump(src_sig, fh)
     if os.path.exists(out):
@@ -894,6 +896,51 @@ def _ann_pq_golden(sf_dir: str, vec_ids: np.ndarray, mat: np.ndarray, *,
         for j in range(m):
             scores += lut[j, codes[:, j]]
         nbr, rnk = _ann_rank(vec_ids, scores, k)
+        o_q.extend([int(vec_ids[qi])] * len(nbr))
+        o_n.extend(int(v) for v in nbr)
+        o_r.extend(int(r) for r in rnk)
+    return pa.table({"query_id": pa.array(o_q, pa.int64()),
+                     "neighbor_id": pa.array(o_n, pa.int64()),
+                     "rnk": pa.array(o_r, pa.int64())})
+
+
+def _ann_ivfpq_golden(sf_dir: str, vec_ids: np.ndarray, mat: np.ndarray,
+                      *, k: int = 10, n_queries: int = 5,
+                      n_centroids: int = 16, nprobe: int = 4,
+                      iters: int = 8, sample_size: int = 2048,
+                      seed: int = 42, m: int = 8, ksub: int = 256,
+                      pq_iters: int = 10) -> pa.Table:
+    """Sequential transcription of similarity.ann_ivfpq_topk: both
+    quantizers are the engines' own driver-side deterministic trainers;
+    assignment, probe filtering, ADC scoring and the top-k are
+    re-derived here (batch-invariant per-row math => exact twin)."""
+    from metis_ray.pipelines.similarity import _pq_encode, \
+        train_coarse_quantizer, train_pq_codebooks
+
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mn = mat / norms
+    order = np.argsort(vec_ids)
+    qsel = order[:n_queries]
+    cents = train_coarse_quantizer(sf_dir, n_centroids, iters,
+                                   sample_size, seed)
+    books = train_pq_codebooks(sf_dir, m, ksub, pq_iters, sample_size,
+                               seed)
+    dsub = books.shape[2]
+    assign = np.argmax(mn @ cents.T, axis=1)
+    codes = _pq_encode(mn, books)
+    qprobe = np.argsort(-(mn[qsel] @ cents.T), axis=1)[:, :nprobe]
+    o_q, o_n, o_r = [], [], []
+    for row, qi in enumerate(qsel):
+        cand = np.flatnonzero(np.isin(assign, qprobe[row]))
+        if len(cand) == 0:
+            continue
+        lut = np.stack([books[j] @ mn[qi, j * dsub:(j + 1) * dsub]
+                        for j in range(m)])
+        scores = np.zeros(len(cand), np.float64)
+        for j in range(m):
+            scores += lut[j, codes[cand, j]]
+        nbr, rnk = _ann_rank(vec_ids[cand], scores, k)
         o_q.extend([int(vec_ids[qi])] * len(nbr))
         o_n.extend(int(v) for v in nbr)
         o_r.extend(int(r) for r in rnk)

@@ -21,6 +21,10 @@
   PQ8x8 default — 32x smaller than float32), queries score via an
   (m, ksub) lookup table instead of a matmul.  The MEMORY path: the
   code table of 10^12 vectors fits where 3% of raw vectors would.
+* ``ann_ivfpq_topk`` — IVFADC: the two pruned independently — coarse
+  lists cut WHICH vectors are scored (nprobe/n), PQ codes cut the BYTES
+  per scored vector (8) — the composition a 10^12-vector deployment
+  actually runs.
 """
 
 from __future__ import annotations
@@ -439,6 +443,66 @@ def ann_pq_topk(sf_dir: str, *, k: int = 10, n_queries: int = 5,
             pre = _exact_topk_rows(scores, vids, k)
             o_q.extend([int(ids_q[qi])] * len(pre))
             o_n.extend(int(v) for v in vids[pre])
+            o_s.extend(float(scores[j]) for j in pre)
+        return pa.table({"query_id": pa.array(o_q, pa.int64()),
+                         "neighbor_id": pa.array(o_n, pa.int64()),
+                         "score": pa.array(o_s, pa.float64())})
+
+    partials = emb.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    if len(partials) == 0:
+        return pd.DataFrame({"query_id": [], "neighbor_id": [], "rnk": []})
+    partials.sort_values(["query_id", "score", "neighbor_id"],
+                         ascending=[True, False, True], inplace=True)
+    out = partials.groupby("query_id", sort=True).head(k).copy()
+    out["rnk"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "neighbor_id", "rnk"]].reset_index(drop=True)
+
+
+def ann_ivfpq_topk(sf_dir: str, *, k: int = 10, n_queries: int = 5,
+                   n_centroids: int = 16, nprobe: int = 4,
+                   iters: int = 8, sample_size: int = 2048,
+                   seed: int = 42, m: int = 8, ksub: int = 256,
+                   pq_iters: int = 10) -> pd.DataFrame:
+    """IVFADC (Jégou et al. 2011, the canonical billion-scale layout):
+    the IVF coarse quantizer prunes WHICH vectors are scored (nprobe/n
+    of the lists) and PQ codes compress WHAT is scored (8 bytes/vector)
+    — compute and memory pruned independently, the composition a
+    10^12-vector deployment actually runs. Codes encode the raw
+    normalized vector (faiss ``by_residual=False``), so the codebooks
+    are shared verbatim with ``ann_pq_topk``. Same output schema as
+    ann_topk; recall-vs-exact in tests/test_pq.py; per-row math is
+    batch-invariant, so the sequential golden is an exact twin."""
+    qids, qm = _query_matrix(sf_dir, n_queries)
+    qn = _normalize(qm)
+    cents = train_coarse_quantizer(sf_dir, n_centroids, iters,
+                                   sample_size, seed)
+    books = train_pq_codebooks(sf_dir, m, ksub, pq_iters, sample_size,
+                               seed)
+    dsub = books.shape[2]
+    qprobe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]
+    ref = ray.put((qids, qn, cents, qprobe, books))
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids_q, qmat, cc, probe, bks = ray.get(ref)
+        vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        mat = _normalize(_embedding_matrix(batch["embedding"]))
+        assign = np.argmax(mat @ cc.T, axis=1)
+        codes = _pq_encode(mat, bks)
+        o_q, o_n, o_s = [], [], []
+        for qi in range(qmat.shape[0]):
+            cand = np.flatnonzero(np.isin(assign, probe[qi]))
+            if len(cand) == 0:
+                continue
+            lut = np.stack([
+                bks[j] @ qmat[qi, j * dsub:(j + 1) * dsub]
+                for j in range(bks.shape[0])])
+            scores = np.zeros(len(cand), np.float64)
+            for j in range(bks.shape[0]):
+                scores += lut[j, codes[cand, j]]
+            pre = _exact_topk_rows(scores, vids[cand], k)
+            o_q.extend([int(ids_q[qi])] * len(pre))
+            o_n.extend(int(v) for v in vids[cand[pre]])
             o_s.extend(float(scores[j]) for j in pre)
         return pa.table({"query_id": pa.array(o_q, pa.int64()),
                          "neighbor_id": pa.array(o_n, pa.int64()),

@@ -84,3 +84,23 @@ def test_pq_rejects_indivisible_dim(ray_session, tmp_path):
     pq.write_table(t, str(sf / "embeddings.parquet"))
     with pytest.raises(ValueError, match="not divisible"):
         train_pq_codebooks(str(sf), 4, 4, 2, 10, 0)
+
+
+def test_ivfpq_recall_and_pruning(ray_session):
+    """IVFADC recall floor vs exact, upper-bounded by the pure-PQ recall
+    (pruning can only remove candidates), and nprobe=all == pure PQ
+    exactly (the pruning-off identity)."""
+    from metis_ray.pipelines.similarity import (ann_ivfpq_topk,
+                                                ann_pq_topk, ann_topk)
+
+    exact = ann_topk(SF)
+    pq_only = ann_pq_topk(SF)
+    ivfpq = ann_ivfpq_topk(SF)
+    r_pq = _recall(exact, pq_only)
+    r_ivfpq = _recall(exact, ivfpq)
+    assert r_ivfpq >= 0.4, r_ivfpq                 # measured 0.6+ here
+    assert r_ivfpq <= r_pq + 1e-9, (r_ivfpq, r_pq)
+    allprobe = ann_ivfpq_topk(SF, nprobe=16)       # = every list
+    a = allprobe.sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    b = pq_only.sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    assert (a["neighbor_id"].to_numpy() == b["neighbor_id"].to_numpy()).all()
