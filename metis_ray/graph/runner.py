@@ -294,7 +294,9 @@ class GraphRunner:
                  checkpoint_every: int = 10, resume: bool = False,
                  payload_dtype: str = "float32", on_epoch=None,
                  weighted: bool = False,
-                 personalization: dict[int, float] | None = None) -> RunStats:
+                 personalization: dict[int, float] | None = None,
+                 warm_dir: str | None = None,
+                 warm_epoch: int = 0) -> RunStats:
         """NetworkX-formulation PageRank: converges when the global L1 delta
         < N*tol (nx.pagerank's exact stopping rule). ``payload_dtype``
         controls the scatter transport precision (see
@@ -338,6 +340,22 @@ class GraphRunner:
             stats.resumed_from = re
         else:
             init()
+            if warm_dir is not None:
+                # WARM START across graph growth: overlay a prior run's
+                # per-pid (v, rank) checkpoint onto the fresh uniform
+                # vector (pid = v % P is growth-stable, so each shard
+                # reads only its own part file; vertices new since the
+                # prior run keep 1/n), then renormalize globally. The
+                # iteration itself is unchanged — warm start only moves
+                # the starting point closer to the fixpoint.
+                sums = ray.get([s.warm_from_checkpoint.remote(
+                    warm_dir, warm_epoch) for s in self.shards])
+                tot = float(sum(sums))
+                if tot <= 0:
+                    raise ValueError(f"warm checkpoint {warm_dir!r} "
+                                     "holds no mass")
+                ray.get([s.scale_values.remote(1.0 / tot)
+                         for s in self.shards])
         n = self.n_total
         self._superstep_loop(
             scatter="pagerank_scatter", apply="pagerank_apply",

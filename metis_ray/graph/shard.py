@@ -901,6 +901,29 @@ class CSRShard:
                 "bytes": os.path.getsize(path), "edges": self.m,
                 "seconds": time.perf_counter() - t0}
 
+    def warm_from_checkpoint(self, ckpt_dir: str, epoch: int) -> float:
+        """Overlay a PRIOR run's rank checkpoint onto the freshly-inited
+        uniform vector: ids present in the part file take their prior
+        rank, ids new since that run keep 1/n. Unlike
+        ``load_checkpoint`` this tolerates a vertex-set mismatch — the
+        point is warm-starting after the graph GREW (same P, so the
+        pid = v %% P routing of every old vertex is unchanged). Returns
+        the local mass so the driver can renormalize globally."""
+        path = os.path.join(ckpt_dir, f"epoch={epoch}",
+                            f"part-{self.pid:05d}.parquet")
+        if os.path.exists(path) and self.n:
+            t = pq.read_table(path)
+            v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+            r = t["rank"].to_numpy(zero_copy_only=False).astype(np.float64)
+            pos = np.searchsorted(self.verts, v)
+            ok = pos < self.n
+            ok &= self.verts[np.minimum(pos, self.n - 1)] == v
+            self.x[pos[ok]] = r[ok]
+        return float(self.x.sum())
+
+    def scale_values(self, factor: float) -> None:
+        self.x = self.x * factor
+
     def load_checkpoint(self, ckpt_dir: str, epoch: int, value_name: str) -> None:
         path = os.path.join(ckpt_dir, f"epoch={epoch}", f"part-{self.pid:05d}.parquet")
         t = pq.read_table(path)
