@@ -811,6 +811,24 @@ def _q_harmonic(sf_dir: str):
     return df
 
 
+_LOUVAIN_MEMO: dict = {}
+
+
+def _louvain_labels(sf_dir: str):
+    """In-process memo so graph_louvain and graph_louvain_modularity share
+    ONE engine run per sf dir (the parity/driver harness calls both)."""
+    if sf_dir not in _LOUVAIN_MEMO:
+        from metis_ray.graph.louvain import louvain_dataset
+        from metis_ray.pipelines.linkgraph import graph_vertices, ingest
+        res = ingest(_corpus_dir(sf_dir))
+        out, _ = louvain_dataset(res.edges_file,
+                                 graph_vertices(res.files),
+                                 levels=2, max_rounds=8)
+        _LOUVAIN_MEMO[sf_dir] = (
+            out.to_pandas().sort_values("v").reset_index(drop=True))
+    return _LOUVAIN_MEMO[sf_dir]
+
+
 def _q_louvain(sf_dir: str):
     """Two-level Louvain communities (synchronous local moving, alternating
     parity, exact INTEGER modularity-gain arithmetic) over the undirected
@@ -819,12 +837,22 @@ def _q_louvain(sf_dir: str):
     Deterministic ⇒ the sequential transcription
     (graph/louvain.py::louvain_reference) is an exact golden twin;
     planted-partition recovery in tests/test_louvain.py."""
-    from metis_ray.graph.louvain import louvain_dataset
-    from metis_ray.pipelines.linkgraph import graph_vertices, ingest
+    return _louvain_labels(sf_dir).copy()
+
+
+def _q_louvain_modularity(sf_dir: str):
+    """Newman modularity of the Louvain partition — the quality
+    certificate next to graph_modularity's LPA row (Louvain directly
+    optimizes this objective; LPA does not). Same exact-integer-moment
+    modularity kernel; twin recomputes from golden_louvain + golden
+    edges."""
+    import ray.data as rd
+
+    from metis_ray.graph.stats import modularity
+    from metis_ray.pipelines.linkgraph import ingest
     res = ingest(_corpus_dir(sf_dir))
-    out, _ = louvain_dataset(res.edges_file, graph_vertices(res.files),
-                             levels=2, max_rounds=8)
-    return out.to_pandas().sort_values("v").reset_index(drop=True)
+    lab = _louvain_labels(sf_dir).rename(columns={"comm": "label"})
+    return modularity(res.edges_file, rd.from_pandas(lab)).to_pandas()
 
 
 def _q_topo_layers(sf_dir: str):
@@ -1322,9 +1350,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Kahn topological layers / cycle taint (shard-resident in-degree
         # peel; nx.topological_generations pytest + sequential golden)
         "graph_topo_layers": _q_topo_layers,
-        # Louvain phase-1 communities (pure-Dataset rounds, integer gain
+        # two-level Louvain communities (pure-Dataset rounds, integer gain
         # arithmetic; transcription golden + planted-recovery pytest)
         "graph_louvain": _q_louvain,
+        # modularity of the Louvain partition (exact integer moments; twin
+        # recomputes from golden_louvain + golden edges)
+        "graph_louvain_modularity": _q_louvain_modularity,
         # SURVEY S8/S9 CSV interchange proof: the same hourly aggregate
         # over a CSV round trip of the events table; the twin runs over
         # the PARQUET view, so a hash match certifies losslessness
@@ -2673,6 +2704,41 @@ def oracle_sql() -> dict[str, str]:
         "graph_louvain": f"""
             SELECT v, comm
             FROM read_parquet('{gg}/golden_louvain.parquet')
+        """,
+        "graph_louvain_modularity": f"""
+            WITH und AS (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM read_parquet('{g}/golden_edges_file.parquet')
+                WHERE src <> dst
+            ),
+            lab AS (
+                SELECT v, comm AS label
+                FROM read_parquet('{gg}/golden_louvain.parquet')
+            ),
+            mm AS (SELECT count(*) AS m FROM und),
+            sw AS (
+                SELECT count(*) AS sw FROM und
+                JOIN lab la ON und.a = la.v
+                JOIN lab lb ON und.b = lb.v
+                WHERE la.label = lb.label
+            ),
+            deg AS (
+                SELECT v, count(*) AS deg FROM (
+                    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+                ) GROUP BY v
+            ),
+            degc AS (
+                SELECT la.label, sum(deg.deg) AS dc
+                FROM deg JOIN lab la ON deg.v = la.v
+                GROUP BY la.label
+            ),
+            sdq AS (SELECT sum(dc * dc) AS s FROM degc),
+            nc AS (SELECT count(DISTINCT label) AS n FROM lab)
+            SELECT CAST(mm.m AS BIGINT) AS n_edges,
+                   CAST(nc.n AS BIGINT) AS n_communities,
+                   round(sw.sw * 1.0 / mm.m
+                         - sdq.s / (4.0 * mm.m * mm.m), 6) AS modularity
+            FROM mm, sw, sdq, nc
         """,
         # deliberately the PARQUET-view twin: the Ray side answered from
         # the CSV round trip, so the hash match proves losslessness

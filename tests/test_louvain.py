@@ -102,3 +102,37 @@ def test_louvain_two_level_matches_transcription_random(ray_session):
     got, _ = _run(pw, n, levels=2)
     want = louvain_reference(pw, range(n), levels=2)
     assert got == want
+
+
+def test_louvain_improves_modularity_over_singletons():
+    """Pure-reference check (no Ray): on a planted graph the Louvain
+    partition's Newman modularity beats both the all-singleton baseline
+    and a random-ish one-community partition."""
+    from metis_ray.graph.louvain import louvain_reference
+    rng = np.random.RandomState(47)
+    pairs = {}
+    for base in (0, 6, 12):
+        for i in range(base, base + 6):
+            for j in range(i + 1, base + 6):
+                pairs[(i, j)] = 1
+    pairs[(5, 6)] = 1
+    pairs[(11, 12)] = 1
+    comm = louvain_reference(pairs, range(18), levels=2)
+
+    def q(part):
+        m = len(pairs)
+        sw = sum(1 for (a, b) in pairs if part[a] == part[b])
+        deg: dict = {}
+        for a, b in pairs:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        dc: dict = {}
+        for v, d in deg.items():
+            dc[part[v]] = dc.get(part[v], 0) + d
+        return sw / m - sum(d * d for d in dc.values()) / (4.0 * m * m)
+
+    q_louvain = q(comm)
+    q_single = q({v: v for v in range(18)})
+    q_one = q({v: 0 for v in range(18)})
+    assert q_louvain > 0.5
+    assert q_louvain > q_single and q_louvain > q_one
