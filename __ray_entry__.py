@@ -526,6 +526,16 @@ def _q_hits(sf_dir: str):
     return df
 
 
+def _q_ann_ivfpq_indexed(sf_dir: str):
+    """Persisted IVFADC (pipelines/ivf_index.py::ann_ivfpq_indexed_topk):
+    hive-partitioned lists pruned at the read + write-time m-byte PQ
+    codes scored via ADC — the complete 10^12-vector serving path.
+    Identical to the on-the-fly ann_ivfpq_topk (pytest), hence shares
+    its sequential golden twin."""
+    from metis_ray.pipelines.ivf_index import ann_ivfpq_indexed_topk
+    return ann_ivfpq_indexed_topk(sf_dir)
+
+
 def _q_ann_ivf_indexed(sf_dir: str):
     """IVF over the persisted partition-by-centroid layout (read pruning:
     only the probed list directories leave storage)."""
@@ -1166,6 +1176,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # is scored — the canonical 10^12-vector composition; recall
         # pytest + exact-equality sequential golden twin
         "ann_ivfpq_topk": similarity.ann_ivfpq_topk,
+        # PERSISTED IVFADC: directory pruning reads only the probed lists,
+        # and only the m-byte code column within them (~32x fewer bytes
+        # than the exact rerank path); equal-results contract with the
+        # on-the-fly variant ties it to the same sequential golden
+        "ann_ivfpq_indexed_topk": _q_ann_ivfpq_indexed,
         "pagerank_weighted": _q_pagerank_weighted,
         # persisted partition-by-centroid IVF: only the probed list dirs are
         # READ off storage (pytest: identical to ann_ivf_topk; nprobe=all
@@ -1688,6 +1703,10 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{d}/golden_ann_pq.parquet')
         """,
         "ann_ivfpq_topk": f"""
+            SELECT query_id, neighbor_id, rnk
+            FROM read_parquet('{d}/golden_ann_ivfpq.parquet')
+        """,
+        "ann_ivfpq_indexed_topk": f"""
             SELECT query_id, neighbor_id, rnk
             FROM read_parquet('{d}/golden_ann_ivfpq.parquet')
         """,

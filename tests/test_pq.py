@@ -104,3 +104,46 @@ def test_ivfpq_recall_and_pruning(ray_session):
     a = allprobe.sort_values(["query_id", "rnk"]).reset_index(drop=True)
     b = pq_only.sort_values(["query_id", "rnk"]).reset_index(drop=True)
     assert (a["neighbor_id"].to_numpy() == b["neighbor_id"].to_numpy()).all()
+
+
+def test_ivfpq_indexed_equals_on_the_fly(ray_session):
+    """The persisted-index IVFADC must return exactly the on-the-fly
+    result (write-time codes == batch-recomputed codes: _pq_encode is
+    batch-invariant), which transitively ties it to the sequential
+    golden."""
+    from metis_ray.pipelines.ivf_index import ann_ivfpq_indexed_topk
+    from metis_ray.pipelines.similarity import ann_ivfpq_topk
+
+    a = (ann_ivfpq_indexed_topk(SF)
+         .sort_values(["query_id", "rnk"]).reset_index(drop=True))
+    b = (ann_ivfpq_topk(SF)
+         .sort_values(["query_id", "rnk"]).reset_index(drop=True))
+    assert (a["neighbor_id"].to_numpy() == b["neighbor_id"].to_numpy()).all()
+
+
+def test_ivfpq_index_code_column_is_small(ray_session):
+    """The ADC read path's bytes claim, measured: the code column's
+    total compressed size across the index part files must be far below
+    the embedding column's (raw ratio 32x at PQ8x8 over 64-d float32;
+    assert a conservative 5x through parquet encoding)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pqt
+
+    from metis_ray.pipelines.ivf_index import build_ivf_index
+    idx = build_ivf_index(SF)
+    code_b = emb_b = 0
+    for f in glob.glob(os.path.join(idx, "vectors", "*", "*.parquet")):
+        meta = pqt.ParquetFile(f).metadata
+        for rg in range(meta.num_row_groups):
+            g = meta.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                path = col.path_in_schema
+                if path.startswith("code"):
+                    code_b += col.total_compressed_size
+                elif path.startswith("embedding"):
+                    emb_b += col.total_compressed_size
+    assert code_b > 0 and emb_b > 0
+    assert emb_b / code_b > 5, (emb_b, code_b)
